@@ -1,0 +1,60 @@
+"""Shared column expressions.
+
+All JVM-side built-ins (whole-stage-codegen friendly); no Python UDFs.
+Several helpers exist to make results *bit-identical* across engines so
+the DuckDB oracle hash-matches:
+
+- ``decimal_sum``: double sums are order-dependent in IEEE arithmetic; a
+  parallel Spark sum and a serial DuckDB sum can differ in the last ulp.
+  Summing after a cast to DECIMAL(38,6) is exact and order-independent,
+  and the final decimal->double cast is deterministic on both engines.
+- ``dot``/``cosine_similarity``: strict left-fold over the array in index
+  order (F.aggregate), matching a sequential list reduction in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def epoch_ms(col: Column | str) -> Column:
+    """Timestamp -> epoch milliseconds (UTC session tz pinned)."""
+    return F.unix_millis(F.col(col) if isinstance(col, str) else col)
+
+
+def window_start_ms(col: Column | str, width_ms: int, offset_ms: int = 0) -> Column:
+    """Aligned tumbling-window start in epoch-ms (integer arithmetic)."""
+    ms = epoch_ms(col)
+    return (F.floor((ms - offset_ms) / F.lit(width_ms)) * width_ms + offset_ms).cast("long")
+
+
+def decimal_sum(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent sum of a double column (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns, left-fold in index order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def hex_to_long(col: Column, start: int = 1, length: int = 15) -> Column:
+    """Parse a hex substring (e.g. of md5) to a non-negative BIGINT.
+
+    <= 15 hex digits so the value fits in int64 without sign issues; the
+    DuckDB twin is ``('0x' || substr(h, start, length))::BIGINT``.
+    """
+    return F.conv(F.substring(col, start, length), 16, 10).cast("long")

@@ -1,0 +1,167 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expression-only (no Python UDFs — every hash is md5/
+bit arithmetic computed JVM-side inside whole-stage codegen, so the hot
+path scales linearly and the only shuffles are the groupBys/joins that
+the algorithm genuinely needs):
+
+- exact:        hash-groupBy on the full text (one shuffle on md5(text))
+- MinHash+LSH:  shingle -> k minhashes (narrow, per-row) -> band buckets
+                -> candidate pairs via band-bucket self-join. At 100 TB
+                the band join shuffles only (band_hash, doc_id) pairs,
+                never the text.
+- SimHash:      16-bit fingerprint by bitwise majority vote over token
+                hashes; near-dups collide exactly -> hash-groupBy.
+- n-gram Jaccard: exact verification of LSH candidate pairs (the
+                standard two-phase near-dup pipeline).
+
+MinHash trick: min(md5(seed || shingle)) over the shingle array is a
+valid minhash per seed (md5 is uniform; lexicographic min over fixed-
+length hex == numeric min). Keeping hashes as hex strings makes the
+DuckDB oracle bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --- shared shingling ----------------------------------------------------
+
+
+def word_tokens(text: Column) -> Column:
+    """Whitespace tokens, empties removed (documents are space-separated)."""
+    return F.filter(F.split(F.trim(text), " "), lambda t: t != "")
+
+
+def word_shingles(tokens: Column, n: int) -> Column:
+    """Array of word n-gram strings (positions 1..len-n+1; whole text if
+    shorter than n)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+
+
+# --- exact dedup ---------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct text with group size + keeper id.
+
+    The shuffle key is md5(text) (16 bytes), not the text itself — at
+    100 TB the exchange carries digests, and the keeper (min doc_id) is
+    resolved by partial min/count map-side.
+    """
+    return (docs
+            .groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("n_copies")))
+
+
+# --- MinHash + LSH -------------------------------------------------------
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text",
+                      shingle_n: int = 3, num_hashes: int = 8) -> DataFrame:
+    """Per-doc MinHash signature as array<string> of hex minhashes.
+
+    Narrow (per-row) — no shuffle, no explode: each of the `num_hashes`
+    mins folds over the shingle array in one codegen'd expression.
+    """
+    tokens = word_tokens(F.col(text_col))
+    shingles = word_shingles(tokens, shingle_n)
+
+    # NB: capture loop vars via factory, not lambda defaults — an extra
+    # default parameter changes the lambda's arity and PySpark would bind
+    # it to a lambda variable.
+    def seeded_min(i: int) -> Column:
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+
+    sig = F.array(*[seeded_min(i) for i in range(num_hashes)])
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                        rows_per_band: int = 2) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate pair.
+
+    Output: (doc_a, doc_b, est_jaccard) — est_jaccard is the fraction of
+    equal signature positions (the MinHash similarity estimate).
+    The band explode duplicates only (doc_id, band_hash, sig); the
+    self-join shuffles on (band, band_hash) — bounded state per bucket.
+    """
+    banded = signatures.select(
+        "doc_id", "sig",
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws("|", *[
+                F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)
+            ])) for b in range(bands)
+        ])).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, ["band", "band_hash"])
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    n = bands * rows_per_band
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y), lambda e: e))
+           / F.lit(float(n)))
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+# --- SimHash -------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Per-doc SimHash fingerprint (bitwise majority of token hashes).
+
+    Token hash = first 4 md5 hex digits -> 16-bit int; bit j of the
+    fingerprint is set iff tokens with bit j set outnumber those without.
+    Pure integer expressions -> identical on any engine.
+    """
+    tokens = word_tokens(F.col(text_col))
+    th = F.transform(tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10)
+                     .cast("long"))
+    def bit_vote(j: int) -> Column:
+        votes = F.aggregate(
+            th, F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(1) == 1,
+                                        F.lit(1)).otherwise(F.lit(-1)))
+        return F.when(votes >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    fp = sum([bit_vote(j) for j in range(bits)], F.lit(0))
+    return docs.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+# --- exact n-gram Jaccard verification ----------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
+                        text_col: str = "text", shingle_n: int = 3) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams for candidate (doc_a, doc_b).
+
+    Intersection via explode + count; |A ∪ B| = |A| + |B| − |A ∩ B|.
+    Shuffles scale with candidate-pair shingle counts, not corpus size —
+    this is the verify phase behind an LSH/blocking prefilter.
+    """
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            word_shingles(word_tokens(F.col(text_col)), shingle_n))).alias("g"))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g"))
+    inter = (candidates.join(ga, "doc_a").join(gb, ["doc_b", "g"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_grams").alias("na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n_grams").alias("nb")), "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.col("n_inter") /
+                     (F.col("na") + F.col("nb") - F.col("n_inter")))
+                    .alias("jaccard")))

@@ -1,0 +1,103 @@
+"""Text analysis operators for training-data pipelines.
+
+Language ID (marker-word heuristic), quality scoring, token counting,
+and document fingerprinting — all pure column expressions (split /
+higher-order array functions / md5), no Python in the hot path, so each
+is a narrow per-row map over the corpus with at most one aggregation
+shuffle where the semantics require it (term counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from demo_apache_flink_streaming_mode_spark.operators.dedup import word_shingles, word_tokens
+
+# Marker stopword lists per language (tiny on purpose: the mechanism —
+# score-per-language + deterministic argmax — is the operator; swap in
+# real frequency tables for production).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("de5", "shi4", "le5", "he2", "zai4"),
+}
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: total / distinct tokens + character tallies."""
+    tokens = word_tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).alias("n_distinct"),
+        F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).alias("n_token_chars"),
+    )
+
+
+def term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide term frequencies (explode + count).
+
+    Partial aggregation collapses counts map-side; the shuffle moves one
+    row per (partition, term) — vocabulary-bounded, not corpus-bounded.
+    """
+    return (docs
+            .select(F.explode(word_tokens(F.col(text_col))).alias("term"))
+            .groupBy("term").agg(F.count("*").alias("cnt")))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    tokens = word_tokens(text)
+
+    def marker_hits(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(tokens, lambda t: t.isin(*markers)))
+
+    return {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def predict_lang(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID: argmax marker-hit count, fixed priority tie-break
+    (alphabetical language order — deterministic across engines)."""
+    scores = lang_scores(F.col(text_col))
+    langs = sorted(scores)
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            # strict > against earlier langs (they win ties), >= against later
+            c = (scores[lang] > scores[other]) if other < lang else (scores[lang] >= scores[other])
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return docs.select("doc_id", pred.otherwise(F.lit(langs[0])).alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, lexical diversity, token-length components.
+
+    score = 0.4*min(n_tokens/100, 1) + 0.4*(distinct/total)
+          + 0.2*min(avg_token_len/8, 1), rounded to 6 dp (integer inputs +
+    identical double arithmetic -> engine-portable).
+    """
+    tokens = word_tokens(F.col(text_col))
+    n = F.size(tokens)
+    nd = F.size(F.array_distinct(tokens))
+    chars = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    score = (
+        0.4 * F.least(n / F.lit(100.0), F.lit(1.0))
+        + 0.4 * (nd / n)
+        + 0.2 * F.least(chars / n / F.lit(8.0), F.lit(1.0))
+    )
+    return docs.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                shingle_n: int = 5) -> DataFrame:
+    """Document fingerprint: min hash over word n-gram shingles
+    (winnowing-style rolling fingerprint, collision => likely duplicate)."""
+    shingles = word_shingles(word_tokens(F.col(text_col)), shingle_n)
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"))

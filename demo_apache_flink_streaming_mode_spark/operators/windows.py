@@ -1,0 +1,95 @@
+"""Grouping, aggregation and time windows (SURVEY.md §2.4, A1-A7).
+
+The reference expresses every aggregate as a binary ReduceFunction over
+keyed/windowed streams; here each becomes a declarative groupBy + built-in
+aggregate so Spark plans partial (map-side) aggregation before the
+shuffle — the scalable form of Flink's incremental reduce.
+
+Scale notes (100 TB design point):
+- groupBy keys here (user_id, event_type, window buckets) are
+  low-cardinality or time-bucketed -> partial aggregation collapses
+  almost everything map-side; the shuffle moves only (key, window)
+  partial states, not rows.
+- The per-row window functions (running totals) partition by user_id:
+  at 100 TB that is a single shuffle on a well-distributed key; skewed
+  users are handled by AQE skew-join/salting at the query layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from demo_apache_flink_streaming_mode_spark.functions.scalars import decimal_sum, epoch_ms
+
+
+def running_total(df: DataFrame, key: str, order: list[str], value: str,
+                  out: str = "running_sum") -> DataFrame:
+    """A2 — per-key running aggregate emitting an updated total per record.
+
+    Reference: keyed reduce that re-emits the running SUM on every input
+    record (``chapter2/KeyedStreamOperations.java:64-84``). Batch twin: an
+    unbounded-preceding window sum in event order. The decimal cast keeps
+    the running double sum exact/order-independent (oracle hash match).
+    """
+    w = (W.partitionBy(key).orderBy(*order)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return df.withColumn(
+        out, F.sum(F.col(value).cast("decimal(38,6)")).over(w).cast("double"))
+
+
+def tumbling_count(df: DataFrame, ts: str, width: str,
+                   keys: list[str] | None = None) -> DataFrame:
+    """A3/A4 — tumbling-window count, global (no keys) or keyed.
+
+    Reference: ``timeWindowAll(3s)+reduce`` (``common/MapCountPrinter.java:
+    12-34``) and ``keyBy(user,action).timeWindow(10s).reduce``
+    (``chapter6_exercise/AnalyzeBrowserEvents.java:83-96``).
+    """
+    groups = [F.window(ts, width).alias("w")] + [F.col(k) for k in (keys or [])]
+    return (df.groupBy(*groups)
+            .agg(F.count("*").alias("n"))
+            .select(*(keys or []),
+                    F.unix_millis(F.col("w.start")).alias("window_start"), "n"))
+
+
+def sliding_stats(df: DataFrame, ts: str, width: str, slide: str,
+                  keys: list[str] | None = None) -> DataFrame:
+    """A5 — sliding window with simultaneous COUNT/MIN/MAX.
+
+    Reference: ``timeWindowAll(10s, 5s)`` + a reduce that threads count,
+    min-ts and max-ts through one accumulator
+    (``chapter3/WindowOperations.java:85-100``).
+    """
+    groups = [F.window(ts, width, slide).alias("w")] + [F.col(k) for k in (keys or [])]
+    return (df.groupBy(*groups)
+            .agg(F.count("*").alias("n"),
+                 F.min(epoch_ms(F.col(ts))).alias("min_ts"),
+                 F.max(epoch_ms(F.col(ts))).alias("max_ts"))
+            .select(*(keys or []),
+                    F.unix_millis(F.col("w.start")).alias("window_start"),
+                    "n", "min_ts", "max_ts"))
+
+
+def session_stats(df: DataFrame, ts: str, gap: str, key: str) -> DataFrame:
+    """A6 — gap-based session window aggregate.
+
+    Reference: ``keyBy(user).window(ProcessingTimeSessionWindows.withGap(5s))
+    .reduce`` (``chapter3/WindowOperations.java:124-138``); a session closes
+    after `gap` inactivity. Spark-first: native ``session_window`` (state-store
+    backed in streaming, hash-agg in batch). session_start is the session's
+    first event time.
+    """
+    return (df.groupBy(key, F.session_window(ts, gap).alias("w"))
+            .agg(F.count("*").alias("n"),
+                 F.min(epoch_ms(F.col(ts))).alias("min_ts"),
+                 F.max(epoch_ms(F.col(ts))).alias("max_ts"))
+            .select(key, F.col("min_ts").alias("session_start"), "n", "min_ts", "max_ts"))
+
+
+def keyed_agg(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """A1+A7 — plain keyed aggregation (sum/min/max/count in one pass)."""
+    return (df.groupBy(*keys)
+            .agg(F.count("*").alias("n"),
+                 decimal_sum(value).alias("sum_value"),
+                 F.min(value).alias("min_value"),
+                 F.max(value).alias("max_value")))

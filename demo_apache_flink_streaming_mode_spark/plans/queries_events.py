@@ -1,0 +1,267 @@
+"""Reference-derived queries over the ``events`` table (SURVEY.md §2).
+
+Column binding (FIXTURES.md §3): user -> user_id, operation/action ->
+event_type, event_time -> ts, duration -> value. The reference's
+seconds-scale demo windows become hour/day-scale here because the
+events table spans 30 days with minute-to-hour inter-event gaps — same
+semantics, meaningful bucket sizes.
+
+Constants:
+  ST1 'Delete'          -> event_type 'error', repeat threshold 1 h
+  ST2 'Login'/'Logout'  -> 'signup' / 'purchase'
+  A6 session gap        -> 6 h (data's median per-user gap ~7.3 h, so
+                           both merge and split cases occur)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from demo_apache_flink_streaming_mode_spark.operators import eventtime, joins, stateful, transforms, windows
+from demo_apache_flink_streaming_mode_spark.plans.base import Query
+from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+HOUR_MS = 3_600_000
+SESSION_GAP_MS = 6 * HOUR_MS
+ST1_THRESHOLD_MS = HOUR_MS
+LATE_BUFFER_MS = 600_000  # 10 min (reference: 2 s at seconds scale)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- T1-T4 ---------------------------------------------------------------
+
+def t1_parse_project(spark, sf_dir):
+    return transforms.parse_project(_events(spark, sf_dir))
+
+
+def t2_filter(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return transforms.keep(ev, F.col("event_type") == "error").select(
+        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"))
+
+
+def t3_split_main(spark, sf_dir):
+    main, _side = transforms.split_stream(_events(spark, sf_dir),
+                                          F.col("event_type") == "click")
+    return main.select("event_id", "user_id", "event_type",
+                       F.unix_millis("ts").alias("ts_ms"), "value")
+
+
+def t3_split_side(spark, sf_dir):
+    _main, side = transforms.split_stream(_events(spark, sf_dir),
+                                          F.col("event_type") == "click")
+    return side.select("user_id", F.lit(1).alias("cnt"))
+
+
+def t4_merge(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return transforms.merge_streams(
+        {"Stream-Click": ev.filter(F.col("event_type") == "click")
+             .select("user_id", F.lit(1).alias("cnt")),
+         "Stream-Error": ev.filter(F.col("event_type") == "error")
+             .select("user_id", F.lit(1).alias("cnt"))},
+        ["user_id", "cnt"])
+
+
+# --- A2-A7 ---------------------------------------------------------------
+
+def a2_running_total(spark, sf_dir):
+    return windows.running_total(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"], "value"
+    ).select("event_id", "user_id", "running_sum")
+
+
+def a3_tumbling_count_global(spark, sf_dir):
+    return windows.tumbling_count(_events(spark, sf_dir), "ts", "1 hour")
+
+
+def a4_tumbling_count_keyed(spark, sf_dir):
+    return windows.tumbling_count(_events(spark, sf_dir), "ts", "1 day",
+                                  keys=["user_id", "event_type"])
+
+
+def a5_sliding_stats(spark, sf_dir):
+    return windows.sliding_stats(_events(spark, sf_dir), "ts", "2 hours", "1 hour")
+
+
+def a6_session_stats(spark, sf_dir):
+    return windows.session_stats(_events(spark, sf_dir), "ts", "6 hours", "user_id")
+
+
+def a7_keyed_agg(spark, sf_dir):
+    return windows.keyed_agg(_events(spark, sf_dir), ["user_id", "event_type"], "value")
+
+
+# --- J1, ST1, ST2, W3 ----------------------------------------------------
+
+def j1_window_join(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    return joins.window_join(clicks, purchases, "user_id", "ts", "1 hour").select(
+        "user_id", "window_start", "event_id_l", "event_id_r")
+
+
+def st1_repeat_action_alert(spark, sf_dir):
+    return stateful.repeat_action_alert(
+        _events(spark, sf_dir), "user_id", "ts", "event_type",
+        action="error", threshold_ms=ST1_THRESHOLD_MS)
+
+
+def st2_action_durations(spark, sf_dir):
+    return stateful.action_durations(
+        _events(spark, sf_dir), "user_id", "ts", "event_type",
+        start_action="signup", end_action="purchase")
+
+
+def w3_late_classify(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    # deterministic pseudo-arrival order: hour bucket, then an id-derived
+    # interleave — models out-of-order arrival within each hour
+    arrival = [(F.unix_millis("ts") / F.lit(HOUR_MS)).cast("long"),
+               (F.col("event_id") % 16), F.col("event_id")]
+    return eventtime.classify_late(ev, "ts", arrival, LATE_BUFFER_MS).select(
+        "event_id", "watermark_ms", "is_late")
+
+
+# --- oracles -------------------------------------------------------------
+
+_LAG_WINDOW = "(PARTITION BY user_id ORDER BY ts, event_id)"
+
+ORACLES = {
+    "t1_parse_project": """
+        SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, 1 AS cnt
+        FROM events""",
+    "t2_filter": """
+        SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        FROM events WHERE event_type = 'error'""",
+    "t3_split_main": """
+        SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+        FROM events WHERE event_type = 'click'""",
+    "t3_split_side": """
+        SELECT user_id, 1 AS cnt FROM events WHERE event_type <> 'click'""",
+    "t4_merge": """
+        SELECT 'Stream-Click' AS src, user_id, 1 AS cnt FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT 'Stream-Error' AS src, user_id, 1 AS cnt FROM events WHERE event_type = 'error'""",
+    "a2_running_total": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_sum
+        FROM events""",
+    "a3_tumbling_count_global": """
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start, count(*) AS n
+        FROM events GROUP BY 1""",
+    "a4_tumbling_count_keyed": """
+        SELECT user_id, event_type,
+               (epoch_ms(ts) // 86400000) * 86400000 AS window_start, count(*) AS n
+        FROM events GROUP BY 1, 2, 3""",
+    "a5_sliding_stats": """
+        SELECT (epoch_ms(ts) // 3600000 - off) * 3600000 AS window_start,
+               count(*) AS n, min(epoch_ms(ts)) AS min_ts, max(epoch_ms(ts)) AS max_ts
+        FROM events, (VALUES (0), (1)) AS t(off)
+        GROUP BY 1""",
+    "a6_session_stats": f"""
+        WITH o AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                 CASE WHEN lag(epoch_ms(ts)) OVER {_LAG_WINDOW} IS NULL
+                        OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER {_LAG_WINDOW}
+                           >= {SESSION_GAP_MS}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        s AS (
+          SELECT user_id, ms,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+          FROM o)
+        SELECT user_id, MIN(ms) AS session_start, COUNT(*) AS n,
+               MIN(ms) AS min_ts, MAX(ms) AS max_ts
+        FROM s GROUP BY user_id, sess""",
+    "a7_keyed_agg": """
+        SELECT user_id, event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY 1, 2""",
+    "j1_window_join": """
+        SELECT a.user_id, (epoch_ms(a.ts) // 3600000) * 3600000 AS window_start,
+               a.event_id AS event_id_l, b.event_id AS event_id_r
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND epoch_ms(a.ts) // 3600000 = epoch_ms(b.ts) // 3600000
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'""",
+    "st1_repeat_action_alert": f"""
+        WITH d AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                 lag(epoch_ms(ts)) OVER {_LAG_WINDOW} AS prev_ms
+          FROM events WHERE event_type = 'error')
+        SELECT user_id, event_id, ms - prev_ms AS time_diff_ms
+        FROM d
+        WHERE prev_ms IS NOT NULL AND ms - prev_ms < {ST1_THRESHOLD_MS}""",
+    "st2_action_durations": f"""
+        WITH o AS (
+          SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+                 lag(event_type) OVER {_LAG_WINDOW} AS prev_a,
+                 lag(epoch_ms(ts)) OVER {_LAG_WINDOW} AS prev_ms
+          FROM events)
+        SELECT user_id, event_id,
+               CASE WHEN prev_a IS NULL OR prev_a = 'purchase'
+                         OR event_type = 'signup'
+                    THEN 'None' ELSE prev_a END AS prev_action,
+               CAST(CASE WHEN prev_a IS NULL OR prev_a = 'purchase'
+                              OR event_type = 'signup'
+                         THEN 0 ELSE ms - prev_ms END AS BIGINT) AS duration_ms
+        FROM o""",
+    "w3_late_classify": f"""
+        WITH o AS (
+          SELECT event_id, epoch_ms(ts) AS ms,
+                 MAX(epoch_ms(ts)) OVER (
+                     ORDER BY epoch_ms(ts) // {HOUR_MS}, event_id % 16, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - {LATE_BUFFER_MS} AS wm
+          FROM events)
+        SELECT event_id, wm AS watermark_ms,
+               COALESCE(ms < wm, FALSE) AS is_late
+        FROM o""",
+}
+
+QUERIES = [
+    Query("t1_parse_project", t1_parse_project, ORACLES["t1_parse_project"],
+          "T1 map/projection + literal tag (BasicStreamingOperations.java:64-88)"),
+    Query("t2_filter", t2_filter, ORACLES["t2_filter"],
+          "T2 predicate filter (StatefulOperations.java:129-143)"),
+    Query("t3_split_main", t3_split_main, ORACLES["t3_split_main"],
+          "T3 stream split, main branch (StreamSplitAndMerge.java:68-102)"),
+    Query("t3_split_side", t3_split_side, ORACLES["t3_split_side"],
+          "T3 stream split, side branch as (user,1) (StreamSplitAndMerge.java:91-97)"),
+    Query("t4_merge", t4_merge, ORACLES["t4_merge"],
+          "T4 heterogeneous merge via normalize+union (StreamSplitAndMerge.java:114-167)"),
+    Query("a2_running_total", a2_running_total, ORACLES["a2_running_total"],
+          "A2 per-key running aggregate (KeyedStreamOperations.java:64-84)"),
+    Query("a3_tumbling_count_global", a3_tumbling_count_global,
+          ORACLES["a3_tumbling_count_global"],
+          "A3 global tumbling count (MapCountPrinter.java:12-34)"),
+    Query("a4_tumbling_count_keyed", a4_tumbling_count_keyed,
+          ORACLES["a4_tumbling_count_keyed"],
+          "A4 keyed tumbling count (AnalyzeBrowserEvents.java:83-96)"),
+    Query("a5_sliding_stats", a5_sliding_stats, ORACLES["a5_sliding_stats"],
+          "A5 sliding window count/min/max (WindowOperations.java:85-100)"),
+    Query("a6_session_stats", a6_session_stats, ORACLES["a6_session_stats"],
+          "A6 session window aggregate (WindowOperations.java:124-138)"),
+    Query("a7_keyed_agg", a7_keyed_agg, ORACLES["a7_keyed_agg"],
+          "A1/A7 keyed multi-aggregate (reduce lambdas -> built-in aggs)"),
+    Query("j1_window_join", j1_window_join, ORACLES["j1_window_join"],
+          "J1 tumbling-window inner equi-join (WindowJoin.java:119-158)"),
+    Query("st1_repeat_action_alert", st1_repeat_action_alert,
+          ORACLES["st1_repeat_action_alert"],
+          "ST1 keyed ValueState repeat-action alert (StatefulOperations.java:83-143)"),
+    Query("st2_action_durations", st2_action_durations,
+          ORACLES["st2_action_durations"],
+          "ST2 dual ValueState dwell-time sessionization (AnalyzeBrowserEvents.java:115-181)"),
+    Query("w3_late_classify", w3_late_classify, ORACLES["w3_late_classify"],
+          "W2/W3 watermark + late-data classification (EventTimeOperations.java:88-134)"),
+]

@@ -1,0 +1,340 @@
+"""North-star LLM-data-pipeline queries (SURVEY.md §2.10, driver mandate).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (brute-force + LSH ANN), text analysis, and
+the multimodal manifest — over ``documents`` and ``embeddings``.
+
+Every oracle reproduces the Spark computation bit-for-bit: hashes are
+md5 (identical across engines), vector math is an in-order left fold,
+window/bucket math is integer arithmetic. Parameters live here so the
+SQL and the DataFrame forms can't drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_apache_flink_streaming_mode_spark.operators import dedup, multimodal, similarity, text
+from demo_apache_flink_streaming_mode_spark.plans.base import Query
+from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+# -- parameters (shared by DataFrame + oracle forms) ----------------------
+SHINGLE_N = 3
+NUM_HASHES = 8
+BANDS, ROWS_PER_BAND = 4, 2
+JACCARD_THRESHOLD = 0.3
+COS_DUP_THRESHOLD = 0.35
+TOPK = 10
+QUERY_MOD = 50          # query set = vec_id % QUERY_MOD == 0
+NUM_PLANES = 6
+DIM = 64
+FP_SHINGLE_N = 5
+SIMHASH_BITS = 16
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- Spark queries -------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    sigs = dedup.minhash_signature(_docs(spark, sf_dir), shingle_n=SHINGLE_N,
+                                   num_hashes=NUM_HASHES)
+    return dedup.lsh_candidate_pairs(sigs, bands=BANDS, rows_per_band=ROWS_PER_BAND)
+
+
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signature(docs, shingle_n=SHINGLE_N, num_hashes=NUM_HASHES)
+    cands = dedup.lsh_candidate_pairs(
+        sigs, bands=BANDS, rows_per_band=ROWS_PER_BAND).select("doc_a", "doc_b")
+    return (dedup.ngram_jaccard_pairs(docs, cands, shingle_n=SHINGLE_N)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    return similarity.cosine_near_dup_pairs(_embs(spark, sf_dir), COS_DUP_THRESHOLD)
+
+
+def sim_topk_bruteforce(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.topk_bruteforce(queries, embs, TOPK)
+
+
+def sim_ann_lsh(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.topk_lsh(queries, embs, TOPK, num_planes=NUM_PLANES, dim=DIM)
+
+
+def text_token_stats(spark, sf_dir):
+    df = text.token_stats(_docs(spark, sf_dir))
+    return df.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                     F.col("n_distinct").cast("long").alias("n_distinct"),
+                     F.col("n_token_chars").cast("long").alias("n_token_chars"))
+
+
+def text_term_counts(spark, sf_dir):
+    return text.term_counts(_docs(spark, sf_dir))
+
+
+def text_langid(spark, sf_dir):
+    return text.predict_lang(_docs(spark, sf_dir))
+
+
+def text_quality(spark, sf_dir):
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+def text_fingerprint(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir), shingle_n=FP_SHINGLE_N)
+
+
+def mm_manifest(spark, sf_dir):
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    df = multimodal.media_manifest(media)
+    return df.select("doc_id", "media_type",
+                     F.col("n_bytes").cast("long").alias("n_bytes"), "n_chunks")
+
+
+def mm_decode_features(spark, sf_dir):
+    """mapInPandas decode plumbing (fake codec) — no SQL oracle (rows-only)."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return multimodal.decode_features(media, codec="fake")
+
+
+# --- oracle SQL ----------------------------------------------------------
+
+_TOKENS = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+
+def _shingles_sql(n: int) -> str:
+    return (f"list_transform(range(1, greatest(len(tokens)-{n - 1}, 1)+1), "
+            f"i -> array_to_string(list_slice(tokens, i, i+{n - 1}), ' '))")
+
+
+_SIG_ITEMS = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
+    for i in range(NUM_HASHES))
+
+_BAND_VALUES = ", ".join(f"({b})" for b in range(BANDS))
+
+# bands: band b covers sig positions [b*r+1, b*r+r] (1-based)
+_BAND_HASH = "md5(" + " || '|' || ".join(
+    [f"sig[b*{ROWS_PER_BAND}+{r + 1}]" for r in range(ROWS_PER_BAND)]) + ")"
+
+_MINHASH_CTES = f"""
+  toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+  sh AS (SELECT doc_id, {_shingles_sql(SHINGLE_N)} AS shingles FROM toks),
+  sig AS (SELECT doc_id, [{_SIG_ITEMS}] AS sig FROM sh),
+  banded AS (
+    SELECT doc_id, sig, b, {_BAND_HASH} AS band_hash
+    FROM sig, (VALUES {_BAND_VALUES}) AS t(b)),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.sig AS sig_a, b.sig AS sig_b
+    FROM banded a JOIN banded b
+      ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"""
+
+_SIMHASH_BIT_TERMS = " + ".join(
+    f"(CASE WHEN list_aggregate(list_transform(hs, "
+    f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END), 'sum') >= 0 "
+    f"THEN {1 << j} ELSE 0 END)"
+    for j in range(SIMHASH_BITS))
+
+# in-order left-fold vector ops (matches functions.scalars.dot exactly)
+_DOT = ("list_aggregate(list_transform(range(1, len({a})+1), "
+        "i -> {a}[i] * {b}[i]), 'sum')")
+
+
+def _cos(a: str, b: str) -> str:
+    return (f"({_DOT.format(a=a, b=b)} / "
+            f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))")
+
+
+_EMB_D = ("e AS (SELECT vec_id, "
+          "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)")
+
+_PLANES_CTE = f"""
+  planes AS (
+    SELECT j, list(val ORDER BY i) AS p
+    FROM (
+      SELECT j, i,
+             (('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+              % 1000) / 1000.0 - 0.5 AS val
+      FROM range(0, {NUM_PLANES}) t1(j), range(0, {DIM}) t2(i))
+    GROUP BY j)"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1""",
+    "dedup_minhash_lsh": f"""
+        WITH {_MINHASH_CTES}
+        SELECT doc_a, doc_b,
+               len(list_filter(range(1, {NUM_HASHES}+1), i -> sig_a[i] = sig_b[i]))
+                 / {float(NUM_HASHES)} AS est_jaccard
+        FROM pairs""",
+    "dedup_simhash": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+        th AS (SELECT doc_id,
+                      list_transform(tokens,
+                          t -> ('0x' || substr(md5(t), 1, 4))::BIGINT) AS hs
+               FROM toks)
+        SELECT doc_id, CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS simhash FROM th""",
+    "dedup_ngram_jaccard": f"""
+        WITH {_MINHASH_CTES},
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(shingles)) AS g FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY 1),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+          FROM (SELECT DISTINCT doc_a, doc_b FROM pairs) p
+          JOIN grams ga ON ga.doc_id = p.doc_a
+          JOIN grams gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+          GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b,
+               i.ni / (sa.ng + sb.ng - i.ni) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.ni / (sa.ng + sb.ng - i.ni) >= {JACCARD_THRESHOLD}""",
+    "dedup_embedding_cosine": f"""
+        WITH {_EMB_D}
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cos('a.v', 'b.v')} AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_cos('a.v', 'b.v')} >= {COS_DUP_THRESHOLD}""",
+    "sim_topk_bruteforce": f"""
+        WITH {_EMB_D},
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_cos('q.v', 'c.v')} AS cos_sim
+          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id % {QUERY_MOD} = 0),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
+        FROM ranked WHERE rn <= {TOPK}""",
+    "sim_ann_lsh": f"""
+        WITH {_EMB_D},{_PLANES_CTE},
+        sigs AS (
+          SELECT vec_id, v,
+                 CAST(SUM(CASE WHEN {_DOT.format(a='v', b='p')} >= 0
+                          THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, planes GROUP BY vec_id, v),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_cos('q.v', 'c.v')} AS cos_sim
+          FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id % {QUERY_MOD} = 0),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
+        FROM ranked WHERE rn <= {TOPK}""",
+    "text_token_stats": f"""
+        WITH toks AS (SELECT doc_id, text, {_TOKENS} AS tokens FROM documents)
+        SELECT doc_id, len(tokens) AS n_tokens,
+               len(list_distinct(tokens)) AS n_distinct,
+               length(replace(text, ' ', '')) AS n_token_chars
+        FROM toks""",
+    "text_term_counts": f"""
+        SELECT term, COUNT(*) AS cnt
+        FROM (SELECT unnest({_TOKENS}) AS term FROM documents)
+        GROUP BY 1""",
+    "text_langid": None,  # filled below (needs marker lists)
+    "text_quality": f"""
+        WITH toks AS (SELECT doc_id, text, {_TOKENS} AS tokens FROM documents),
+        m AS (SELECT doc_id, len(tokens) AS n, len(list_distinct(tokens)) AS nd,
+                     length(replace(text, ' ', '')) AS chars
+              FROM toks)
+        SELECT doc_id,
+               round(0.4 * least(n / 100.0, 1.0)
+                     + 0.4 * (nd / n)
+                     + 0.2 * least((chars / n) / 8.0, 1.0), 6) AS quality
+        FROM m""",
+    "text_fingerprint": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+        sh AS (SELECT doc_id, {_shingles_sql(FP_SHINGLE_N)} AS shingles FROM toks)
+        SELECT doc_id,
+               list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
+        FROM sh""",
+    "mm_manifest": f"""
+        SELECT doc_id, 'application/octet-stream' AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               CAST(ceil(octet_length(encode(text)) / {float(multimodal.CHUNK_BYTES)})
+                    AS BIGINT) AS n_chunks
+        FROM documents""",
+}
+
+# langid oracle: same first-max-wins CASE chain over marker-hit counts
+_langs = sorted(text.LANG_MARKERS)
+_scores = {
+    lang: ("len(list_filter(tokens, t -> t IN ("
+           + ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang]) + ")))")
+    for lang in _langs
+}
+_cases = []
+for _i, _lang in enumerate(_langs[:-1]):
+    conds = " AND ".join(
+        f"s_{_lang} >= s_{other}" for other in _langs if other != _lang)
+    _cases.append(f"WHEN {conds} THEN '{_lang}'")
+ORACLES["text_langid"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+    s AS (SELECT doc_id, {', '.join(f'{_scores[lang]} AS s_{lang}' for lang in _langs)}
+          FROM toks)
+    SELECT doc_id, CASE {' '.join(_cases)} ELSE '{_langs[-1]}' END AS pred_lang
+    FROM s"""
+
+QUERIES = [
+    Query("dedup_exact", dedup_exact, ORACLES["dedup_exact"],
+          "exact dedup via hash-groupBy (keeper + group size)"),
+    Query("dedup_minhash_lsh", dedup_minhash_lsh, ORACLES["dedup_minhash_lsh"],
+          "MinHash signatures + LSH banding -> candidate near-dup pairs"),
+    Query("dedup_simhash", dedup_simhash, ORACLES["dedup_simhash"],
+          "SimHash 16-bit fingerprints (bitwise majority)"),
+    Query("dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLES["dedup_ngram_jaccard"],
+          "exact n-gram Jaccard verification of LSH candidates"),
+    Query("dedup_embedding_cosine", dedup_embedding_cosine,
+          ORACLES["dedup_embedding_cosine"],
+          "embedding-cosine near-dup pairs (threshold)"),
+    Query("sim_topk_bruteforce", sim_topk_bruteforce, ORACLES["sim_topk_bruteforce"],
+          "brute-force cosine top-k (exact baseline)"),
+    Query("sim_ann_lsh", sim_ann_lsh, ORACLES["sim_ann_lsh"],
+          "LSH-bucketed approximate top-k (scale path)"),
+    Query("text_token_stats", text_token_stats, ORACLES["text_token_stats"],
+          "token counting (total/distinct/chars)"),
+    Query("text_term_counts", text_term_counts, ORACLES["text_term_counts"],
+          "corpus term frequencies"),
+    Query("text_langid", text_langid, ORACLES["text_langid"],
+          "marker-based language ID with deterministic argmax"),
+    Query("text_quality", text_quality, ORACLES["text_quality"],
+          "doc quality scoring (length/diversity/token-length)"),
+    Query("text_fingerprint", text_fingerprint, ORACLES["text_fingerprint"],
+          "min-hash document fingerprint"),
+    Query("mm_manifest", mm_manifest, ORACLES["mm_manifest"],
+          "multimodal binary manifest (bytes + chunking)"),
+    Query("mm_decode_features", mm_decode_features, None,
+          "Arrow-batched media decode plumbing (stubbed codec; rows-only check)"),
+]

@@ -1,0 +1,248 @@
+"""Analytic queries over the TPC-H-ish star schema.
+
+The reference has no SQL/analytic layer — these exercise the engine
+surface SURVEY.md §2.9 says we get from the DataFrame API (multi-way
+joins, outer/semi/anti, rollup, pivot, ranking, distinct aggregates) and
+are where join-strategy/scale decisions show: fixed-size dims
+(region/nation) are broadcast explicitly; everything else is left to
+Catalyst + AQE (sort-merge or shuffled hash on the join keys, skew
+handled at runtime).
+
+Engine-portable numerics: every double aggregate goes through
+DECIMAL(38,6) (see functions.scalars.decimal_sum); timestamps are
+projected as epoch-ms BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_apache_flink_streaming_mode_spark.functions.scalars import decimal_sum
+from demo_apache_flink_streaming_mode_spark.plans.base import Query
+from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+
+def _dsum(col):
+    return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates.
+
+    The shipdate filter + 7-column projection push down to the parquet
+    scan; partial aggregation leaves 4 groups to shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2000-12-01")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(decimal_sum("l_quantity").alias("sum_qty"),
+                 decimal_sum("l_extendedprice").alias("sum_base_price"),
+                 _dsum(disc_price).alias("sum_disc_price"),
+                 _dsum(charge).alias("sum_charge"),
+                 (decimal_sum("l_quantity") / F.count("*")).alias("avg_qty"),
+                 (decimal_sum("l_extendedprice") / F.count("*")).alias("avg_price"),
+                 (decimal_sum("l_discount") / F.count("*")).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + top-10 by aggregated revenue."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("l_orderkey",
+                     F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+                     "o_orderpriority")
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join through region->nation->cust/supp.
+
+    region (5 rows) and nation (25 rows) are broadcast — they stay
+    fixed-size at any scale factor, so this holds at 100 TB.
+    """
+    region = F.broadcast(load_table(spark, sf_dir, "region")
+                         .filter(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(customer, (F.col("o_custkey") == F.col("c_custkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue")))
+
+
+def q_top3_parts_per_brand(spark, sf_dir):
+    """Top-k per group via ranking window (deterministic tie-break)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+           .groupBy("p_brand", "p_partkey")
+           .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("revenue")))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (rev.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("p_brand", "rnk", "p_partkey", "revenue"))
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def q_customers_with_big_order(spark, sf_dir):
+    """Semi join (EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (cust.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+            .select("c_custkey", "c_acctbal"))
+
+
+def q_rollup_status(spark, sf_dir):
+    """ROLLUP grouping sets with count + exact decimal sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"), decimal_sum("l_quantity").alias("sum_qty")))
+
+
+def q_pivot_status(spark, sf_dir):
+    """Pivot: order counts per status column, per priority row."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"]).count()
+            .na.fill(0)
+            .select("o_orderpriority",
+                    F.col("F").alias("n_f"), F.col("O").alias("n_o"),
+                    F.col("P").alias("n_p")))
+
+
+def q_distinct_parts_per_supplier(spark, sf_dir):
+    """Exact distinct aggregate (expands to two-phase agg in the plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_suppkey")
+            .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                 F.count("*").alias("n_items")))
+
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
+
+ORACLES = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_DSUM.format(x='l_quantity')} AS sum_qty,
+               {_DSUM.format(x='l_extendedprice')} AS sum_base_price,
+               {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {_DSUM.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {_DSUM.format(x='l_quantity')} / COUNT(*) AS avg_qty,
+               {_DSUM.format(x='l_extendedprice')} / COUNT(*) AS avg_price,
+               {_DSUM.format(x='l_discount')} / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY 1, 2""",
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
+               {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10""",
+    "q5_local_supplier_volume": f"""
+        SELECT n_name,
+               {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN supplier ON s_nationkey = n_nationkey
+        JOIN customer ON c_nationkey = s_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1""",
+    "q_top3_parts_per_brand": f"""
+        WITH rev AS (
+          SELECT p_brand, p_partkey,
+                 {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT p_brand, p_partkey, revenue,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand
+                                    ORDER BY revenue DESC, p_partkey ASC) AS rnk
+          FROM rev)
+        SELECT p_brand, CAST(rnk AS INT) AS rnk, p_partkey, revenue
+        FROM ranked WHERE rnk <= 3""",
+    "q_customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_customers_with_big_order": """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+    "q_rollup_status": f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               {_DSUM.format(x='l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_pivot_status": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY 1""",
+    "q_distinct_parts_per_supplier": """
+        SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
+        FROM lineitem GROUP BY 1""",
+}
+
+QUERIES = [
+    Query("q1_pricing_summary", q1_pricing_summary, ORACLES["q1_pricing_summary"],
+          "TPC-H Q1 shape: scan + 8-aggregate groupBy"),
+    Query("q3_shipping_priority", q3_shipping_priority, ORACLES["q3_shipping_priority"],
+          "TPC-H Q3 shape: 3-way join + deterministic top-10"),
+    Query("q5_local_supplier_volume", q5_local_supplier_volume,
+          ORACLES["q5_local_supplier_volume"],
+          "TPC-H Q5 shape: 6-way join, broadcast fixed dims"),
+    Query("q_top3_parts_per_brand", q_top3_parts_per_brand,
+          ORACLES["q_top3_parts_per_brand"], "top-k per group via rank window"),
+    Query("q_customers_without_orders", q_customers_without_orders,
+          ORACLES["q_customers_without_orders"], "anti join / NOT EXISTS"),
+    Query("q_customers_with_big_order", q_customers_with_big_order,
+          ORACLES["q_customers_with_big_order"], "semi join / EXISTS"),
+    Query("q_rollup_status", q_rollup_status, ORACLES["q_rollup_status"],
+          "rollup grouping sets"),
+    Query("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"],
+          "pivot to columns"),
+    Query("q_distinct_parts_per_supplier", q_distinct_parts_per_supplier,
+          ORACLES["q_distinct_parts_per_supplier"], "exact distinct aggregate"),
+]
