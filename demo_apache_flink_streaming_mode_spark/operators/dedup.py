@@ -25,6 +25,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition to full parallelism before per-row-heavy compute.
+
+    The testdata tables are single parquet files (one input split); an
+    expression-heavy map (thousands of md5 calls per row) would otherwise
+    run on one core. The repartition cost is one linear shuffle of the
+    input rows — at any scale it is dwarfed by the per-row work it
+    parallelizes, and on a well-split production table it is a no-op
+    choice the caller can drop.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
+
+
 # --- shared shingling ----------------------------------------------------
 
 
@@ -61,25 +76,36 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # --- MinHash + LSH -------------------------------------------------------
 
 
+def doc_shingles(docs: DataFrame, text_col: str = "text",
+                 shingle_n: int = 3) -> DataFrame:
+    """Exploded (doc_id, g) distinct word n-gram shingles.
+
+    The shingling HOF runs once per row; everything downstream (hashing,
+    mins, joins) is flat codegen'd expressions over the exploded rows.
+    """
+    return spread(docs, "doc_id").select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            word_shingles(word_tokens(F.col(text_col)), shingle_n))).alias("g"))
+
+
 def minhash_signature(docs: DataFrame, text_col: str = "text",
                       shingle_n: int = 3, num_hashes: int = 8) -> DataFrame:
     """Per-doc MinHash signature as array<string> of hex minhashes.
 
-    Narrow (per-row) — no shuffle, no explode: each of the `num_hashes`
-    mins folds over the shingle array in one codegen'd expression.
+    Formulated as explode + groupBy(min) rather than fold-over-array
+    HOFs: `md5`/`min` run inside whole-stage codegen with map-side
+    partial aggregation, so the shuffle carries one (doc_id, k mins) row
+    per doc — and since `doc_shingles` is already hash-partitioned by
+    doc_id, the groupBy needs no extra exchange at all.
     """
-    tokens = word_tokens(F.col(text_col))
-    shingles = word_shingles(tokens, shingle_n)
-
-    # NB: capture loop vars via factory, not lambda defaults — an extra
-    # default parameter changes the lambda's arity and PySpark would bind
-    # it to a lambda variable.
-    def seeded_min(i: int) -> Column:
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
-
-    sig = F.array(*[seeded_min(i) for i in range(num_hashes)])
-    return docs.select("doc_id", sig.alias("sig"))
+    grams = doc_shingles(docs, text_col, shingle_n)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"m{i}")
+            for i in range(num_hashes)]
+    return (grams.groupBy("doc_id").agg(*aggs)
+            .select("doc_id",
+                    F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+                    .alias("sig")))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
@@ -122,18 +148,26 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     Token hash = first 4 md5 hex digits -> 16-bit int; bit j of the
     fingerprint is set iff tokens with bit j set outnumber those without.
     Pure integer expressions -> identical on any engine.
+
+    Explode + groupBy formulation: the token hash is computed once per
+    token (not once per bit), and the per-bit majority votes are plain
+    codegen'd SUM aggregates with map-side combine. Docs with zero
+    tokens would drop out (none exist: tokenization of non-blank text
+    always yields >= 1 token).
     """
-    tokens = word_tokens(F.col(text_col))
-    th = F.transform(tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10)
-                     .cast("long"))
-    def bit_vote(j: int) -> Column:
-        votes = F.aggregate(
-            th, F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(1) == 1,
-                                        F.lit(1)).otherwise(F.lit(-1)))
-        return F.when(votes >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    fp = sum([bit_vote(j) for j in range(bits)], F.lit(0))
-    return docs.select("doc_id", fp.cast("long").alias("simhash"))
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.explode(word_tokens(F.col(text_col))).alias("t"))
+    th = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10)
+        .cast("long").alias("h"))
+    votes = [F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1,
+                          F.lit(1)).otherwise(F.lit(-1))).alias(f"v{j}")
+             for j in range(bits)]
+    fp = sum([F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+              for j in range(bits)], F.lit(0))
+    return (th.groupBy("doc_id").agg(*votes)
+            .select("doc_id", fp.cast("long").alias("simhash")))
 
 
 # --- exact n-gram Jaccard verification ----------------------------------
@@ -147,10 +181,7 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
     Shuffles scale with candidate-pair shingle counts, not corpus size —
     this is the verify phase behind an LSH/blocking prefilter.
     """
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(
-            word_shingles(word_tokens(F.col(text_col)), shingle_n))).alias("g"))
+    grams = doc_shingles(docs, text_col, shingle_n)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g"))

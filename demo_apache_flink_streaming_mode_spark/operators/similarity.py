@@ -2,17 +2,18 @@
 
 Two tiers:
 - brute-force cosine top-k: exact baseline, O(|Q| * N) — fine when the
-  query set is small; the cross join broadcasts the query side so the
-  corpus never shuffles.
+  query set is small; the query side broadcasts so the corpus never
+  shuffles for the join itself.
 - LSH-bucketed ANN: random-hyperplane signatures (sign of dot with
   deterministic md5-derived hyperplanes) bucket the corpus; search only
-  same-bucket candidates. At 100 TB the bucket join replaces the cross
-  join: corpus shuffles once on the bucket id, queries broadcast.
+  same-bucket candidates. At 100 TB the bucket equi-join replaces the
+  cross join: corpus shuffles once on the bucket id, queries broadcast.
 
-All vector math is built-in higher-order functions (zip_with/aggregate)
-running JVM-side — no Python in the hot path. ``functions.scalars.dot``
-is a strict in-order left fold so results are bit-identical to a
-sequential oracle.
+Execution shape: vectors are L2-normalized ONCE (per-row, linear), so
+every pair costs a single in-order dot-product fold instead of
+dot+norm+norm — 3x less work on the quadratic path. All vector math is
+built-in higher-order functions running JVM-side; the in-order left fold
+keeps results bit-identical to a sequential SQL oracle.
 """
 
 from __future__ import annotations
@@ -21,7 +22,23 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from demo_apache_flink_streaming_mode_spark.functions.scalars import cosine_similarity
+from demo_apache_flink_streaming_mode_spark.functions.scalars import dot, norm
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    # testdata parquet is a single input split; fan out before the
+    # quadratic pair work (linear shuffle, negligible vs pair cost)
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def unit_vectors(vecs: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 out_id: str = "vec_id", out_vec: str = "uv") -> DataFrame:
+    """L2-normalize embeddings (double), one linear pass."""
+    n = (vecs.select(F.col(id_col).alias(out_id),
+                     F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+         .withColumn("nrm", norm(F.col("v"))))
+    return n.select(out_id, F.transform("v", lambda x: x / F.col("nrm")).alias(out_vec))
 
 
 def hyperplane(plane_idx: int, dim: int) -> list[float]:
@@ -50,22 +67,26 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket.cast("long")
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cos_sim"))
+
+
 def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
 
     Ties broken by candidate id for full determinism.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = unit_vectors(queries, id_col, vec_col, "query_id", "qv")
+    c = _spread(unit_vectors(corpus, id_col, vec_col, "neighbor_id", "cv"))
     scored = (F.broadcast(q).crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      cosine_similarity(F.col("qv"), F.col("cv")).alias("cos_sim")))
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "neighbor_id", "cos_sim"))
+                      dot(F.col("qv"), F.col("cv")).alias("cos_sim")))
+    return _rank_topk(scored, k)
 
 
 def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
@@ -75,21 +96,30 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
 
     Approximate — recall depends on num_planes; the scale path where the
     brute-force cross join is infeasible. Bucket assignment is a narrow
-    per-row expression; the candidate join is an equi-join on bucket.
+    per-row expression (signs taken on the RAW vector, like the oracle);
+    the candidate join is an equi-join on bucket.
     """
     planes = [hyperplane(j, dim) for j in range(num_planes)]
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                       lsh_bucket(F.col(vec_col), planes).alias("bucket"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                      lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+
+    def with_bucket(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        # bucket (from the raw vector, matching the oracle) and the unit
+        # vector come from the same row: one narrow projection, no join
+        v = (df.select(F.col(id_col).alias(out_id),
+                       F.col(vec_col).alias("_raw"),
+                       F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
+             .withColumn("bucket", lsh_bucket(F.col("_raw"), planes))
+             .withColumn("_nrm", norm(F.col("_v"))))
+        return v.select(
+            out_id, "bucket",
+            F.transform("_v", lambda x: x / F.col("_nrm")).alias(out_vec))
+
+    q = with_bucket(queries, "query_id", "qv")
+    c = _spread(with_bucket(corpus, "neighbor_id", "cv"))
     scored = (F.broadcast(q).join(c, "bucket")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      cosine_similarity(F.col("qv"), F.col("cv")).alias("cos_sim")))
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "neighbor_id", "cos_sim"))
+                      dot(F.col("qv"), F.col("cv")).alias("cos_sim")))
+    return _rank_topk(scored, k)
 
 
 def cosine_near_dup_pairs(vecs: DataFrame, threshold: float,
@@ -101,9 +131,8 @@ def cosine_near_dup_pairs(vecs: DataFrame, threshold: float,
     ``lsh_bucket`` blocking (same bucket only), which is what
     ``topk_lsh`` demonstrates.
     """
-    a = vecs.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = vecs.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
-    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b",
-                    cosine_similarity(F.col("va"), F.col("vb")).alias("cos_sim"))
+    a = _spread(unit_vectors(vecs, id_col, vec_col, "vec_a", "va"))
+    b = unit_vectors(vecs, id_col, vec_col, "vec_b", "vb")
+    return (a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", dot(F.col("va"), F.col("vb")).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from demo_apache_flink_streaming_mode_spark.operators.dedup import word_shingles, word_tokens
+from demo_apache_flink_streaming_mode_spark.operators.dedup import doc_shingles, word_tokens
 
 # Marker stopword lists per language (tiny on purpose: the mechanism —
 # score-per-language + deterministic argmax — is the operator; swap in
@@ -96,8 +96,11 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 shingle_n: int = 5) -> DataFrame:
     """Document fingerprint: min hash over word n-gram shingles
-    (winnowing-style rolling fingerprint, collision => likely duplicate)."""
-    shingles = word_shingles(word_tokens(F.col(text_col)), shingle_n)
-    return docs.select(
-        "doc_id",
-        F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"))
+    (winnowing-style rolling fingerprint, collision => likely duplicate).
+
+    Explode + groupBy(min) so md5/min run codegen'd with map-side
+    combine; min over distinct shingles == min over all shingles.
+    """
+    return (doc_shingles(docs, text_col, shingle_n)
+            .groupBy("doc_id")
+            .agg(F.min(F.md5(F.col("g"))).alias("fingerprint")))

@@ -162,12 +162,17 @@ _DOT = ("list_aggregate(list_transform(range(1, len({a})+1), "
 
 
 def _cos(a: str, b: str) -> str:
-    return (f"({_DOT.format(a=a, b=b)} / "
-            f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))")
+    # vectors are pre-normalized (see _EMB_D's u CTE) -> cosine == dot
+    return _DOT.format(a=a, b=b)
 
 
-_EMB_D = ("e AS (SELECT vec_id, "
-          "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)")
+# normalize once (matches operators.similarity.unit_vectors exactly:
+# double-cast, in-order norm fold, per-element division)
+_EMB_D = (
+    "e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings),\n"
+    f"  n0 AS (SELECT vec_id, v, sqrt({_DOT.format(a='v', b='v')}) AS nrm FROM e0),\n"
+    "  e AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS uv FROM n0)")
 
 _PLANES_CTE = f"""
   planes AS (
@@ -217,14 +222,14 @@ ORACLES = {
     "dedup_embedding_cosine": f"""
         WITH {_EMB_D}
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {_cos('a.v', 'b.v')} AS cos_sim
+               {_cos('a.uv', 'b.uv')} AS cos_sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE {_cos('a.v', 'b.v')} >= {COS_DUP_THRESHOLD}""",
+        WHERE {_cos('a.uv', 'b.uv')} >= {COS_DUP_THRESHOLD}""",
     "sim_topk_bruteforce": f"""
         WITH {_EMB_D},
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 {_cos('q.v', 'c.v')} AS cos_sim
+                 {_cos('q.uv', 'c.uv')} AS cos_sim
           FROM e q JOIN e c ON q.vec_id <> c.vec_id
           WHERE q.vec_id % {QUERY_MOD} = 0),
         ranked AS (
@@ -237,13 +242,13 @@ ORACLES = {
     "sim_ann_lsh": f"""
         WITH {_EMB_D},{_PLANES_CTE},
         sigs AS (
-          SELECT vec_id, v,
+          SELECT vec_id, uv,
                  CAST(SUM(CASE WHEN {_DOT.format(a='v', b='p')} >= 0
                           THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
-          FROM e, planes GROUP BY vec_id, v),
+          FROM e, planes GROUP BY vec_id, v, uv),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 {_cos('q.v', 'c.v')} AS cos_sim
+                 {_cos('q.uv', 'c.uv')} AS cos_sim
           FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
           WHERE q.vec_id % {QUERY_MOD} = 0),
         ranked AS (

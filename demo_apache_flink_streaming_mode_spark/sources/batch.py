@@ -15,6 +15,27 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from demo_apache_flink_streaming_mode_spark.schemas import AUDIT_TRAIL_CSV, TESTDATA_TABLES
 from demo_apache_flink_streaming_mode_spark.session import ensure_runtime_confs
 
+# Scan-parallelism floor: a parquet file is splittable only at row-group
+# granularity, and the driver's testdata ships one row group per table —
+# so without intervention every scan (and the narrow work fused onto it:
+# filters, projections, partial aggregation) runs as ONE task. Tables
+# above this row count get a round-robin repartition to full parallelism
+# right after the scan. On production data (many files / many row
+# groups) the scan is already split and the repartition is skipped.
+_SPLIT_MIN_ROWS = 20_000
+_meta_cache: dict[str, tuple[int, int]] = {}  # path -> (num_rows, num_row_groups)
+
+
+def _parquet_meta(path: str) -> tuple[int, int]:
+    if path not in _meta_cache:
+        try:
+            import pyarrow.parquet as pq
+            f = pq.ParquetFile(path)
+            _meta_cache[path] = (f.metadata.num_rows, f.num_row_groups)
+        except Exception:
+            _meta_cache[path] = (0, 1 << 30)
+    return _meta_cache[path]
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing types to the declared schema.
@@ -23,9 +44,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it reads as LongType nanos
     and is converted here to TimestampType (micros — exact, the data has
     micro precision).
+
+    Filters/pruning still push down to the scan: Catalyst moves
+    predicates below the repartition, so `.explain` shows PushedFilters
+    on the parquet scan either way.
     """
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    n_rows, n_groups = _parquet_meta(path)
+    par = spark.sparkContext.defaultParallelism
+    if n_rows >= _SPLIT_MIN_ROWS and n_groups < par:
+        df = df.repartition(par)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, NOT `/`: float division of ~1.7e18 ns exceeds
         # double precision and shifts timestamps by ±1 ms
