@@ -1,0 +1,90 @@
+"""Streaming forms of the reference pipelines (SURVEY.md §2.4-2.6, §3).
+
+Each function takes an unbounded DataFrame (from ``streaming.sources``)
+and returns an unbounded DataFrame ready for a sink — the SAME
+DataFrame expressions as the batch operators wherever Spark allows, so
+batch/streaming parity is structural, not re-implemented. Parity is
+asserted in ``tests/test_streaming.py``.
+
+Event time & watermarks (W1/W2): the reference extracts event time from
+the record and tolerates 2 s lateness via a punctuated watermark with a
+10 s emission cadence (``chapter4/EventTimeOperations.java:88-126``).
+In Spark the watermark IS per-micro-batch (cadence == trigger interval)
+and the 2 s buffer maps to ``withWatermark(ts, delay)``. Late rows
+beyond the watermark are DROPPED by windowed aggregates; there is no
+native late-data side output (W3) — observability comes from
+``StreamingQueryProgress.stateOperators[*].numRowsDroppedByWatermark``,
+and the batch twin (`operators.eventtime.classify_late`) reproduces the
+late/on-time split deterministically for audit.
+
+Output-mode guidance (chosen per operator below):
+- running keyed aggregates (A2): ``update`` — re-emit per key on change,
+  the exact analog of Flink's per-record keyed reduce emission.
+- windowed aggregates (A3-A6): ``append`` + watermark in production
+  (emit once, closed windows only); tests may use ``complete`` for
+  full-result parity snapshots.
+- stream-stream join (J1): ``append`` (the only mode Spark supports).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from demo_apache_flink_streaming_mode_spark.operators import windows
+
+
+def with_event_time(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """W1+W2 — declare event time + lateness tolerance (watermark)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def running_total(df: DataFrame, key: str, value: str) -> DataFrame:
+    """A2 streaming — per-key running SUM, re-emitted on every update.
+
+    Reference: ``chapter2/KeyedStreamOperations.java:64-84``. Use with
+    ``outputMode("update")``; state is one sum per key (KV store, scales
+    by key cardinality, not history).
+    """
+    return (df.groupBy(key)
+            .agg(F.sum(F.col(value).cast("decimal(38,6)")).cast("double")
+                 .alias("running_sum")))
+
+
+def tumbling_count(df: DataFrame, ts: str, width: str,
+                   keys: list[str] | None = None) -> DataFrame:
+    """A3/A4 streaming — same expression as the batch operator."""
+    return windows.tumbling_count(df, ts, width, keys)
+
+
+def sliding_stats(df: DataFrame, ts: str, width: str, slide: str) -> DataFrame:
+    """A5 streaming — same expression as the batch operator."""
+    return windows.sliding_stats(df, ts, width, slide)
+
+
+def session_stats(df: DataFrame, ts: str, gap: str, key: str) -> DataFrame:
+    """A6 streaming — native session_window; merging windows backed by
+    the state store. Append mode requires a watermark upstream."""
+    return windows.session_stats(df, ts, gap, key)
+
+
+def window_join(left: DataFrame, right: DataFrame, key: str, ts: str,
+                width: str, delay: str) -> DataFrame:
+    """J1 streaming — tumbling-window inner equi-join of two streams.
+
+    Reference: ``chapter3/WindowJoin.java:119-158`` (same-key pairs
+    within each 5 s tumbling window). Both sides get the window column
+    and a watermark; the equi-join on (key, window) lets Spark's
+    symmetric hash join evict state for windows older than the
+    watermark — bounded state at any scale.
+    """
+    lw = (left.withWatermark(ts, delay)
+          .select(F.col(key), F.window(ts, width).alias("w"),
+                  *[F.col(c).alias(f"{c}_l") for c in left.columns
+                    if c not in (key, ts)]))
+    rw = (right.withWatermark(ts, delay)
+          .select(F.col(key), F.window(ts, width).alias("w"),
+                  *[F.col(c).alias(f"{c}_r") for c in right.columns
+                    if c not in (key, ts)]))
+    joined = lw.join(rw, [key, "w"], "inner")
+    return joined.select(key, F.unix_millis(F.col("w.start")).alias("window_start"),
+                         *[c for c in joined.columns if c.endswith("_l") or c.endswith("_r")])
