@@ -122,6 +122,79 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
     return _rank_topk(scored, k)
 
 
+def ivf_assign(vecs: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "uv") -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (IVF cell).
+
+    On unit vectors argmin L2 == argmax cosine, so the score is the
+    in-order dot fold (engine-portable). The centroid side is tiny by
+    construction -> broadcast; ties break to the smallest cell id.
+    Output: (id, cell, uv).
+    """
+    scored = (vecs.crossJoin(F.broadcast(centroids))
+              .select(id_col, "cell", vec_col,
+                      dot(F.col(vec_col), F.col("cv")).alias("score")))
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cell"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "cell", vec_col))
+
+
+def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int, n_cells: int,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
+    `n_cells` cells, search only the query's own cell (nprobe=1).
+
+    The coarse quantizer here is deterministic — the `n_cells`
+    lowest-id vectors serve as centroids (a k-means codebook drops in
+    without changing the dataflow; training it is an offline job). At
+    100 TB: assignment is a narrow broadcast-join pass, the corpus
+    shuffles ONCE on cell id, and each query probes one cell — the
+    classic IVF trade of recall for a 1/n_cells search fan-in.
+    """
+    u = _spread(unit_vectors(corpus, id_col, vec_col, id_col, "uv"))
+    w_c = W.orderBy(id_col)
+    centroids = (u.orderBy(id_col).limit(n_cells)
+                 .select(F.row_number().over(w_c).alias("cell"),
+                         F.col("uv").alias("cv")))
+    assigned = ivf_assign(u, centroids, id_col, "uv")
+    qset = queries.select(F.col(id_col).alias("query_id")).distinct()
+    q = (assigned.join(F.broadcast(qset), assigned[id_col] == F.col("query_id"))
+         .select("query_id", "cell", F.col("uv").alias("qv")))
+    c = assigned.select(F.col(id_col).alias("neighbor_id"), "cell",
+                        F.col("uv").alias("cv"))
+    scored = (F.broadcast(q).join(c, "cell")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      dot(F.col("qv"), F.col("cv")).alias("cos_sim")))
+    return _rank_topk(scored, k)
+
+
+def cosine_near_dup_blocked(vecs: DataFrame, threshold: float,
+                            num_planes: int = 6, dim: int = 64,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs restricted to one LSH bucket — the scale
+    path for ``cosine_near_dup_pairs``: the corpus shuffles once on the
+    bucket id and the quadratic scoring runs per bucket, never across
+    the full corpus. Approximate (bucket-boundary pairs are missed);
+    raise num_planes tables/OR-constructions for recall at scale.
+    """
+    planes = [hyperplane(j, dim) for j in range(num_planes)]
+    v = (vecs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("_raw"),
+                     F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
+         .withColumn("bucket", lsh_bucket(F.col("_raw"), planes))
+         .withColumn("_nrm", norm(F.col("_v"))))
+    v = _spread(v.select("vid", "bucket",
+                         F.transform("_v", lambda x: x / F.col("_nrm")).alias("uv")))
+    a = v.select(F.col("vid").alias("vec_a"), "bucket", F.col("uv").alias("va"))
+    b = v.select(F.col("vid").alias("vec_b"), "bucket", F.col("uv").alias("vb"))
+    return (a.join(b, "bucket")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", dot(F.col("va"), F.col("vb")).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
 def cosine_near_dup_pairs(vecs: DataFrame, threshold: float,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:

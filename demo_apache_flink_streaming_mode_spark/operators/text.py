@@ -93,6 +93,49 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.round(score, 6).alias("quality"))
 
 
+BPE_PRETOKEN_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish pre-tokenization counts (GPT-2-style regex, simplified to
+    the character classes portable across regex engines): runs of
+    letters / digits / punctuation, each optionally space-prefixed —
+    the split a byte-pair encoder sees before merges.
+
+    Pure `regexp_extract_all` per row; no shuffle.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_bpe_distinct"),
+    )
+
+
+def winnow_fingerprint(docs: DataFrame, text_col: str = "text",
+                       shingle_n: int = 3, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprint (rolling hash selection).
+
+    Schleimer/Wilkerson/Aiken winnowing: hash every `shingle_n`-gram,
+    slide a `window`-wide window over the hash sequence, keep each
+    window's minimum; the distinct selected hashes form the
+    fingerprint (returned sorted and joined, engine-portable). Two
+    documents sharing any sufficiently long run select overlapping
+    fingerprints — the standard near-dup/plagiarism sketch.
+
+    One HOF pass per row (bounded by tokens-per-doc), no shuffle.
+    """
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import word_shingles, word_tokens
+    hashes = F.transform(
+        word_shingles(word_tokens(F.col(text_col)), shingle_n), F.md5)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, window)))
+    return docs.select(
+        "doc_id",
+        F.concat_ws("|", F.array_sort(F.array_distinct(mins))).alias("fp"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 shingle_n: int = 5) -> DataFrame:
     """Document fingerprint: min hash over word n-gram shingles

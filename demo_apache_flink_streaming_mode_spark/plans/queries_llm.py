@@ -30,6 +30,8 @@ NUM_PLANES = 6
 DIM = 64
 FP_SHINGLE_N = 5
 SIMHASH_BITS = 16
+N_CELLS = 16            # IVF coarse cells
+WINNOW_N, WINNOW_W = 3, 4
 
 
 def _docs(spark, sf_dir):
@@ -79,6 +81,27 @@ def sim_ann_lsh(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
     return similarity.topk_lsh(queries, embs, TOPK, num_planes=NUM_PLANES, dim=DIM)
+
+
+def dedup_cosine_lsh(spark, sf_dir):
+    return similarity.cosine_near_dup_blocked(
+        _embs(spark, sf_dir), COS_DUP_THRESHOLD,
+        num_planes=NUM_PLANES, dim=DIM)
+
+
+def sim_topk_ivf(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.topk_ivf(queries, embs, TOPK, n_cells=N_CELLS)
+
+
+def text_bpe_stats(spark, sf_dir):
+    return text.bpe_token_stats(_docs(spark, sf_dir))
+
+
+def text_winnow(spark, sf_dir):
+    return text.winnow_fingerprint(_docs(spark, sf_dir),
+                                   shingle_n=WINNOW_N, window=WINNOW_W)
 
 
 def text_token_stats(spark, sf_dir):
@@ -258,6 +281,62 @@ ORACLES = {
           FROM scored)
         SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
         FROM ranked WHERE rn <= {TOPK}""",
+    "dedup_cosine_lsh": f"""
+        WITH {_EMB_D},{_PLANES_CTE},
+        sigs AS (
+          SELECT vec_id, uv,
+                 CAST(SUM(CASE WHEN {_DOT.format(a='v', b='p')} >= 0
+                          THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, planes GROUP BY vec_id, v, uv)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cos('a.uv', 'b.uv')} AS cos_sim
+        FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_cos('a.uv', 'b.uv')} >= {COS_DUP_THRESHOLD}""",
+    "sim_topk_ivf": f"""
+        WITH {_EMB_D},
+        cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, uv AS cv
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT {N_CELLS})),
+        assigned AS (
+          SELECT vec_id, cell, uv FROM (
+            SELECT e.vec_id, c.cell, e.uv,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_DOT.format(a='e.uv', b='c.cv')} DESC,
+                                c.cell ASC) AS rn
+            FROM e, cent c) WHERE rn = 1),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_cos('q.uv', 'c.uv')} AS cos_sim
+          FROM assigned q JOIN assigned c
+            ON q.cell = c.cell AND q.vec_id <> c.vec_id
+          WHERE q.vec_id % {QUERY_MOD} = 0),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
+        FROM ranked WHERE rn <= {TOPK}""",
+    "text_bpe_stats": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+                 AS n_bpe_tokens,
+               len(list_distinct(
+                   regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')))
+                 AS n_bpe_distinct
+        FROM documents""",
+    "text_winnow": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+        sh AS (SELECT doc_id, {_shingles_sql(WINNOW_N)} AS shingles FROM toks),
+        h AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+        m AS (SELECT doc_id,
+                     list_transform(
+                         range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+                         i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1}))) AS mins
+              FROM h)
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct(mins)), '|') AS fp
+        FROM m""",
     "text_token_stats": f"""
         WITH toks AS (SELECT doc_id, text, {_TOKENS} AS tokens FROM documents)
         SELECT doc_id, len(tokens) AS n_tokens,
@@ -328,6 +407,14 @@ QUERIES = [
           "brute-force cosine top-k (exact baseline)"),
     Query("sim_ann_lsh", sim_ann_lsh, ORACLES["sim_ann_lsh"],
           "LSH-bucketed approximate top-k (scale path)"),
+    Query("dedup_cosine_lsh", dedup_cosine_lsh, ORACLES["dedup_cosine_lsh"],
+          "embedding near-dup pairs behind LSH-bucket blocking (scale path)"),
+    Query("sim_topk_ivf", sim_topk_ivf, ORACLES["sim_topk_ivf"],
+          "IVF-cell approximate top-k (coarse quantize + probe own cell)"),
+    Query("text_bpe_stats", text_bpe_stats, ORACLES["text_bpe_stats"],
+          "BPE-style regex pre-tokenization counts"),
+    Query("text_winnow", text_winnow, ORACLES["text_winnow"],
+          "winnowing rolling-hash document fingerprint"),
     Query("text_token_stats", text_token_stats, ORACLES["text_token_stats"],
           "token counting (total/distinct/chars)"),
     Query("text_term_counts", text_term_counts, ORACLES["text_term_counts"],
