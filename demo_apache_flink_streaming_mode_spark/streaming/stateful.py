@@ -35,6 +35,10 @@ def _to_ms(col: pd.Series) -> pd.Series:
     return col.astype("int64") // _MS
 
 
+def _sql_type(df: DataFrame, col: str) -> str:
+    return df.schema[col].dataType.simpleString()
+
+
 def repeat_action_alert(df: DataFrame, key: str, ts: str, action_col: str,
                         action: str, threshold_ms: int,
                         tiebreak: str = "event_id") -> DataFrame:
@@ -64,9 +68,11 @@ def repeat_action_alert(df: DataFrame, key: str, ts: str, action_col: str,
             yield pd.DataFrame({key: key_tuple[0], "event_id": out_ids,
                                 "time_diff_ms": out_diffs})
 
+    out_schema = (f"{key} {_sql_type(df, key)}, "
+                  f"event_id {_sql_type(df, tiebreak)}, time_diff_ms long")
     return df.groupBy(key).applyInPandasWithState(
         handle,
-        outputStructType=f"{key} long, event_id long, time_diff_ms long",
+        outputStructType=out_schema,
         stateStructType="last_ms long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
@@ -108,10 +114,12 @@ def action_durations(df: DataFrame, key: str, ts: str, action_col: str,
             yield pd.DataFrame(rows, columns=[key, "event_id",
                                               "prev_action", "duration_ms"])
 
+    out_schema = (f"{key} {_sql_type(df, key)}, "
+                  f"event_id {_sql_type(df, tiebreak)}, "
+                  "prev_action string, duration_ms long")
     return df.groupBy(key).applyInPandasWithState(
         handle,
-        outputStructType=(f"{key} long, event_id long, "
-                          "prev_action string, duration_ms long"),
+        outputStructType=out_schema,
         stateStructType="last_action string, last_ms long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
