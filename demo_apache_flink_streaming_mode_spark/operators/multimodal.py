@@ -84,3 +84,68 @@ def decode_features(media: DataFrame, codec: Literal["fake", "real"] = "fake",
             })
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id bigint, media_type string, media binary, n_bytes bigint"
+
+
+def resize_media(media: DataFrame, target_bytes: int = 256,
+                 codec: Literal["fake", "real"] = "fake") -> DataFrame:
+    """Resize/transcode kernel over mapInPandas (1 row in -> 1 row out).
+
+    With a real codec this is image resize / audio downsample; the fake
+    codec takes a deterministic byte stride so output size and schema
+    behave like a real resizer (bounded by target_bytes).
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if codec == "real":
+                raise NotImplementedError(
+                    "real resize requires media libraries not bundled here; "
+                    "use codec='fake' for the pipeline-shape path")
+            out = []
+            for b in pdf["media"]:
+                stride = max(1, len(b) // target_bytes)
+                out.append(bytes(b[::stride][:target_bytes]))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "resized/" + pdf["media_type"],
+                "media": out,
+                "n_bytes": [len(b) for b in out],
+            })
+
+    return media.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = ("doc_id bigint, frame_idx int, frame binary, "
+                "n_frames int")
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 1024,
+                  every_n: int = 4,
+                  codec: Literal["fake", "real"] = "fake") -> DataFrame:
+    """Frame sampling kernel (1 row in -> N rows out) over mapInPandas.
+
+    Models video frame extraction: the payload is treated as a sequence
+    of fixed-size frames and every `every_n`-th frame is emitted as its
+    own row — the fan-out shape (and the reason this is mapInPandas, not
+    a scalar UDF). A real codec would seek keyframes instead.
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if codec == "real":
+                raise NotImplementedError(
+                    "real frame extraction requires a video codec; "
+                    "use codec='fake' for the pipeline-shape path")
+            ids, idxs, frames, totals = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                n = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
+                for i in range(0, n, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(b[i * frame_bytes:(i + 1) * frame_bytes]))
+                    totals.append(n)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame": frames, "n_frames": totals})
+
+    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
