@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Hash-repartition to full parallelism before per-row-heavy compute.
@@ -91,17 +93,21 @@ def doc_shingles(docs: DataFrame, text_col: str = "text",
 
 def minhash_signature(docs: DataFrame, text_col: str = "text",
                       shingle_n: int = 3, num_hashes: int = 8) -> DataFrame:
-    """Per-doc MinHash signature as array<string> of hex minhashes.
+    """Per-doc MinHash signature as array<long> (md5-derived minhashes).
 
     Formulated as explode + groupBy(min) rather than fold-over-array
     HOFs: `md5`/`min` run inside whole-stage codegen with map-side
     partial aggregation, so the shuffle carries one (doc_id, k mins) row
     per doc — and since `doc_shingles` is already hash-partitioned by
-    doc_id, the groupBy needs no extra exchange at all.
+    doc_id, the groupBy needs no extra exchange at all. The hash value
+    is the first 15 md5 hex digits as BIGINT: min(long) keeps the
+    aggregate in HashAggregate (mutable buffer); min(string) would
+    force SortAggregate. Fixed-width hex means numeric min == the
+    lexicographic min of the hex form, so semantics are unchanged.
     """
     grams = doc_shingles(docs, text_col, shingle_n)
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"m{i}")
-            for i in range(num_hashes)]
+    aggs = [F.min(hex_to_long(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))))
+            .alias(f"m{i}") for i in range(num_hashes)]
     return (grams.groupBy("doc_id").agg(*aggs)
             .select("doc_id",
                     F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
@@ -125,18 +131,26 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
             ])) for b in range(bands)
         ])).alias("band", "band_hash"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (a.join(b, ["band", "band_hash"])
-             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-             .dropDuplicates(["doc_a", "doc_b"]))
+    # the bucket self-join MUST be a shuffle join: both sides grow with
+    # the corpus, and Catalyst's size estimate after a Generate is
+    # unreliable (it would happily broadcast the exploded side through
+    # the driver). shuffle_hash: bounded per-bucket state, no sort.
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     n = bands * rows_per_band
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                       lambda x, y: x == y), lambda e: e))
            / F.lit(float(n)))
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+    scored = (a.join(b, ["band", "band_hash"])
+              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+              .select(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"),
+                      F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+              .select("doc_a", "doc_b", est.alias("est_jaccard")))
+    # a pair can match in several bands with the same est value: dedup by
+    # aggregating the scalar (min == the value) — keeps HashAggregate;
+    # dropDuplicates over the sig arrays would force SortAggregate
+    return (scored.groupBy("doc_a", "doc_b")
+            .agg(F.min("est_jaccard").alias("est_jaccard")))
 
 
 # --- SimHash -------------------------------------------------------------
@@ -180,18 +194,28 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
     Intersection via explode + count; |A ∪ B| = |A| + |B| − |A ∩ B|.
     Shuffles scale with candidate-pair shingle counts, not corpus size —
     this is the verify phase behind an LSH/blocking prefilter.
+
+    Every join is hinted shuffle_hash: candidates, grams, and sizes all
+    grow with the corpus (nothing here is broadcast-safe at 100 TB), and
+    post-Generate size estimates would otherwise mislead Catalyst into
+    broadcasting an exploded side through the driver. AQE still
+    broadcast-converts at runtime if a side turns out tiny.
     """
     grams = doc_shingles(docs, text_col, shingle_n)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g"))
-    inter = (candidates.join(ga, "doc_a").join(gb, ["doc_b", "g"])
+    inter = (candidates.hint("shuffle_hash")
+             .join(ga, "doc_a")
+             .join(gb.hint("shuffle_hash"), ["doc_b", "g"])
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
     return (inter
-            .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                               F.col("n_grams").alias("na")), "doc_a")
-            .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                               F.col("n_grams").alias("nb")), "doc_b")
+            .join(sizes.hint("shuffle_hash")
+                  .select(F.col("doc_id").alias("doc_a"),
+                          F.col("n_grams").alias("na")), "doc_a")
+            .join(sizes.hint("shuffle_hash")
+                  .select(F.col("doc_id").alias("doc_b"),
+                          F.col("n_grams").alias("nb")), "doc_b")
             .select("doc_a", "doc_b",
                     (F.col("n_inter") /
                      (F.col("na") + F.col("nb") - F.col("n_inter")))

@@ -142,8 +142,11 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     (winnowing-style rolling fingerprint, collision => likely duplicate).
 
     Explode + groupBy(min) so md5/min run codegen'd with map-side
-    combine; min over distinct shingles == min over all shingles.
+    combine; min over distinct shingles == min over all shingles. The
+    value is the first 15 md5 hex digits as BIGINT — min(long) stays in
+    HashAggregate where min(string) would force SortAggregate.
     """
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
     return (doc_shingles(docs, text_col, shingle_n)
             .groupBy("doc_id")
-            .agg(F.min(F.md5(F.col("g"))).alias("fingerprint")))
+            .agg(F.min(hex_to_long(F.md5(F.col("g")))).alias("fingerprint")))

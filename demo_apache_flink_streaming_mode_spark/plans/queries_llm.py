@@ -150,15 +150,19 @@ def _shingles_sql(n: int) -> str:
             f"i -> array_to_string(list_slice(tokens, i, i+{n - 1}), ' '))")
 
 
+# minhash value = first 15 md5 hex digits as BIGINT (numeric min ==
+# lexicographic min on fixed-width hex; long keeps Spark in HashAggregate)
 _SIG_ITEMS = ", ".join(
-    f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
+    "list_min(list_transform(shingles, "
+    f"s -> ('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT))"
     for i in range(NUM_HASHES))
 
 _BAND_VALUES = ", ".join(f"({b})" for b in range(BANDS))
 
 # bands: band b covers sig positions [b*r+1, b*r+r] (1-based)
 _BAND_HASH = "md5(" + " || '|' || ".join(
-    [f"sig[b*{ROWS_PER_BAND}+{r + 1}]" for r in range(ROWS_PER_BAND)]) + ")"
+    [f"CAST(sig[b*{ROWS_PER_BAND}+{r + 1}] AS VARCHAR)"
+     for r in range(ROWS_PER_BAND)]) + ")"
 
 _MINHASH_CTES = f"""
   toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
@@ -362,7 +366,8 @@ ORACLES = {
         WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
         sh AS (SELECT doc_id, {_shingles_sql(FP_SHINGLE_N)} AS shingles FROM toks)
         SELECT doc_id,
-               list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
+               list_min(list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS fingerprint
         FROM sh""",
     "mm_manifest": f"""
         SELECT doc_id, 'application/octet-stream' AS media_type,

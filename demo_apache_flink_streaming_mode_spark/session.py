@@ -54,6 +54,10 @@ def get_spark(app_name: str = "demo_apache_flink_streaming_mode_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # long sessions re-codegen per AQE replan; keep JIT from running
+        # out of code cache (falls back to interpreter = ~25x slower)
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
