@@ -3,8 +3,21 @@ and print ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
 
 Each query executes its full physical plan into Spark's noop sink (no
 driver-side collect, no Python in the result path) so the measured time
-is the engine, not the harness. Env: SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1), SPARK_GRAFT_CPUS (default all cores).
+is the engine, not the harness.
+
+Structure (deadline-bounded — the harness ALWAYS terminates):
+1. untimed warm-up pass at a small SF (compiles the same codegen
+   classes, C2-heats the expression paths) — skipped when the budget
+   runs short;
+2. timed pass at the bench SF (always completes — it produces the
+   numbers);
+3. best-effort second timed pass taking the per-query min, because the
+   host shows bursty multi-second interference stalls (hypervisor
+   steal) and min-of-N isolates engine time from environment noise.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default all cores), SPARK_GRAFT_WARM_DIR,
+SPARK_GRAFT_BENCH_BUDGET seconds (default 420).
 """
 
 from __future__ import annotations
@@ -23,29 +36,41 @@ from demo_apache_flink_streaming_mode_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    deadline = time.monotonic() + budget
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("bench")
-    # Warm-up: run every query once at the small SF (untimed). The plans are
-    # identical, so this compiles the same whole-stage-codegen classes and
-    # C2-heats the expression interpreter; the timed pass then measures the
-    # data-proportional engine work (steady-state throughput), not one-shot
-    # JVM compilation overhead.
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
-    for q in ALL_QUERIES:
-        q.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    def log(msg: str) -> None:
+        print(msg, file=sys.stderr, flush=True)
 
-    # Two timed passes, min per query: the host shows bursty multi-second
-    # interference stalls (hypervisor steal), and min-of-N isolates engine
-    # time from environment noise.
+    def run(q, d: str) -> float:
+        t0 = time.perf_counter()
+        q.fn(spark, d).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    spark = get_spark("bench")
+
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    # reserve ~60% of budget for the mandatory timed pass
+    for q in ALL_QUERIES:
+        if time.monotonic() > deadline - 0.6 * budget:
+            log(f"warmup budget exhausted at {q.name}")
+            break
+        run(q, warm_dir)
+    log(f"warmup done t={budget - (deadline - time.monotonic()):.0f}s")
+
     timings: dict[str, float] = {}
-    for _pass in range(2):
-        for q in ALL_QUERIES:
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[q.name] = min(timings.get(q.name, dt), dt)
+    for q in ALL_QUERIES:  # pass 1: always completes
+        timings[q.name] = run(q, sf_dir)
+        log(f"p1 {q.name}: {timings[q.name]}s")
+    for q in ALL_QUERIES:  # pass 2: best-effort min within budget
+        if time.monotonic() > deadline:
+            log(f"pass-2 budget exhausted at {q.name}")
+            break
+        dt = run(q, sf_dir)
+        log(f"p2 {q.name}: {dt}s")
+        timings[q.name] = min(timings[q.name], dt)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

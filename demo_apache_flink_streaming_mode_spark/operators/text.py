@@ -119,21 +119,41 @@ def winnow_fingerprint(docs: DataFrame, text_col: str = "text",
     Schleimer/Wilkerson/Aiken winnowing: hash every `shingle_n`-gram,
     slide a `window`-wide window over the hash sequence, keep each
     window's minimum; the distinct selected hashes form the
-    fingerprint (returned sorted and joined, engine-portable). Two
-    documents sharing any sufficiently long run select overlapping
-    fingerprints — the standard near-dup/plagiarism sketch.
+    fingerprint (returned numerically sorted and joined). Two documents
+    sharing any sufficiently long run select overlapping fingerprints —
+    the standard near-dup/plagiarism sketch.
 
-    One HOF pass per row (bounded by tokens-per-doc), no shuffle.
+    Execution shape: posexplode positions once, md5 each gram ONCE
+    (codegen), rolling min as a bounded-frame window function per
+    doc. A nested-HOF formulation (array_min over slice per position)
+    re-evaluates the whole hash array per position — quadratic,
+    interpreted, and measured 100x slower.
     """
-    from demo_apache_flink_streaming_mode_spark.operators.dedup import word_shingles, word_tokens
-    hashes = F.transform(
-        word_shingles(word_tokens(F.col(text_col)), shingle_n), F.md5)
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(hashes, i, window)))
-    return docs.select(
+    from pyspark.sql import Window as W
+
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        spread, word_shingles, word_tokens)
+
+    pos_grams = spread(docs, "doc_id").select(
         "doc_id",
-        F.concat_ws("|", F.array_sort(F.array_distinct(mins))).alias("fp"))
+        F.posexplode(word_shingles(word_tokens(F.col(text_col)), shingle_n))
+        .alias("pos", "g"))
+    h = pos_grams.select("doc_id", "pos",
+                         hex_to_long(F.md5(F.col("g"))).alias("h"))
+    roll = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    per_doc = W.partitionBy("doc_id")
+    mins = h.select(
+        "doc_id", "pos",
+        F.min("h").over(roll).alias("mn"),
+        F.count("*").over(per_doc).alias("n"))
+    # window positions: 0 .. max(n - window, 0) (0-based; a doc shorter
+    # than the window yields exactly one, full-array, minimum)
+    sel = mins.filter(F.col("pos") <= F.greatest(F.col("n") - window, F.lit(0)))
+    return (sel.groupBy("doc_id")
+            .agg(F.concat_ws("|", F.transform(
+                F.array_sort(F.collect_set("mn")),
+                lambda x: x.cast("string"))).alias("fp")))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",

@@ -332,7 +332,10 @@ ORACLES = {
     "text_winnow": f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
         sh AS (SELECT doc_id, {_shingles_sql(WINNOW_N)} AS shingles FROM toks),
-        h AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+        h AS (SELECT doc_id,
+                     list_transform(shingles,
+                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+              FROM sh),
         m AS (SELECT doc_id,
                      list_transform(
                          range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),

@@ -217,9 +217,10 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     w0 = (t0 // 1000 // 3_600_000) * 3_600_000  # t0's aligned hour bucket
     # t0's window closed in batch 1 with n=1; the late row (event 3) is gone
     assert counts.get(w0) == 1
-    dropped = sum(op["numRowsDroppedByWatermark"]
-                  for p in q.recentProgress for op in p["stateOperators"])
-    assert dropped == 1
+    from demo_apache_flink_streaming_mode_spark.streaming import runner
+    metrics = runner.watermark_metrics(q)
+    assert metrics["dropped_rows"] == 1
+    assert metrics["watermark"] is not None
 
 
 def test_kafka_source_plan(spark):
