@@ -68,13 +68,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def dedup_embedding_cosine(spark, sf_dir):
-    return similarity.cosine_near_dup_pairs(_embs(spark, sf_dir), COS_DUP_THRESHOLD)
+    return similarity.cosine_near_dup_pairs(_embs(spark, sf_dir), COS_DUP_THRESHOLD,
+                                            dim=DIM)
 
 
 def sim_topk_bruteforce(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return similarity.topk_bruteforce(queries, embs, TOPK)
+    return similarity.topk_bruteforce(queries, embs, TOPK, dim=DIM)
 
 
 def sim_ann_lsh(spark, sf_dir):
@@ -92,7 +93,7 @@ def dedup_cosine_lsh(spark, sf_dir):
 def sim_topk_ivf(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return similarity.topk_ivf(queries, embs, TOPK, n_cells=N_CELLS)
+    return similarity.topk_ivf(queries, embs, TOPK, n_cells=N_CELLS, dim=DIM)
 
 
 def text_bpe_stats(spark, sf_dir):
