@@ -13,7 +13,7 @@ batch. Small dimensions should be broadcast (see plans.tpch).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def window_join(left: DataFrame, right: DataFrame, key: str, ts: str,
@@ -36,3 +36,44 @@ def window_join(left: DataFrame, right: DataFrame, key: str, ts: str,
         F.unix_millis(F.col("w.start")).alias("window_start"),
         *[c for c in joined.columns if c.endswith(suffixes[0]) or c.endswith(suffixes[1])],
     )
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str) -> DataFrame:
+    """Backward as-of (left) join: each left row picks the LATEST right
+    row with ``right_ts <= left_ts`` on the same key; unmatched left
+    rows keep nulls. The classic time-series alignment operator the
+    DataFrame API lacks (DuckDB spells it ``ASOF LEFT JOIN``).
+
+    Execution shape (scale-first): both sides are tagged and unioned,
+    then one ``Window.partitionBy(key).orderBy(ts, side)`` pass carries
+    the last-seen right payload forward (``last(ignorenulls=True)`` over
+    an unbounded-preceding frame) and left rows are filtered back out.
+    ONE shuffle on the key + a per-key sort — no range cross-product,
+    no per-row probe, and state is O(1) per key in a streaming form. At
+    equal timestamps the right row sorts first, so a same-timestamp
+    right row IS visible to the left row (<= semantics).
+
+    Contract: ``key`` is the only shared column name; payload column
+    names must be disjoint across the two sides. Right rows whose
+    (key, ts) collide pick the later one in the union sort order —
+    give right rows unique timestamps per key for full determinism.
+    """
+    lcols = [c for c in left.columns if c != key]
+    rcols = [c for c in right.columns if c != key]
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    l = left.select(
+        F.col(key), F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols])
+    r = right.select(
+        F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *[F.col(c) for c in rcols])
+    w = (W.partitionBy(key).orderBy("__ts", "__side")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    carried = l.unionByName(r).select(
+        key, "__side", *lcols,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols])
+    return carried.filter(F.col("__side") == 1).select(key, *lcols, *rcols)

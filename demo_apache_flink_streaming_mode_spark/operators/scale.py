@@ -1,0 +1,50 @@
+"""Skew-mitigation utilities for the 100 TB design point.
+
+AQE's runtime skew-join splitting (``spark.sql.adaptive.skewJoin``, on
+in session.py) is the first line of defense and needs no code. These
+helpers cover the cases AQE can't fix:
+
+- a *single* join key so hot that even a split partition's build side
+  overflows (salted_join replicates the build side per salt bucket, so
+  the hot key's probe rows spread over ``buckets`` tasks);
+- deterministic plans where runtime re-optimization is disabled.
+
+Results are bitwise-identical to the unsalted equivalents: salting only
+re-routes rows; multiplicity and values are untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str, buckets: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Equi-join with the LEFT side's hot keys spread over salt buckets.
+
+    Left rows get a deterministic per-row salt (xxhash64 over the whole
+    row, mod ``buckets``); the right side is replicated once per salt
+    value (an ``explode`` of a ``buckets``-element literal array — a
+    narrow map, no shuffle). The join key becomes (on, salt), so one hot
+    key's rows land in ``buckets`` distinct shuffle partitions instead
+    of one straggler task. Cost: right side shuffles ``buckets``x its
+    size — use for big-probe/small-build joins where the build side is
+    too big to broadcast but replicating it is still cheap.
+
+    Row multiplicity is exactly that of the plain join (each left row
+    matches the single right replica carrying its salt). Supports
+    inner/left only — under right/full the replicas would surface as
+    spurious unmatched rows.
+
+    The replicated side carries a ``shuffle_hash`` hint: post-explode
+    size estimates are unreliable and Catalyst may otherwise pick a
+    broadcast, which would defeat the point of salting.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    lsalt = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                         F.lit(buckets)).cast("int"))
+    rsalt = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
+    return lsalt.join(rsalt.hint("shuffle_hash"), [on, "__salt"], how).drop("__salt")

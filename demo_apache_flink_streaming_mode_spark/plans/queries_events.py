@@ -117,6 +117,26 @@ def st2_action_durations(spark, sf_dir):
         start_action="signup", end_action="purchase")
 
 
+def j2_asof_click_view(spark, sf_dir):
+    """As-of join: each click aligned to the user's latest prior view.
+
+    The time-series alignment operator the reference (and stock Spark)
+    lacks — implemented as union + last-non-null window carry-forward
+    (operators.joins.asof_join), one shuffle on the key. The oracle is
+    DuckDB's native ASOF LEFT JOIN.
+    """
+    ev = _events(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.unix_millis("ts").alias("click_ms")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     F.unix_millis("ts").alias("view_ms")))
+    j = joins.asof_join(clicks, views, "user_id", "click_ms", "view_ms")
+    return j.select("user_id", "click_id", "click_ms", "view_id",
+                    (F.col("click_ms") - F.col("view_ms")).alias("gap_ms"))
+
+
 def w3_late_classify(spark, sf_dir):
     ev = _events(spark, sf_dir)
     # deterministic pseudo-arrival order: hour bucket, then an id-derived
@@ -216,6 +236,15 @@ ORACLES = {
                               OR event_type = 'signup'
                          THEN 0 ELSE ms - prev_ms END AS BIGINT) AS duration_ms
         FROM o""",
+    "j2_asof_click_view": """
+        WITH c AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS click_ms
+                   FROM events WHERE event_type = 'click'),
+             v AS (SELECT user_id, event_id AS view_id, epoch_ms(ts) AS view_ms
+                   FROM events WHERE event_type = 'view')
+        SELECT c.user_id, c.click_id, c.click_ms, v.view_id,
+               c.click_ms - v.view_ms AS gap_ms
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND v.view_ms <= c.click_ms""",
     "w3_late_classify": f"""
         WITH o AS (
           SELECT event_id, epoch_ms(ts) AS ms,
@@ -256,6 +285,8 @@ QUERIES = [
           "A1/A7 keyed multi-aggregate (reduce lambdas -> built-in aggs)"),
     Query("j1_window_join", j1_window_join, ORACLES["j1_window_join"],
           "J1 tumbling-window inner equi-join (WindowJoin.java:119-158)"),
+    Query("j2_asof_click_view", j2_asof_click_view, ORACLES["j2_asof_click_view"],
+          "J2 backward as-of join via union + window carry-forward"),
     Query("st1_repeat_action_alert", st1_repeat_action_alert,
           ORACLES["st1_repeat_action_alert"],
           "ST1 keyed ValueState repeat-action alert (StatefulOperations.java:83-143)"),

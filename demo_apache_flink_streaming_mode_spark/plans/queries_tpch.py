@@ -141,6 +141,55 @@ def q_pivot_status(spark, sf_dir):
                     F.col("P").alias("n_p")))
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: single-table multi-predicate scan + one sum.
+
+    All three predicates (date range, discount band, quantity cap) push
+    down to the parquet scan; the agg is a single partial+final sum —
+    the cheapest possible plan shape, and the canonical pushdown check.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"))
+                  .alias("revenue"))
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: join + conditional aggregate ratio.
+
+    Part is the build side; the promo share is two decimal sums (both
+    order-independent) divided once at the end — deterministic double.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01"))
+    part = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
+    return (li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .agg((F.lit(100.0) * _dsum(promo) / _dsum(disc))
+                 .alias("promo_revenue")))
+
+
+def q_salted_join_priority(spark, sf_dir):
+    """Skew-resistant salted equi-join (operators.scale.salted_join).
+
+    lineitem joins orders on (orderkey, salt) with orders replicated per
+    salt bucket, so a pathologically hot orderkey would spread over 16
+    tasks. Values are identical to the plain join — the oracle IS the
+    plain join.
+    """
+    from demo_apache_flink_streaming_mode_spark.operators.scale import salted_join
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (salted_join(li, orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+                        "l_orderkey", buckets=16)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_lines"),
+                 decimal_sum("l_quantity").alias("sum_qty")))
+
+
 def q_distinct_parts_per_supplier(spark, sf_dir):
     """Exact distinct aggregate (expands to two-phase agg in the plan)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -220,6 +269,25 @@ ORACLES = {
                COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
                COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         FROM orders GROUP BY 1""",
+    "q6_forecast_revenue": f"""
+        SELECT {_DSUM.format(x='l_extendedprice * l_discount')} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24""",
+    "q14_promo_revenue": f"""
+        SELECT 100.0 * {_DSUM.format(
+            x="CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate <  TIMESTAMP '1997-10-01'""",
+    "q_salted_join_priority": f"""
+        SELECT o_orderpriority, COUNT(*) AS n_lines,
+               {_DSUM.format(x='l_quantity')} AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1""",
     "q_distinct_parts_per_supplier": """
         SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
         FROM lineitem GROUP BY 1""",
@@ -245,4 +313,11 @@ QUERIES = [
           "pivot to columns"),
     Query("q_distinct_parts_per_supplier", q_distinct_parts_per_supplier,
           ORACLES["q_distinct_parts_per_supplier"], "exact distinct aggregate"),
+    Query("q6_forecast_revenue", q6_forecast_revenue, ORACLES["q6_forecast_revenue"],
+          "TPC-H Q6 shape: multi-predicate pushdown scan + single sum"),
+    Query("q14_promo_revenue", q14_promo_revenue, ORACLES["q14_promo_revenue"],
+          "TPC-H Q14 shape: join + conditional-aggregate ratio"),
+    Query("q_salted_join_priority", q_salted_join_priority,
+          ORACLES["q_salted_join_priority"],
+          "skew-resistant salted join (oracle = plain join)"),
 ]
