@@ -77,3 +77,36 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         key, "__side", *lcols,
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols])
     return carried.filter(F.col("__side") == 1).select(key, *lcols, *rcols)
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  left_ts: str, right_ts: str,
+                  lower_ms: int, upper_ms: int) -> DataFrame:
+    """Interval join WITHOUT an equi key: pairs where
+    ``right_ts ∈ [left_ts + lower_ms, left_ts + upper_ms]`` (Flink's
+    DataStream interval join; stock Spark would plan a nested-loop).
+
+    Execution shape (grid binning): with span = upper - lower, each
+    right row lands in ONE time bin (``ts div span``) and each left row
+    explodes to its exactly-two candidate bins, turning the range
+    predicate into an equi-join on the bin id + an exact residual
+    filter. Every matching pair is produced exactly once (the right
+    row's bin is unique), bins are integer arithmetic (no float
+    boundary error), and at 100 TB the plan is one shuffle on a
+    well-distributed bin key instead of an O(n^2) nested loop. The
+    replicated side is shuffle_hash-hinted (post-explode size estimates
+    are unreliable and must not pick a broadcast).
+
+    Contract: payload column names disjoint; timestamps non-negative
+    epoch-ms longs; lower_ms < upper_ms.
+    """
+    span = upper_ms - lower_ms
+    if span <= 0:
+        raise ValueError("interval_join requires lower_ms < upper_ms")
+    base = F.expr(f"({left_ts} + {lower_ms}) div {span}")
+    l = left.withColumn("__bin", F.explode(F.array(base, base + 1)))
+    r = right.withColumn("__bin", F.expr(f"{right_ts} div {span}"))
+    out = (l.join(r.hint("shuffle_hash"), "__bin")
+           .filter((F.col(right_ts) >= F.col(left_ts) + lower_ms)
+                   & (F.col(right_ts) <= F.col(left_ts) + upper_ms)))
+    return out.drop("__bin")

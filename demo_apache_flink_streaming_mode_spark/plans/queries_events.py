@@ -25,6 +25,7 @@ HOUR_MS = 3_600_000
 SESSION_GAP_MS = 6 * HOUR_MS
 ST1_THRESHOLD_MS = HOUR_MS
 LATE_BUFFER_MS = 600_000  # 10 min (reference: 2 s at seconds scale)
+INTERVAL_MS = 600_000     # j3 interval half-width (10 min)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,6 +138,26 @@ def j2_asof_click_view(spark, sf_dir):
                     (F.col("click_ms") - F.col("view_ms")).alias("gap_ms"))
 
 
+def j3_interval_join(spark, sf_dir):
+    """Interval join: clicks within +/-10 min of each error event.
+
+    Flink's DataStream interval join (no equi key) — grid-binned into
+    an equi-join on time-bin + residual filter (operators.joins
+    .interval_join) instead of the nested loop stock Spark would plan.
+    """
+    ev = _events(spark, sf_dir)
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"),
+                      F.unix_millis("ts").alias("err_ms")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.unix_millis("ts").alias("clk_ms")))
+    j = joins.interval_join(errors, clicks, "err_ms", "clk_ms",
+                            -INTERVAL_MS, INTERVAL_MS)
+    return j.select("error_id", "click_id",
+                    (F.col("clk_ms") - F.col("err_ms")).alias("delta_ms"))
+
+
 def w3_late_classify(spark, sf_dir):
     ev = _events(spark, sf_dir)
     # deterministic pseudo-arrival order: hour bucket, then an id-derived
@@ -245,6 +266,14 @@ ORACLES = {
                c.click_ms - v.view_ms AS gap_ms
         FROM c ASOF LEFT JOIN v
           ON c.user_id = v.user_id AND v.view_ms <= c.click_ms""",
+    "j3_interval_join": """
+        WITH e AS (SELECT event_id AS error_id, epoch_ms(ts) AS err_ms
+                   FROM events WHERE event_type = 'error'),
+             c AS (SELECT event_id AS click_id, epoch_ms(ts) AS clk_ms
+                   FROM events WHERE event_type = 'click')
+        SELECT e.error_id, c.click_id, c.clk_ms - e.err_ms AS delta_ms
+        FROM e JOIN c
+          ON c.clk_ms BETWEEN e.err_ms - 600000 AND e.err_ms + 600000""",
     "w3_late_classify": f"""
         WITH o AS (
           SELECT event_id, epoch_ms(ts) AS ms,
@@ -287,6 +316,8 @@ QUERIES = [
           "J1 tumbling-window inner equi-join (WindowJoin.java:119-158)"),
     Query("j2_asof_click_view", j2_asof_click_view, ORACLES["j2_asof_click_view"],
           "J2 backward as-of join via union + window carry-forward"),
+    Query("j3_interval_join", j3_interval_join, ORACLES["j3_interval_join"],
+          "J3 keyless interval join via grid binning (Flink intervalJoin analog)"),
     Query("st1_repeat_action_alert", st1_repeat_action_alert,
           ORACLES["st1_repeat_action_alert"],
           "ST1 keyed ValueState repeat-action alert (StatefulOperations.java:83-143)"),

@@ -59,3 +59,34 @@ def test_salted_join_rejects_right_outer(spark):
     df = spark.range(1).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         salted_join(df, df, "k", how="right")
+
+
+def test_interval_join_boundaries_and_bins(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.joins import interval_join
+    left = spark.createDataFrame([(1, 1000), (2, 5000)], "lid long, lt long")
+    right = spark.createDataFrame(
+        [(10, 899), (11, 900), (12, 1100), (13, 1101), (14, 999_999),
+         (15, 4899), (16, 4900), (17, 5100), (18, 5101)],
+        "rid long, rt long")
+    out = sorted((r["lid"], r["rid"]) for r in
+                 interval_join(left, right, "lt", "rt", -100, 100).collect())
+    # inclusive at both edges, exclusive just past them, bins can't drop pairs
+    assert out == [(1, 11), (1, 12), (2, 16), (2, 17)]
+
+
+def test_interval_join_one_sided_lag(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.joins import interval_join
+    left = spark.createDataFrame([(1, 1000)], "lid long, lt long")
+    right = spark.createDataFrame([(10, 985), (11, 995), (12, 1004)],
+                                  "rid long, rt long")
+    out = sorted(r["rid"] for r in
+                 interval_join(left, right, "lt", "rt", -15, -5).collect())
+    assert out == [10, 11]  # strictly-before window [lt-15, lt-5]
+
+
+def test_interval_join_rejects_empty_interval(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.joins import interval_join
+    import pytest as pt
+    df = spark.createDataFrame([(1, 1)], "a long, t long")
+    with pt.raises(ValueError):
+        interval_join(df, df.withColumnRenamed("a", "b"), "t", "t", 5, 5)
