@@ -128,6 +128,41 @@ def text_fingerprint(spark, sf_dir):
     return text.fingerprint(_docs(spark, sf_dir), shingle_n=FP_SHINGLE_N)
 
 
+def text_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split by content-independent hash.
+
+    The standard leak-proof split for training corpora: bucket =
+    md5('split:'||doc_id) mod 100 -> 80/10/10. Pure per-row expression
+    (no shuffle, no state), reproducible across engines and runs, and
+    stable under corpus growth — exactly what a 100 TB pipeline needs
+    (no global sort, no sampling pass).
+    """
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+    h = hex_to_long(F.md5(F.concat(F.lit("split:"),
+                                   F.col("doc_id").cast("string")))) % 100
+    return _docs(spark, sf_dir).select(
+        "doc_id", h.alias("bucket"),
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+        .alias("split"))
+
+
+def text_mixture_sample(spark, sf_dir):
+    """Per-source mixture sampling at deterministic per-source rates.
+
+    Data-mixture construction: each source gets a rate (derived here
+    from its numeric suffix; in production a weights table) and each
+    doc keeps/drops by hash threshold — reproducible sampling with no
+    RNG state, fully pushdown-able (a scan-level filter at scale).
+    """
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+    docs = _docs(spark, sf_dir)
+    h = hex_to_long(F.md5(F.concat(F.lit("mix:"),
+                                   F.col("doc_id").cast("string")))) % 1000
+    rate_pm = 100 + 45 * (F.substring("source", 4, 10).cast("int") % 20)
+    return (docs.filter(h < rate_pm)
+            .select("doc_id", "source", h.alias("mix_bucket")))
+
+
 def mm_manifest(spark, sf_dir):
     media = multimodal.to_media(_docs(spark, sf_dir))
     df = multimodal.media_manifest(media)
@@ -373,6 +408,21 @@ ORACLES = {
                list_min(list_transform(shingles,
                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS fingerprint
         FROM sh""",
+    "text_split_assign": """
+        SELECT doc_id,
+               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 100 AS bucket,
+               CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+                    WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents""",
+    "text_mixture_sample": """
+        SELECT doc_id, source,
+               ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000 AS mix_bucket
+        FROM documents
+        WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+              < 100 + 45 * (CAST(substr(source, 4) AS INT) % 20)""",
     "mm_manifest": f"""
         SELECT doc_id, 'application/octet-stream' AS media_type,
                octet_length(encode(text)) AS n_bytes,
@@ -434,6 +484,10 @@ QUERIES = [
           "doc quality scoring (length/diversity/token-length)"),
     Query("text_fingerprint", text_fingerprint, ORACLES["text_fingerprint"],
           "min-hash document fingerprint"),
+    Query("text_split_assign", text_split_assign, ORACLES["text_split_assign"],
+          "deterministic hash train/val/test split (leak-proof, shuffle-free)"),
+    Query("text_mixture_sample", text_mixture_sample, ORACLES["text_mixture_sample"],
+          "per-source mixture sampling by hash threshold"),
     Query("mm_manifest", mm_manifest, ORACLES["mm_manifest"],
           "multimodal binary manifest (bytes + chunking)"),
     Query("mm_decode_features", mm_decode_features, None,
