@@ -88,3 +88,37 @@ def window_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     joined = lw.join(rw, [key, "w"], "inner")
     return joined.select(key, F.unix_millis(F.col("w.start")).alias("window_start"),
                          *[c for c in joined.columns if c.endswith("_l") or c.endswith("_r")])
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  left_ts: str, right_ts: str,
+                  lower_ms: int, upper_ms: int, delay: str) -> DataFrame:
+    """J3 streaming — keyless interval join of two streams (the
+    Structured Streaming twin of ``operators.joins.interval_join``).
+
+    Spark's stream-stream join REQUIRES an equality predicate — which
+    the batch operator's grid binning supplies for free: each right row
+    keys by its time bin (``ts div span``), each left row explodes to
+    its two candidate bins, and the exact time-range predicate rides in
+    the join condition. With watermarks on both event-time columns the
+    symmetric hash join evicts state older than the watermark minus the
+    interval span — bounded state, the same guarantee Flink's
+    intervalJoin gives, with the SAME dataflow as the batch form.
+
+    Column names must be disjoint across the two sides.
+    """
+    span = upper_ms - lower_ms
+    if span <= 0:
+        raise ValueError("interval_join requires lower_ms < upper_ms")
+    base = F.expr(f"(unix_millis({left_ts}) + {lower_ms}) div {span}")
+    l = (left.withWatermark(left_ts, delay)
+         .withColumn("__lbin", F.explode(F.array(base, base + 1))))
+    r = (right.withWatermark(right_ts, delay)
+         .withColumn("__rbin", F.expr(f"unix_millis({right_ts}) div {span}")))
+    cond = (
+        (F.col("__lbin") == F.col("__rbin"))
+        & (F.col(right_ts) >= F.col(left_ts)
+           + F.expr(f"INTERVAL {lower_ms} MILLISECONDS"))
+        & (F.col(right_ts) <= F.col(left_ts)
+           + F.expr(f"INTERVAL {upper_ms} MILLISECONDS")))
+    return l.join(r, cond, "inner").drop("__lbin", "__rbin")

@@ -234,3 +234,25 @@ def test_kafka_source_plan(spark):
         assert df.schema.fieldNames() == ["key", "value", "timestamp"]
     except Exception as e:
         assert "KAFKA" in str(e).upper() or "kafka" in str(e)
+
+
+def test_interval_join_parity(spark, batch_events, stream_events):
+    """J3: streaming time-range join == batch grid-binned interval join."""
+    HALF = 3_600_000  # +/- 1 hour
+    err_s = stream_events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts"))
+    clk_s = stream_events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("clk_ts"))
+    _drain(pipelines.interval_join(err_s, clk_s, "err_ts", "clk_ts",
+                                   -HALF, HALF, "10 minutes")
+           .select("error_id", "click_id"), "t_j3")
+    got = _rows(spark.table("t_j3"), "error_id", "click_id")
+
+    err_b = batch_events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.unix_millis("ts").alias("err_ms"))
+    clk_b = batch_events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.unix_millis("ts").alias("clk_ms"))
+    want = _rows(joins.interval_join(err_b, clk_b, "err_ms", "clk_ms",
+                                     -HALF, HALF)
+                 .select("error_id", "click_id"), "error_id", "click_id")
+    assert got == want
