@@ -78,8 +78,10 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring: length, lexical diversity, token-length components.
 
     score = 0.4*min(n_tokens/100, 1) + 0.4*(distinct/total)
-          + 0.2*min(avg_token_len/8, 1), rounded to 6 dp (integer inputs +
-    identical double arithmetic -> engine-portable).
+          + 0.2*min(avg_token_len/8, 1). Emitted UNROUNDED: the doubles
+    are bit-identical across engines (integer inputs, identical op
+    order), whereas round(x, 6) on a double is NOT portable — engines
+    disagree on values sitting at the 1e-7 half-way boundary.
     """
     tokens = word_tokens(F.col(text_col))
     n = F.size(tokens)
@@ -90,7 +92,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.4 * (nd / n)
         + 0.2 * F.least(chars / n / F.lit(8.0), F.lit(1.0))
     )
-    return docs.select("doc_id", F.round(score, 6).alias("quality"))
+    return docs.select("doc_id", score.alias("quality"))
 
 
 BPE_PRETOKEN_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"

@@ -397,9 +397,9 @@ ORACLES = {
                      length(replace(text, ' ', '')) AS chars
               FROM toks)
         SELECT doc_id,
-               round(0.4 * least(n / 100.0, 1.0)
-                     + 0.4 * (nd / n)
-                     + 0.2 * least((chars / n) / 8.0, 1.0), 6) AS quality
+               0.4 * least(n / 100.0, 1.0)
+               + 0.4 * (nd / n)
+               + 0.2 * least((chars / n) / 8.0, 1.0) AS quality
         FROM m""",
     "text_fingerprint": f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
