@@ -64,13 +64,19 @@ def main() -> None:
     for q in ALL_QUERIES:  # pass 1: always completes
         timings[q.name] = run(q, sf_dir)
         log(f"p1 {q.name}: {timings[q.name]}s")
-    for q in ALL_QUERIES:  # pass 2: best-effort min within budget
+    # passes 2..N: best-effort min within budget. The host shows bursty
+    # multi-second hypervisor-steal stalls; per-query min over as many
+    # passes as the budget allows isolates engine time from that noise.
+    for p in range(2, 6):
         if time.monotonic() > deadline:
-            log(f"pass-2 budget exhausted at {q.name}")
             break
-        dt = run(q, sf_dir)
-        log(f"p2 {q.name}: {dt}s")
-        timings[q.name] = min(timings[q.name], dt)
+        for q in ALL_QUERIES:
+            if time.monotonic() > deadline:
+                log(f"pass-{p} budget exhausted at {q.name}")
+                break
+            dt = run(q, sf_dir)
+            log(f"p{p} {q.name}: {dt}s")
+            timings[q.name] = min(timings[q.name], dt)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
