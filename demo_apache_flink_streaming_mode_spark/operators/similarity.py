@@ -10,10 +10,11 @@ Two tiers:
   cross join: corpus shuffles once on the bucket id, queries broadcast.
 
 Execution shape: vectors are L2-normalized ONCE (per-row, linear), so
-every pair costs a single in-order dot-product fold instead of
-dot+norm+norm — 3x less work on the quadratic path. All vector math is
-built-in higher-order functions running JVM-side; the in-order left fold
-keeps results bit-identical to a sequential SQL oracle.
+every pair costs a single dot product instead of dot+norm+norm — 3x
+less work on the quadratic path. Pair scoring uses unrolled
+whole-stage-codegen expressions when the dimension is known (the
+interpreted higher-order-function fold is the fallback); both are
+left-to-right IEEE order, bit-identical to a sequential SQL oracle.
 """
 
 from __future__ import annotations
