@@ -32,6 +32,9 @@ FP_SHINGLE_N = 5
 SIMHASH_BITS = 16
 N_CELLS = 16            # IVF coarse cells
 WINNOW_N, WINNOW_W = 3, 4
+MM_DIM = 8              # fake-codec feature dimension
+MM_RESIZE_BYTES = 256   # resize kernel target size
+MM_FRAME_BYTES, MM_EVERY_N = 1024, 4  # frame-sample kernel params
 
 
 def _docs(spark, sf_dir):
@@ -171,9 +174,38 @@ def mm_manifest(spark, sf_dir):
 
 
 def mm_decode_features(spark, sf_dir):
-    """mapInPandas decode plumbing (fake codec) — no SQL oracle (rows-only)."""
+    """Arrow-batched mapInPandas decode (fake codec), oracle-checked.
+
+    The fake codec is pure deterministic byte arithmetic, so the feature
+    vector is projected to flat DOUBLE columns (canonicalizer-safe) and
+    reproduced bit-for-bit by the DuckDB oracle over hex(encode(text)).
+    """
     media = multimodal.to_media(_docs(spark, sf_dir))
-    return multimodal.decode_features(media, codec="fake")
+    feats = multimodal.decode_features(media, codec="fake", dim=MM_DIM)
+    return feats.select(
+        "doc_id", "media_type", "n_bytes",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(MM_DIM)])
+
+
+def mm_resize(spark, sf_dir):
+    """Resize/transcode kernel (1 row in -> 1 row out mapInPandas shape).
+
+    Output binary is surfaced as hex (engine-portable, canonicalizer-
+    safe); the oracle recomputes the byte stride in SQL over hex pairs.
+    """
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    r = multimodal.resize_media(media, target_bytes=MM_RESIZE_BYTES, codec="fake")
+    return r.select("doc_id", "media_type", "n_bytes",
+                    F.hex("media").alias("media_hex"))
+
+
+def mm_frames(spark, sf_dir):
+    """Frame-sampling kernel (1 row in -> N rows out mapInPandas shape)."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    fr = multimodal.sample_frames(media, frame_bytes=MM_FRAME_BYTES,
+                                  every_n=MM_EVERY_N, codec="fake")
+    return fr.select("doc_id", "frame_idx",
+                     F.hex("frame").alias("frame_hex"), "n_frames")
 
 
 # --- oracle SQL ----------------------------------------------------------
@@ -429,6 +461,57 @@ ORACLES = {
                CAST(ceil(octet_length(encode(text)) / {float(multimodal.CHUNK_BYTES)})
                     AS BIGINT) AS n_chunks
         FROM documents""",
+    # the fake media codecs are deterministic byte arithmetic -> fully
+    # SQL-expressible over hex(encode(text)) hex-pair indexing
+    "mm_decode_features": f"""
+        WITH h AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents)
+        SELECT doc_id, 'application/octet-stream' AS media_type,
+               n AS n_bytes,
+               CAST(n AS DOUBLE) AS f0,
+               CAST(CASE WHEN n > 0 THEN ('0x' || substr(hx, 1, 2))::INT
+                         ELSE 0 END AS DOUBLE) AS f1,
+               CAST(CASE WHEN n > 0 THEN ('0x' || substr(hx, 2*n - 1, 2))::INT
+                         ELSE 0 END AS DOUBLE) AS f2,
+               CAST(COALESCE(list_aggregate(list_transform(range(0, least(n, 64)),
+                        i -> ('0x' || substr(hx, 2*i + 1, 2))::BIGINT), 'sum'), 0)
+                    % 997 AS DOUBLE) AS f3,
+               {', '.join(f'CAST((n >> {s}) & 255 AS DOUBLE) AS f{s + 4}'
+                          for s in range(MM_DIM - 4))}
+        FROM h""",
+    "mm_resize": f"""
+        WITH h AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        s AS (SELECT doc_id, hx, n,
+                     greatest(1, n // {MM_RESIZE_BYTES}) AS stride FROM h),
+        r AS (SELECT doc_id,
+                     list_slice(list_transform(range(0, n, stride),
+                                i -> substr(hx, 2*i + 1, 2)),
+                                1, {MM_RESIZE_BYTES}) AS parts
+              FROM s)
+        SELECT doc_id, 'resized/application/octet-stream' AS media_type,
+               CAST(len(parts) AS BIGINT) AS n_bytes,
+               array_to_string(parts, '') AS media_hex
+        FROM r""",
+    "mm_frames": f"""
+        WITH h AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        f AS (SELECT doc_id, hx,
+                     greatest(1, CAST(ceil(n / {float(MM_FRAME_BYTES)}) AS BIGINT))
+                       AS nf
+              FROM h)
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               substr(hx, CAST(2*{MM_FRAME_BYTES}*i + 1 AS BIGINT),
+                      {2 * MM_FRAME_BYTES}) AS frame_hex,
+               CAST(nf AS INT) AS n_frames
+        FROM (SELECT doc_id, hx, nf, unnest(range(0, nf, {MM_EVERY_N})) AS i
+              FROM f)""",
 }
 
 # langid oracle: same first-max-wins CASE chain over marker-hit counts
@@ -490,6 +573,10 @@ QUERIES = [
           "per-source mixture sampling by hash threshold"),
     Query("mm_manifest", mm_manifest, ORACLES["mm_manifest"],
           "multimodal binary manifest (bytes + chunking)"),
-    Query("mm_decode_features", mm_decode_features, None,
-          "Arrow-batched media decode plumbing (stubbed codec; rows-only check)"),
+    Query("mm_decode_features", mm_decode_features, ORACLES["mm_decode_features"],
+          "Arrow-batched media decode via mapInPandas (deterministic fake codec)"),
+    Query("mm_resize", mm_resize, ORACLES["mm_resize"],
+          "media resize kernel, 1->1 mapInPandas shape (deterministic fake codec)"),
+    Query("mm_frames", mm_frames, ORACLES["mm_frames"],
+          "frame sampling kernel, 1->N mapInPandas shape (deterministic fake codec)"),
 ]
