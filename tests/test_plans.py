@@ -13,13 +13,19 @@ the interpreter/shuffle antipatterns stay out:
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
-from demo_apache_flink_streaming_mode_spark.plans.registry import ALL_QUERIES
+from demo_apache_flink_streaming_mode_spark.plans.registry import ALL_QUERIES, get
 
 SF = "/root/testdata/sf0.001"
 
 BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf"}
+
+
+def _plan(spark, name: str) -> str:
+    return get(name).fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
 @pytest.mark.parametrize("query", ALL_QUERIES, ids=lambda q: q.name)
@@ -30,3 +36,21 @@ def test_no_plan_antipatterns(spark, query):
     if query.name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{query.name}: unexpected BroadcastNestedLoopJoin")
+
+
+def test_w3_watermark_is_two_phase(spark):
+    """The classify_late running max must NOT funnel the full stream
+    through one task: the per-row window is hash-partitioned by the
+    arrival bucket, and any single-partition exchange in the plan is
+    the tiny bucket-head cummax, fed by an aggregate (one row per
+    bucket), never by raw rows."""
+    plan = _plan(spark, "w3_late_classify")
+    assert "hashpartitioning(__bkt" in plan, "per-row window not bucket-partitioned"
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        tail = plan[m.end():]
+        nxt = next((ln for ln in tail.splitlines()
+                    if any(op in ln for op in
+                           ("HashAggregate", "Scan", "Window", "Sort", "Exchange"))),
+                   "")
+        assert "HashAggregate" in nxt, (
+            "single-partition exchange fed by non-aggregated data:\n" + nxt)
