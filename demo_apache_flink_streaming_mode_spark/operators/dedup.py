@@ -115,14 +115,25 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
-                        rows_per_band: int = 2) -> DataFrame:
+                        rows_per_band: int = 2,
+                        num_hashes: int | None = None) -> DataFrame:
     """LSH banding: docs sharing any band bucket become a candidate pair.
 
     Output: (doc_a, doc_b, est_jaccard) — est_jaccard is the fraction of
-    equal signature positions (the MinHash similarity estimate).
+    equal signature positions (the MinHash similarity estimate),
+    normalized by the ACTUAL signature length, not the banding shape.
     The band explode duplicates only (doc_id, band_hash, sig); the
     self-join shuffles on (band, band_hash) — bounded state per bucket.
+
+    The banding must exactly cover the signature: a shorter signature
+    would yield NULL positions that concat_ws silently drops (distinct
+    bands collapsing into colliding band hashes); a longer one would
+    leave positions unbanded. Pass ``num_hashes`` to validate up front.
     """
+    if num_hashes is not None and num_hashes != bands * rows_per_band:
+        raise ValueError(
+            f"banding {bands}x{rows_per_band} does not cover a "
+            f"{num_hashes}-hash signature")
     banded = signatures.select(
         "doc_id", "sig",
         F.posexplode(F.array(*[
@@ -136,10 +147,9 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     # unreliable (it would happily broadcast the exploded side through
     # the driver). shuffle_hash: bounded per-bucket state, no sort.
     a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
-    n = bands * rows_per_band
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                       lambda x, y: x == y), lambda e: e))
-           / F.lit(float(n)))
+           / F.size("sig_a").cast("double"))
     scored = (a.join(b, ["band", "band_hash"])
               .filter(F.col("a.doc_id") < F.col("b.doc_id"))
               .select(F.col("a.doc_id").alias("doc_a"),

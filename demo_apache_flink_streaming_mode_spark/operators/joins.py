@@ -39,44 +39,57 @@ def window_join(left: DataFrame, right: DataFrame, key: str, ts: str,
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,
-              left_ts: str, right_ts: str) -> DataFrame:
+              left_ts: str, right_ts: str,
+              tiebreak: list[str] | None = None) -> DataFrame:
     """Backward as-of (left) join: each left row picks the LATEST right
     row with ``right_ts <= left_ts`` on the same key; unmatched left
     rows keep nulls. The classic time-series alignment operator the
     DataFrame API lacks (DuckDB spells it ``ASOF LEFT JOIN``).
 
     Execution shape (scale-first): both sides are tagged and unioned,
-    then one ``Window.partitionBy(key).orderBy(ts, side)`` pass carries
-    the last-seen right payload forward (``last(ignorenulls=True)`` over
-    an unbounded-preceding frame) and left rows are filtered back out.
-    ONE shuffle on the key + a per-key sort — no range cross-product,
-    no per-row probe, and state is O(1) per key in a streaming form. At
-    equal timestamps the right row sorts first, so a same-timestamp
-    right row IS visible to the left row (<= semantics).
+    then one ``Window.partitionBy(key).orderBy(ts, side, tiebreak)``
+    pass carries the last-seen right payload forward
+    (``last(ignorenulls=True)`` over an unbounded-preceding frame) and
+    left rows are filtered back out. ONE shuffle on the key + a per-key
+    sort — no range cross-product, no per-row probe, and state is O(1)
+    per key in a streaming form. At equal timestamps the right row
+    sorts first, so a same-timestamp right row IS visible to the left
+    row (<= semantics).
+
+    The right payload travels as ONE struct carried by a single
+    ``last(ignorenulls=True)``, so every output right column comes from
+    the SAME right row even when payload columns legitimately contain
+    NULLs (a per-column carry could mix rows). Right rows colliding on
+    (key, right_ts) resolve deterministically: the carried row is the
+    greatest by ``tiebreak`` (right column names; default = the whole
+    payload struct, compared field-by-field in right-column order).
 
     Contract: ``key`` is the only shared column name; payload column
-    names must be disjoint across the two sides. Right rows whose
-    (key, ts) collide pick the later one in the union sort order —
-    give right rows unique timestamps per key for full determinism.
+    names must be disjoint across the two sides.
     """
+    from pyspark.sql.types import StructType
+
     lcols = [c for c in left.columns if c != key]
     rcols = [c for c in right.columns if c != key]
-    rtypes = {f.name: f.dataType for f in right.schema.fields}
     ltypes = {f.name: f.dataType for f in left.schema.fields}
+    rtype = StructType([right.schema[c] for c in rcols])
     l = left.select(
         F.col(key), F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols])
+        F.lit(None).cast(rtype).alias("__rpay"))
     r = right.select(
         F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
-        *[F.col(c) for c in rcols])
-    w = (W.partitionBy(key).orderBy("__ts", "__side")
+        F.struct(*[F.col(c) for c in rcols]).alias("__rpay"))
+    tb = ([F.col(f"__rpay.{c}") for c in tiebreak] if tiebreak
+          else [F.col("__rpay")])
+    w = (W.partitionBy(key).orderBy("__ts", "__side", *tb)
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     carried = l.unionByName(r).select(
         key, "__side", *lcols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols])
-    return carried.filter(F.col("__side") == 1).select(key, *lcols, *rcols)
+        F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"))
+    return carried.filter(F.col("__side") == 1).select(
+        key, *lcols, *[F.col(f"__rpay.{c}").alias(c) for c in rcols])
 
 
 def interval_join(left: DataFrame, right: DataFrame,

@@ -40,13 +40,21 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _safe_nrm(nrm: Column) -> Column:
+    """Zero-norm guard: a degenerate all-zero embedding must behave
+    identically on both engines. Spark's non-ANSI x/0.0 yields NULL but
+    DuckDB yields inf/nan — nullif-ing the norm on BOTH sides (the
+    oracle uses nullif(nrm, 0)) makes the components NULL everywhere."""
+    return F.when(nrm != 0, nrm)
+
+
 def unit_vectors(vecs: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding",
                  out_id: str = "vec_id", out_vec: str = "uv") -> DataFrame:
     """L2-normalize embeddings (double), one linear pass."""
     n = (vecs.select(F.col(id_col).alias(out_id),
                      F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
-         .withColumn("nrm", norm(F.col("v"))))
+         .withColumn("nrm", _safe_nrm(norm(F.col("v")))))
     return n.select(out_id, F.transform("v", lambda x: x / F.col("nrm")).alias(out_vec))
 
 
@@ -115,7 +123,7 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
                        F.col(vec_col).alias("_raw"),
                        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
              .withColumn("bucket", lsh_bucket(F.col("_raw"), planes))
-             .withColumn("_nrm", norm(F.col("_v"))))
+             .withColumn("_nrm", _safe_nrm(norm(F.col("_v")))))
         return v.select(
             out_id, "bucket",
             F.transform("_v", lambda x: x / F.col("_nrm")).alias(out_vec))
@@ -193,7 +201,7 @@ def cosine_near_dup_blocked(vecs: DataFrame, threshold: float,
     v = (vecs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("_raw"),
                      F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
          .withColumn("bucket", lsh_bucket(F.col("_raw"), planes))
-         .withColumn("_nrm", norm(F.col("_v"))))
+         .withColumn("_nrm", _safe_nrm(norm(F.col("_v")))))
     v = _spread(v.select("vid", "bucket",
                          F.transform("_v", lambda x: x / F.col("_nrm")).alias("uv")))
     a = v.select(F.col("vid").alias("vec_a"), "bucket", F.col("uv").alias("va"))

@@ -54,7 +54,8 @@ def dedup_exact(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     sigs = dedup.minhash_signature(_docs(spark, sf_dir), shingle_n=SHINGLE_N,
                                    num_hashes=NUM_HASHES)
-    return dedup.lsh_candidate_pairs(sigs, bands=BANDS, rows_per_band=ROWS_PER_BAND)
+    return dedup.lsh_candidate_pairs(sigs, bands=BANDS, rows_per_band=ROWS_PER_BAND,
+                                     num_hashes=NUM_HASHES)
 
 
 def dedup_simhash(spark, sf_dir):
@@ -65,7 +66,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     sigs = dedup.minhash_signature(docs, shingle_n=SHINGLE_N, num_hashes=NUM_HASHES)
     cands = dedup.lsh_candidate_pairs(
-        sigs, bands=BANDS, rows_per_band=ROWS_PER_BAND).select("doc_a", "doc_b")
+        sigs, bands=BANDS, rows_per_band=ROWS_PER_BAND,
+        num_hashes=NUM_HASHES).select("doc_a", "doc_b")
     return (dedup.ngram_jaccard_pairs(docs, cands, shingle_n=SHINGLE_N)
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD))
 
@@ -262,11 +264,12 @@ def _cos(a: str, b: str) -> str:
 
 
 # normalize once (matches operators.similarity.unit_vectors exactly:
-# double-cast, in-order norm fold, per-element division)
+# double-cast, in-order norm fold, per-element division; nullif guards
+# the zero-norm degenerate case identically to similarity._safe_nrm)
 _EMB_D = (
     "e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
     "FROM embeddings),\n"
-    f"  n0 AS (SELECT vec_id, v, sqrt({_DOT.format(a='v', b='v')}) AS nrm FROM e0),\n"
+    f"  n0 AS (SELECT vec_id, v, nullif(sqrt({_DOT.format(a='v', b='v')}), 0) AS nrm FROM e0),\n"
     "  e AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS uv FROM n0)")
 
 _PLANES_CTE = f"""
@@ -454,7 +457,7 @@ ORACLES = {
                  % 1000 AS mix_bucket
         FROM documents
         WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
-              < 100 + 45 * (CAST(substr(source, 4) AS INT) % 20)""",
+              < 100 + 45 * (TRY_CAST(substr(source, 4, 10) AS INT) % 20)""",
     "mm_manifest": f"""
         SELECT doc_id, 'application/octet-stream' AS media_type,
                octet_length(encode(text)) AS n_bytes,

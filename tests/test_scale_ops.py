@@ -37,6 +37,71 @@ def test_asof_no_right_rows_at_all(spark, trades_quotes):
     assert len(rows) == 4 and all(r["px"] is None for r in rows)
 
 
+def test_asof_colliding_right_timestamps_deterministic(spark):
+    """Right rows colliding on (key, ts) resolve to the greatest by the
+    tiebreak (default: payload struct order) — same answer as a DuckDB
+    window query implementing the documented rule."""
+    import duckdb
+
+    trades = spark.createDataFrame(
+        [("A", 10, "t1"), ("A", 30, "t2")], "sym string, t_ms long, trade_id string")
+    quotes = spark.createDataFrame(
+        [("A", 10, 1, 100.0), ("A", 10, 3, 103.0), ("A", 10, 2, 102.0)],
+        "sym string, q_ms long, seq int, px double")
+    got = {r["trade_id"]: (r["seq"], r["px"])
+           for r in asof_join(trades, quotes, "sym", "t_ms", "q_ms",
+                              tiebreak=["seq"]).collect()}
+    # explicit tiebreak: greatest seq wins for both trades
+    assert got == {"t1": (3, 103.0), "t2": (3, 103.0)}
+
+    # default tiebreak (payload struct, field order seq,px) agrees here
+    got_default = {r["trade_id"]: (r["seq"], r["px"])
+                   for r in asof_join(trades, quotes, "sym", "t_ms",
+                                      "q_ms").collect()}
+    assert got_default == got
+
+    # DuckDB twin of the documented rule (latest ts, tie -> max seq)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(sym VARCHAR, t_ms BIGINT, trade_id VARCHAR)")
+    con.execute("CREATE TABLE q(sym VARCHAR, q_ms BIGINT, seq INT, px DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)",
+                    [("A", 10, "t1"), ("A", 30, "t2")])
+    con.executemany("INSERT INTO q VALUES (?,?,?,?)",
+                    [("A", 10, 1, 100.0), ("A", 10, 3, 103.0), ("A", 10, 2, 102.0)])
+    want = {r[0]: (r[1], r[2]) for r in con.execute("""
+        SELECT trade_id, seq, px FROM (
+          SELECT t.trade_id, q.seq, q.px,
+                 ROW_NUMBER() OVER (PARTITION BY t.trade_id
+                                    ORDER BY q.q_ms DESC, q.seq DESC) AS rn
+          FROM t JOIN q ON t.sym = q.sym AND q.q_ms <= t.t_ms)
+        WHERE rn = 1""").fetchall()}
+    con.close()
+    assert got == want
+
+
+def test_asof_null_right_payload_stays_row_consistent(spark):
+    """A legitimately-NULL right payload column must not be backfilled
+    from an OLDER right row: all right columns come from the same row
+    (single struct carry)."""
+    trades = spark.createDataFrame(
+        [("A", 20, "t1")], "sym string, t_ms long, trade_id string")
+    quotes = spark.createDataFrame(
+        [("A", 5, 100.0, "src-old"), ("A", 10, None, "src-new")],
+        "sym string, q_ms long, px double, src string")
+    (row,) = asof_join(trades, quotes, "sym", "t_ms", "q_ms").collect()
+    # latest row is q_ms=10 whose px is genuinely NULL — it must stay
+    # NULL, not borrow 100.0 from the q_ms=5 row
+    assert (row["q_ms"], row["px"], row["src"]) == (10, None, "src-new")
+
+
+def test_lsh_banding_must_cover_signature(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        lsh_candidate_pairs)
+    sigs = spark.createDataFrame([(1, [1, 2, 3, 4])], "doc_id long, sig array<long>")
+    with pytest.raises(ValueError, match="does not cover"):
+        lsh_candidate_pairs(sigs, bands=4, rows_per_band=2, num_hashes=4)
+
+
 def test_salted_join_matches_plain_join(spark):
     left = spark.range(0, 1000).select(
         (F.col("id") % 7).alias("k"), F.col("id").alias("lv"))

@@ -11,8 +11,6 @@ microsecond epoch longs so timestamps round-trip exactly.
 
 from __future__ import annotations
 
-import os
-
 import pytest
 
 from pyspark.sql import functions as F
@@ -170,17 +168,17 @@ def test_st2_stateful_parity(spark, batch_events, stream_events):
     assert len(got) > 0
 
 
-def test_file_sink_roundtrip(spark, stream_events, tmp_path):
-    """K1: stream -> csv file sink -> batch read-back."""
+def test_file_sink_roundtrip(spark, batch_events, stream_events, tmp_path):
+    """K1: stream -> csv file sink -> batch read-back (row-exact)."""
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     proj = stream_events.select("event_id", "user_id", "event_type")
     q = (sinks.file_sink(proj, out, ckpt, fmt="csv")
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     back = spark.read.schema("event_id long, user_id long, event_type string").csv(out)
-    assert back.count() == stream_events.sparkSession.read.schema(EVENTS_CSV) \
-        .csv(os.path.dirname(out)).count() or back.count() > 0
-    assert back.count() > 0
+    expected = batch_events.count()
+    assert expected > 0
+    assert back.count() == expected
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):
