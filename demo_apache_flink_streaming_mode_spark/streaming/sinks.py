@@ -32,6 +32,19 @@ def file_sink(df: DataFrame, path: str, checkpoint: str, fmt: str = "csv",
             .outputMode(output_mode))
 
 
+def kafka_sink_options(brokers: str, topic: str, checkpoint: str) -> dict[str, str]:
+    """K2 option set for Spark's ``kafka`` sink, as one pure dict
+    (producer bootstrap.servers + target topic,
+    ``chapter4/EventTimeOperations.java:187-206``; checkpointLocation is
+    Spark's delivery-tracking anchor). Contract-testable without the
+    connector jar."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
 def kafka_sink(df: DataFrame, brokers: str, topic: str,
                checkpoint: str) -> DataStreamWriter:
     """K2 — Kafka sink (at-least-once; see module docstring).
@@ -45,9 +58,7 @@ def kafka_sink(df: DataFrame, brokers: str, topic: str,
         *(["CAST(key AS STRING) AS key"] if "key" in cols else []),
         "CAST(value AS STRING) AS value")
     return (out.writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("topic", topic)
-            .option("checkpointLocation", checkpoint))
+            .options(**kafka_sink_options(brokers, topic, checkpoint)))
 
 
 def console_sink(df: DataFrame, output_mode: str = "append",

@@ -65,6 +65,38 @@ def browser_events_stream(spark: SparkSession, path: str,
     return raw.withColumn("event_time", F.timestamp_millis(F.col("epoch_ms")))
 
 
+def kafka_source_options(brokers: str, topic: str,
+                         group_id: str | None = None,
+                         starting_offsets: str = "latest",
+                         sasl_plain: tuple[str, str] | None = None) -> dict[str, str]:
+    """S2 option set for Spark's ``kafka`` source, as one pure dict.
+
+    One option per reference consumer property
+    (``chapter3/WindowOperations.java:46-66``): bootstrap.servers /
+    group.id / security.protocol / sasl.mechanism / sasl.jaas.config
+    travel under Spark's ``kafka.``-prefix passthrough; the topic
+    subscription and setStartFromLatest() map to ``subscribe`` /
+    ``startingOffsets``. Kept separate from the reader construction so
+    the exact option names are contract-testable without the
+    spark-sql-kafka jar on the classpath.
+    """
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if group_id is not None:
+        opts["kafka.group.id"] = group_id
+    if sasl_plain is not None:
+        user, password = sasl_plain
+        opts["kafka.security.protocol"] = "SASL_PLAINTEXT"
+        opts["kafka.sasl.mechanism"] = "PLAIN"
+        opts["kafka.sasl.jaas.config"] = (
+            "org.apache.kafka.common.security.plain.PlainLoginModule "
+            f'required username="{user}" password="{password}";')
+    return opts
+
+
 def kafka_stream(spark: SparkSession, brokers: str, topic: str,
                  group_id: str | None = None,
                  starting_offsets: str = "latest",
@@ -78,19 +110,8 @@ def kafka_stream(spark: SparkSession, brokers: str, topic: str,
     broker).
     """
     reader = (spark.readStream.format("kafka")
-              .option("kafka.bootstrap.servers", brokers)
-              .option("subscribe", topic)
-              .option("startingOffsets", starting_offsets))
-    if group_id is not None:
-        reader = reader.option("kafka.group.id", group_id)
-    if sasl_plain is not None:
-        user, password = sasl_plain
-        jaas = ("org.apache.kafka.common.security.plain.PlainLoginModule "
-                f'required username="{user}" password="{password}";')
-        reader = (reader
-                  .option("kafka.security.protocol", "SASL_PLAINTEXT")
-                  .option("kafka.sasl.mechanism", "PLAIN")
-                  .option("kafka.sasl.jaas.config", jaas))
+              .options(**kafka_source_options(brokers, topic, group_id,
+                                              starting_offsets, sasl_plain)))
     return reader.load().selectExpr("CAST(key AS STRING) AS key",
                                     "CAST(value AS STRING) AS value",
                                     "timestamp")

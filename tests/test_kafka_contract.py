@@ -1,0 +1,65 @@
+"""S2/K2 Kafka option-set contract (reference parity without a broker).
+
+The sandbox ships neither a Kafka broker nor the spark-sql-kafka jar,
+so execution is untestable here; what IS testable is the exact option
+set handed to Spark's kafka source/sink. ``kafka_stream``/``kafka_sink``
+consume these dicts wholesale (``.options(**...)``), so an option-name
+regression fails here before it could fail on a cluster. Expected
+values mirror the reference consumer/producer config
+(``chapter3/WindowOperations.java:46-66``,
+``chapter4/EventTimeOperations.java:187-206``).
+"""
+
+from __future__ import annotations
+
+from demo_apache_flink_streaming_mode_spark.streaming.sinks import kafka_sink_options
+from demo_apache_flink_streaming_mode_spark.streaming.sources import kafka_source_options
+
+# shape of the reference's consumer config (chapter3/WindowOperations.java:46-66):
+# a multi-broker list, a consumer group, SASL/PLAIN auth, start-from-latest
+BROKERS = "10.0.0.1:9092,10.0.0.2:9092"
+GROUP = "flinklearn.realtime"
+TOPIC = "flink.kafka.streaming.source"
+
+
+def test_source_options_match_reference_consumer():
+    opts = kafka_source_options(BROKERS, TOPIC, group_id=GROUP,
+                                sasl_plain=("user", "secret"))
+    assert opts == {
+        # bootstrap.servers / group.id / security.protocol /
+        # sasl.mechanism / sasl.jaas.config ride Spark's kafka.-prefix
+        # passthrough; an unprefixed or misspelled name would be
+        # silently ignored by the connector — exact-match them
+        "kafka.bootstrap.servers": BROKERS,
+        "subscribe": TOPIC,
+        "startingOffsets": "latest",  # setStartFromLatest(), :66
+        "kafka.group.id": GROUP,
+        "kafka.security.protocol": "SASL_PLAINTEXT",
+        "kafka.sasl.mechanism": "PLAIN",
+        "kafka.sasl.jaas.config": (
+            "org.apache.kafka.common.security.plain.PlainLoginModule "
+            'required username="user" password="secret";'),
+    }
+
+
+def test_source_options_minimal_form_has_no_strays():
+    opts = kafka_source_options(BROKERS, TOPIC)
+    assert opts == {
+        "kafka.bootstrap.servers": BROKERS,
+        "subscribe": TOPIC,
+        "startingOffsets": "latest",
+    }
+
+
+def test_source_starting_offsets_is_overridable():
+    assert kafka_source_options(BROKERS, TOPIC,
+                                starting_offsets="earliest")[
+        "startingOffsets"] == "earliest"
+
+
+def test_sink_options_match_reference_producer():
+    assert kafka_sink_options(BROKERS, "out.topic", "/ckpt") == {
+        "kafka.bootstrap.servers": BROKERS,
+        "topic": "out.topic",
+        "checkpointLocation": "/ckpt",
+    }
