@@ -25,7 +25,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _MS = 1_000_000  # ns -> ms divisor
@@ -121,5 +121,79 @@ def action_durations(df: DataFrame, key: str, ts: str, action_col: str,
         handle,
         outputStructType=out_schema,
         stateStructType="last_action string, last_ms long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str) -> DataFrame:
+    """J2 streaming — backward as-of join with keyed state.
+
+    The batch twin (``operators.joins.asof_join``) carries the last
+    right row forward with one window pass; here the carry IS the keyed
+    state: one (right_ts, right payload) tuple per key, written by
+    right rows, read by left rows. Both sides normalize into ONE keyed
+    stream (side tag 0=right, 1=left) so a single
+    ``applyInPandasWithState`` handler replays them in (ts, side)
+    order — a right row at an equal timestamp is visible to the left
+    row (``<=`` semantics), matching the batch operator.
+
+    Ordering contract (same as ST1/ST2): per-key arrival order across
+    micro-batches must follow timestamp order; within a micro-batch
+    the handler sorts. Timestamp columns must be epoch-ms longs (they
+    are stored in the state tuple directly). Payload column names must
+    be disjoint across the two sides.
+
+    Scale: state is ONE small tuple per key (RocksDB-friendly); the
+    only shuffle is the groupBy(key) exchange both sides share.
+    """
+    lcols = [c for c in left.columns if c != key]
+    rcols = [c for c in right.columns if c != key]
+    ltypes = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    rtypes = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+
+    l = left.select(
+        F.col(key), F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols])
+    r = right.select(
+        F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c) for c in rcols])
+    u = l.unionByName(r)
+
+    def handle(key_tuple: tuple, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        st = tuple(state.get) if state.exists else None
+        out_rows: list[tuple] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
+            side = pdf["__side"].to_numpy()
+            for i in range(len(pdf)):
+                if side[i] == 0:
+                    st = (int(pdf["__ts"].iat[i]),
+                          *[pdf[c].iat[i] for c in rcols])
+                else:
+                    out_rows.append(
+                        (key_tuple[0],
+                         *[pdf[c].iat[i] for c in lcols],
+                         *(st[1:] if st is not None else (None,) * len(rcols))))
+        if st is not None:
+            state.update(st)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[key, *lcols, *rcols])
+
+    out_schema = ", ".join(
+        [f"{key} {ltypes[key]}"]
+        + [f"{c} {ltypes[c]}" for c in lcols]
+        + [f"{c} {rtypes[c]}" for c in rcols])
+    state_schema = ", ".join(
+        ["__rts long"] + [f"{c} {rtypes[c]}" for c in rcols])
+    return u.groupBy(key).applyInPandasWithState(
+        handle,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)

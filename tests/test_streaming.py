@@ -221,6 +221,100 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert metrics["watermark"] is not None
 
 
+def test_asof_join_streaming_parity(spark, batch_events, stream_events):
+    """J2: keyed-state streaming as-of == batch union+carry as-of."""
+    def sides(ev):
+        clicks = (ev.filter(F.col("event_type") == "click")
+                  .select("user_id", F.col("event_id").alias("click_id"),
+                          F.unix_millis("ts").alias("click_ms")))
+        views = (ev.filter(F.col("event_type") == "view")
+                 .select("user_id", F.col("event_id").alias("view_id"),
+                         F.unix_millis("ts").alias("view_ms")))
+        return clicks, views
+
+    clicks_s, views_s = sides(stream_events)
+    _drain(stateful.asof_join(clicks_s, views_s, "user_id",
+                              "click_ms", "view_ms"), "t_j2")
+    got = _rows(spark.table("t_j2"), "user_id", "click_id")
+    clicks_b, views_b = sides(batch_events)
+    want = _rows(joins.asof_join(clicks_b, views_b, "user_id",
+                                 "click_ms", "view_ms"),
+                 "user_id", "click_id")
+    assert got == want
+    assert len(got) > 0
+    # the data must exercise both matched and unmatched left rows
+    assert any(r[3] is None for r in got) and any(r[3] is not None for r in got)
+
+
+@pytest.fixture(scope="module")
+def events_csv_timeordered(spark, sf_dir, tmp_path_factory):
+    """Events staged as 4 time-contiguous CSV files with increasing
+    mtimes, so the file stream (maxFilesPerTrigger=1) replays them in
+    event-time order and the watermark never drops an on-time row."""
+    import os as _os
+
+    d = tmp_path_factory.mktemp("events_csv_t")
+    rows = (load_table(spark, sf_dir, "events")
+            .select("event_id", F.unix_micros("ts").alias("ts_us"),
+                    "user_id", "event_type", "value")
+            .orderBy("ts_us").collect())
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk:(i + 1) * chunk]
+        p = d / f"part{i}.csv"
+        p.write_text("".join(
+            f"{r['event_id']},{r['ts_us']},{r['user_id']},"
+            f"{r['event_type']},{r['value']!r}\n" for r in part))
+        _os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    return str(d)
+
+
+def _final_watermark_ms(q) -> int:
+    from datetime import datetime
+
+    wm = q.lastProgress["eventTime"]["watermark"]
+    return int(datetime.fromisoformat(wm.replace("Z", "+00:00"))
+               .timestamp() * 1000)
+
+
+def test_sliding_append_emits_only_closed_windows(spark, events_csv_timeordered):
+    """A5 in production form: append mode + watermark. Emitted set ==
+    batch twin restricted to windows closed by the final watermark."""
+    s = _typed(sources.file_stream(spark, events_csv_timeordered, EVENTS_CSV,
+                                   max_files_per_trigger=1))
+    agg = pipelines.sliding_stats(
+        pipelines.with_event_time(s, "ts", "30 minutes"),
+        "ts", "2 hours", "1 hour")
+    q = _drain(agg, "t_a5_append", mode="append")
+    wm = _final_watermark_ms(q)
+    got = _rows(spark.table("t_a5_append"), "window_start")
+    batch = _typed(spark.read.schema(EVENTS_CSV).csv(events_csv_timeordered))
+    want = _rows(windows.sliding_stats(batch, "ts", "2 hours", "1 hour")
+                 .filter(F.col("window_start") + 7_200_000 <= wm),
+                 "window_start")
+    assert len(got) > 0
+    assert got == want
+
+
+def test_session_append_emits_only_closed_sessions(spark, events_csv_timeordered):
+    """A6 in production form: append mode + watermark. A session is
+    closed once the watermark passes its last event + gap."""
+    s = _typed(sources.file_stream(spark, events_csv_timeordered, EVENTS_CSV,
+                                   max_files_per_trigger=1))
+    agg = pipelines.session_stats(
+        pipelines.with_event_time(s, "ts", "30 minutes"),
+        "ts", "6 hours", "user_id")
+    q = _drain(agg, "t_a6_append", mode="append")
+    wm = _final_watermark_ms(q)
+    got = _rows(spark.table("t_a6_append"), "user_id", "session_start")
+    batch = _typed(spark.read.schema(EVENTS_CSV).csv(events_csv_timeordered))
+    want = _rows(windows.session_stats(batch, "ts", "6 hours", "user_id")
+                 .filter(F.col("max_ts") + 21_600_000 <= wm),
+                 "user_id", "session_start")
+    assert len(got) > 0
+    assert got == want
+
+
 def test_kafka_source_plan(spark):
     """S2: the Kafka reader builds its plan when the connector is on the
     classpath; otherwise it must fail with the documented missing-source
