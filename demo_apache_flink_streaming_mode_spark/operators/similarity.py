@@ -156,24 +156,80 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame,
             .select(id_col, "cell", vec_col))
 
 
+def seed_centroids(u: DataFrame, n_cells: int,
+                   id_col: str = "vec_id", vec_col: str = "uv") -> DataFrame:
+    """Deterministic coarse-quantizer seed: the `n_cells` lowest-id
+    vectors become cells 1..n_cells. Output: (cell, cv)."""
+    w_c = W.orderBy(id_col)
+    return (u.orderBy(id_col).limit(n_cells)
+            .select(F.row_number().over(w_c).alias("cell"),
+                    F.col(vec_col).alias("cv")))
+
+
+def kmeans_centroids(u: DataFrame, n_cells: int, iters: int,
+                     id_col: str = "vec_id", vec_col: str = "uv",
+                     dim: int | None = None) -> DataFrame:
+    """Lloyd's k-means over unit vectors as pure DataFrame aggregations
+    (no MLlib): assign to nearest centroid (argmax dot on unit vectors),
+    then recompute each centroid as the component-wise mean of its
+    members. Output: (cell, cv) — drop-in for ``ivf_assign``.
+
+    Deterministic & oracle-reproducible by construction:
+    - seeds are the `n_cells` lowest-id vectors (``seed_centroids``);
+    - the per-dimension mean is an explicit in-id-order left fold
+      (collect the cell's values sorted by id, then ``F.aggregate``),
+      NOT ``F.avg`` — a parallel double sum is partition-order-dependent
+      in the last ulp, which would break bit-exact cross-engine parity
+      and run-to-run stability;
+    - degenerate zero-norm vectors (NULL components after the
+      ``_safe_nrm`` guard) are excluded from training on both engines.
+
+    Scale shape per iteration: assignment is a broadcast pass over the
+    corpus (centroid side is n_cells rows); the update shuffles N*dim
+    (id, cell, pos, val) rows once on (cell, pos) — linear, map-side
+    combinable into ObjectHashAggregate. Empty cells drop out, as in
+    standard Lloyd's. Cost: iters linear passes; run it offline and
+    reuse the codebook across queries at 100 TB.
+    """
+    u = u.filter(F.col(vec_col).getItem(0).isNotNull())
+    cent = seed_centroids(u, n_cells, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(u, cent, id_col, vec_col, dim=dim)
+        expl = assigned.select(
+            F.col(id_col).alias("_vid"), "cell",
+            F.posexplode(vec_col).alias("pos", "val"))
+        dims = (expl.groupBy("cell", "pos")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("_vid", "val"))).alias("vals"))
+                .select("cell", "pos",
+                        (F.aggregate("vals", F.lit(0.0),
+                                     lambda acc, s: acc + s["val"])
+                         / F.size("vals")).alias("m")))
+        cent = (dims.groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+                .select("cell", F.transform("ms", lambda s: s["m"]).alias("cv")))
+    return cent
+
+
 def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int, n_cells: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None, train_iters: int = 0) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
     `n_cells` cells, search only the query's own cell (nprobe=1).
 
-    The coarse quantizer here is deterministic — the `n_cells`
-    lowest-id vectors serve as centroids (a k-means codebook drops in
-    without changing the dataflow; training it is an offline job). At
+    The coarse quantizer is deterministic: with ``train_iters=0`` the
+    `n_cells` lowest-id vectors serve as centroids directly; with
+    ``train_iters>0`` those seeds are refined by that many Lloyd's
+    iterations (``kmeans_centroids``) — same dataflow either way. At
     100 TB: assignment is a narrow broadcast-join pass, the corpus
     shuffles ONCE on cell id, and each query probes one cell — the
     classic IVF trade of recall for a 1/n_cells search fan-in.
     """
     u = _spread(unit_vectors(corpus, id_col, vec_col, id_col, "uv"))
-    w_c = W.orderBy(id_col)
-    centroids = (u.orderBy(id_col).limit(n_cells)
-                 .select(F.row_number().over(w_c).alias("cell"),
-                         F.col("uv").alias("cv")))
+    if train_iters:
+        centroids = kmeans_centroids(u, n_cells, train_iters, id_col, "uv", dim=dim)
+    else:
+        centroids = seed_centroids(u, n_cells, id_col, "uv")
     assigned = ivf_assign(u, centroids, id_col, "uv", dim=dim)
     qset = queries.select(F.col(id_col).alias("query_id")).distinct()
     q = (assigned.join(F.broadcast(qset), assigned[id_col] == F.col("query_id"))

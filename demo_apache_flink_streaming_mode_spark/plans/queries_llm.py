@@ -31,6 +31,7 @@ DIM = 64
 FP_SHINGLE_N = 5
 SIMHASH_BITS = 16
 N_CELLS = 16            # IVF coarse cells
+KMEANS_ITERS = 2        # Lloyd's refinement passes for the trained codebook
 WINNOW_N, WINNOW_W = 3, 4
 MM_DIM = 8              # fake-codec feature dimension
 MM_RESIZE_BYTES = 256   # resize kernel target size
@@ -99,6 +100,18 @@ def sim_topk_ivf(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
     return similarity.topk_ivf(queries, embs, TOPK, n_cells=N_CELLS, dim=DIM)
+
+
+def sim_topk_ivf_trained(spark, sf_dir):
+    """IVF top-k with a k-means-trained codebook (VERDICT r1 item 6).
+
+    Same probe dataflow as ``sim_topk_ivf``; the coarse centroids are
+    refined by KMEANS_ITERS deterministic Lloyd's iterations first.
+    """
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.topk_ivf(queries, embs, TOPK, n_cells=N_CELLS, dim=DIM,
+                               train_iters=KMEANS_ITERS)
 
 
 def text_bpe_stats(spark, sf_dir):
@@ -272,6 +285,63 @@ _EMB_D = (
     f"  n0 AS (SELECT vec_id, v, nullif(sqrt({_DOT.format(a='v', b='v')}), 0) AS nrm FROM e0),\n"
     "  e AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS uv FROM n0)")
 
+def _ivf_trained_oracle(train_iters: int) -> str:
+    """Iterative Lloyd's-k-means oracle: one (assign, dims, cent) CTE
+    trio per iteration, then the standard IVF probe with the trained
+    centroids. Mirrors ``similarity.kmeans_centroids`` bit-for-bit:
+    means are in-id-order left folds (list(... ORDER BY vec_id) then
+    list_aggregate 'sum'), zero-norm vectors excluded from training.
+    """
+    ctes = [f"""
+        eg AS (SELECT vec_id, uv FROM e WHERE uv[1] IS NOT NULL),
+        cent0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, uv AS cv
+          FROM (SELECT * FROM eg ORDER BY vec_id LIMIT {N_CELLS}))"""]
+    cent = "cent0"
+    for it in range(1, train_iters + 1):
+        ctes.append(f"""
+        asg{it} AS (
+          SELECT vec_id, cell, uv FROM (
+            SELECT eg.vec_id, c.cell, eg.uv,
+                   ROW_NUMBER() OVER (PARTITION BY eg.vec_id
+                       ORDER BY {_DOT.format(a='eg.uv', b='c.cv')} DESC,
+                                c.cell ASC) AS rn
+            FROM eg, {cent} c) WHERE rn = 1),
+        dims{it} AS (
+          SELECT cell, pos,
+                 list_aggregate(list(val ORDER BY vec_id), 'sum')
+                   / COUNT(*) AS m
+          FROM (SELECT vec_id, cell, i AS pos, uv[i] AS val
+                FROM asg{it}, range(1, {DIM} + 1) t(i))
+          GROUP BY cell, pos),
+        cent{it} AS (
+          SELECT cell, list(m ORDER BY pos) AS cv
+          FROM dims{it} GROUP BY cell)""")
+        cent = f"cent{it}"
+    return f"""
+        WITH {_EMB_D},{','.join(ctes)},
+        assigned AS (
+          SELECT vec_id, cell, uv FROM (
+            SELECT e.vec_id, c.cell, e.uv,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_DOT.format(a='e.uv', b='c.cv')} DESC,
+                                c.cell ASC) AS rn
+            FROM e, {cent} c) WHERE rn = 1),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_cos('q.uv', 'c.uv')} AS cos_sim
+          FROM assigned q JOIN assigned c
+            ON q.cell = c.cell AND q.vec_id <> c.vec_id
+          WHERE q.vec_id % {QUERY_MOD} = 0),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
+        FROM ranked WHERE rn <= {TOPK}"""
+
+
 _PLANES_CTE = f"""
   planes AS (
     SELECT j, list(val ORDER BY i) AS p
@@ -392,6 +462,7 @@ ORACLES = {
           FROM scored)
         SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
         FROM ranked WHERE rn <= {TOPK}""",
+    "sim_topk_ivf_trained": None,  # filled below (_ivf_trained_oracle)
     "text_bpe_stats": """
         SELECT doc_id,
                len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
@@ -517,6 +588,8 @@ ORACLES = {
               FROM f)""",
 }
 
+ORACLES["sim_topk_ivf_trained"] = _ivf_trained_oracle(KMEANS_ITERS)
+
 # langid oracle: same first-max-wins CASE chain over marker-hit counts
 _langs = sorted(text.LANG_MARKERS)
 _scores = {
@@ -556,6 +629,9 @@ QUERIES = [
           "embedding near-dup pairs behind LSH-bucket blocking (scale path)"),
     Query("sim_topk_ivf", sim_topk_ivf, ORACLES["sim_topk_ivf"],
           "IVF-cell approximate top-k (coarse quantize + probe own cell)"),
+    Query("sim_topk_ivf_trained", sim_topk_ivf_trained,
+          ORACLES["sim_topk_ivf_trained"],
+          "IVF top-k with k-means-trained codebook (Lloyd's as DataFrame aggs)"),
     Query("text_bpe_stats", text_bpe_stats, ORACLES["text_bpe_stats"],
           "BPE-style regex pre-tokenization counts"),
     Query("text_winnow", text_winnow, ORACLES["text_winnow"],

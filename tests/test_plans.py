@@ -21,7 +21,10 @@ from demo_apache_flink_streaming_mode_spark.plans.registry import ALL_QUERIES, g
 
 SF = "/root/testdata/sf0.001"
 
-BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf"}
+# sim_topk_ivf* BNLJ is the centroid-assignment cross join against a
+# broadcast <= n_cells-row centroid table — bounded, intended.
+BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
+                "sim_topk_ivf_trained"}
 
 
 def _plan(spark, name: str) -> str:

@@ -155,3 +155,59 @@ def test_interval_join_rejects_empty_interval(spark):
     df = spark.createDataFrame([(1, 1)], "a long, t long")
     with pt.raises(ValueError):
         interval_join(df, df.withColumnRenamed("a", "b"), "t", "t", 5, 5)
+
+
+@pytest.fixture(scope="module")
+def unit_vecs(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.similarity import (
+        unit_vectors)
+    raw = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 13) % 19) - 9.0 for j in range(4)])
+         for i in range(60)],
+        "vec_id long, embedding array<double>")
+    return unit_vectors(raw)
+
+
+def test_kmeans_centroids_partitioning_invariant(spark, unit_vecs):
+    """The trained codebook must be bit-identical regardless of how the
+    input is partitioned — the whole point of the in-id-order fold mean
+    (a parallel F.avg would drift in the last ulp between layouts)."""
+    from demo_apache_flink_streaming_mode_spark.operators.similarity import (
+        kmeans_centroids)
+    a = kmeans_centroids(unit_vecs.repartition(7), n_cells=4, iters=2, dim=4)
+    b = kmeans_centroids(unit_vecs.repartition(3), n_cells=4, iters=2, dim=4)
+    ra = sorted((r["cell"], tuple(r["cv"])) for r in a.collect())
+    rb = sorted((r["cell"], tuple(r["cv"])) for r in b.collect())
+    assert ra == rb and len(ra) > 0
+
+
+def test_kmeans_one_iteration_is_cell_means(spark, unit_vecs):
+    """After one Lloyd's pass each centroid equals the plain mean of its
+    seed-assigned members (checked against a driver-side recompute)."""
+    from demo_apache_flink_streaming_mode_spark.operators.similarity import (
+        ivf_assign, kmeans_centroids, seed_centroids)
+    seeds = seed_centroids(unit_vecs, 4)
+    members = ivf_assign(unit_vecs, seeds, "vec_id", "uv", dim=4).collect()
+    got = {r["cell"]: r["cv"]
+           for r in kmeans_centroids(unit_vecs, 4, iters=1, dim=4).collect()}
+    by_cell: dict[int, list] = {}
+    for r in sorted(members, key=lambda r: r["vec_id"]):
+        by_cell.setdefault(r["cell"], []).append(r["uv"])
+    for cell, vs in by_cell.items():
+        for j in range(4):
+            s = 0.0
+            for v in vs:
+                s += v[j]
+            assert got[cell][j] == pytest.approx(s / len(vs), abs=1e-12)
+
+
+def test_kmeans_excludes_zero_norm_vectors(spark):
+    """A degenerate all-zero embedding (NULL unit components) must not
+    poison the centroid means."""
+    from demo_apache_flink_streaming_mode_spark.operators.similarity import (
+        kmeans_centroids, unit_vectors)
+    raw = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(unit_vectors(raw), n_cells=2, iters=1).collect()
+    assert cents and all(c is not None for r in cents for c in r["cv"])
