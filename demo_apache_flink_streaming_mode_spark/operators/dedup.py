@@ -163,6 +163,66 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
             .agg(F.min("est_jaccard").alias("est_jaccard")))
 
 
+# --- duplicate clustering (connected components) -------------------------
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iters: int = 20) -> DataFrame:
+    """Connected components over candidate pairs: label every node with
+    the smallest id reachable from it. Output: (doc_id, cluster_id).
+
+    This is the final stage of a production dedup pipeline — candidate
+    PAIRS (from LSH/SimHash blocking) must become duplicate CLUSTERS
+    before a keeper can be chosen, and pair-transitivity (a~b, b~c =>
+    {a,b,c} one group) is exactly connected components.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (label <- label(label) each round), the standard O(log n)-round
+    distributed CC scheme (cf. hash-to-min, Vassilvitskii et al.). Each
+    round is two shuffle equi-joins + a HashAggregate min — no
+    all-pairs work, state linear in |V| + |E|. The driver only steers
+    the loop (a converged? boolean per round); the data never leaves
+    the cluster, and ``localCheckpoint`` cuts the growing lineage so
+    round N's plan does not replay rounds 1..N-1.
+
+    Deterministic: min-labels are monotone non-increasing and converge
+    to the component minimum regardless of partitioning or iteration
+    interleaving. Raises if max_iters rounds do not converge (2^20-hop
+    label reach covers any realistic dup-cluster diameter).
+    """
+    # materialize the edge set ONCE — every round joins against it, and
+    # without this the (possibly expensive) pair-producing pipeline
+    # upstream would be re-executed per round
+    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+             .distinct()
+             .localCheckpoint())
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint())
+    for _ in range(max_iters):
+        nbr_min = (edges.join(labels.select(F.col("id").alias("b"),
+                                            F.col("label").alias("nl")), "b")
+                   .groupBy("a").agg(F.min("nl").alias("nbr_min")))
+        stepped = (labels.join(nbr_min.withColumnRenamed("a", "id"), "id", "left")
+                   .select("id", F.least("label", F.coalesce("nbr_min", "label"))
+                           .alias("label")))
+        # pointer jumping: follow the label's own label (halves chains)
+        jumped = (stepped.alias("x")
+                  .join(stepped.select(F.col("id").alias("label"),
+                                       F.col("label").alias("_l2")).alias("y"),
+                        "label")
+                  .select("id", F.col("_l2").alias("label")))
+        new_labels = jumped.localCheckpoint()
+        converged = (new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+                     .filter(F.col("label") != F.col("old")).isEmpty())
+        labels = new_labels
+        if converged:
+            return labels.select(F.col("id").alias("doc_id"),
+                                 F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components: no convergence in {max_iters} rounds")
+
+
 # --- SimHash -------------------------------------------------------------
 
 

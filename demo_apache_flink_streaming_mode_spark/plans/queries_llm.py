@@ -33,6 +33,8 @@ SIMHASH_BITS = 16
 N_CELLS = 16            # IVF coarse cells
 KMEANS_ITERS = 2        # Lloyd's refinement passes for the trained codebook
 WINNOW_N, WINNOW_W = 3, 4
+BM25_TERMS = ("spark", "stream", "window")   # query bag for text_bm25
+BM25_K1, BM25_B, BM25_TOPN = 1.2, 0.75, 50
 MM_DIM = 8              # fake-codec feature dimension
 MM_RESIZE_BYTES = 256   # resize kernel target size
 MM_FRAME_BYTES, MM_EVERY_N = 1024, 4  # frame-sample kernel params
@@ -71,6 +73,27 @@ def dedup_ngram_jaccard(spark, sf_dir):
         num_hashes=NUM_HASHES).select("doc_a", "doc_b")
     return (dedup.ngram_jaccard_pairs(docs, cands, shingle_n=SHINGLE_N)
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+def dedup_clusters(spark, sf_dir):
+    """LSH candidate pairs -> transitive duplicate clusters + keeper.
+
+    The stage the pair-emitting dedup queries feed at scale: connected
+    components (iterative min-label propagation, O(log n) rounds) turn
+    pairs into clusters; the cluster minimum is the keeper. Oracle:
+    DuckDB recursive CTE computing min-reachable-id per node.
+    """
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signature(docs, shingle_n=SHINGLE_N,
+                                   num_hashes=NUM_HASHES)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, bands=BANDS, rows_per_band=ROWS_PER_BAND,
+        num_hashes=NUM_HASHES).select("doc_a", "doc_b")
+    cc = dedup.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (cc.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size",
+                    (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper")))
 
 
 def dedup_embedding_cosine(spark, sf_dir):
@@ -140,6 +163,11 @@ def text_langid(spark, sf_dir):
 
 def text_quality(spark, sf_dir):
     return text.quality_score(_docs(spark, sf_dir))
+
+
+def text_bm25(spark, sf_dir):
+    return text.bm25_rank(_docs(spark, sf_dir), list(BM25_TERMS),
+                          k1=BM25_K1, b=BM25_B, topn=BM25_TOPN)
 
 
 def text_fingerprint(spark, sf_dir):
@@ -387,6 +415,20 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = i.doc_a
         JOIN sizes sb ON sb.doc_id = i.doc_b
         WHERE i.ni / (sa.ng + sb.ng - i.ni) >= {JACCARD_THRESHOLD}""",
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_MINHASH_CTES},
+        e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS id FROM e),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r),
+        comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        szs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+        SELECT c.doc_id, c.cluster_id, s.cluster_size,
+               c.doc_id = c.cluster_id AS is_keeper
+        FROM comp c JOIN szs s USING (cluster_id)""",
     "dedup_embedding_cosine": f"""
         WITH {_EMB_D}
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -507,6 +549,7 @@ ORACLES = {
                + 0.4 * (nd / n)
                + 0.2 * least((chars / n) / 8.0, 1.0) AS quality
         FROM m""",
+    "text_bm25": None,  # filled below (_bm25_oracle)
     "text_fingerprint": f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
         sh AS (SELECT doc_id, {_shingles_sql(FP_SHINGLE_N)} AS shingles FROM toks)
@@ -590,6 +633,49 @@ ORACLES = {
 
 ORACLES["sim_topk_ivf_trained"] = _ivf_trained_oracle(KMEANS_ITERS)
 
+
+def _bm25_oracle() -> str:
+    """Mirrors text.bm25_rank's exact IEEE op chain (see its docstring
+    for why the idf log is omitted): integer aggregates, then the same
+    left-to-right +,-,*,/ sequence per term, summed in term order."""
+    terms_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tf_sums = ", ".join(
+        f"SUM(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS))
+    df_maxes = ", ".join(
+        f"MAX(CASE WHEN t = '{t}' THEN df END) AS df{i}"
+        for i, t in enumerate(BM25_TERMS))
+    parts = []
+    for i in range(len(BM25_TERMS)):
+        tf = f"CAST(tf{i} AS DOUBLE)"
+        dfc = f"CAST(COALESCE(df{i}, 0) AS DOUBLE)"
+        idf = f"((n_docs - {dfc} + 0.5) / ({dfc} + 0.5))"
+        denom = (f"({tf} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} "
+                 f"* (dl / (sum_dl / n_docs))))")
+        parts.append(f"{idf} * ({tf} * {BM25_K1 + 1.0}) / {denom}")
+    score = " + ".join(parts)
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS t FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        hits AS (SELECT doc_id, t FROM toks WHERE t IN ({terms_in})),
+        tfs AS (SELECT doc_id, {tf_sums} FROM hits GROUP BY 1),
+        dfs AS (SELECT {df_maxes}
+                FROM (SELECT t, COUNT(DISTINCT doc_id) AS df
+                      FROM hits GROUP BY 1)),
+        scored AS (
+          SELECT f.doc_id, {score} AS bm25
+          FROM tfs f JOIN dl USING (doc_id), stats, dfs),
+        ranked AS (SELECT doc_id, bm25,
+                          ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                            AS rn
+                   FROM scored)
+        SELECT doc_id, CAST(rn AS INT) AS rank, bm25
+        FROM ranked WHERE rn <= {BM25_TOPN}"""
+
+
+ORACLES["text_bm25"] = _bm25_oracle()
+
 # langid oracle: same first-max-wins CASE chain over marker-hit counts
 _langs = sorted(text.LANG_MARKERS)
 _scores = {
@@ -618,6 +704,8 @@ QUERIES = [
           "SimHash 16-bit fingerprints (bitwise majority)"),
     Query("dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLES["dedup_ngram_jaccard"],
           "exact n-gram Jaccard verification of LSH candidates"),
+    Query("dedup_clusters", dedup_clusters, ORACLES["dedup_clusters"],
+          "transitive duplicate clusters via distributed connected components"),
     Query("dedup_embedding_cosine", dedup_embedding_cosine,
           ORACLES["dedup_embedding_cosine"],
           "embedding-cosine near-dup pairs (threshold)"),
@@ -644,6 +732,8 @@ QUERIES = [
           "marker-based language ID with deterministic argmax"),
     Query("text_quality", text_quality, ORACLES["text_quality"],
           "doc quality scoring (length/diversity/token-length)"),
+    Query("text_bm25", text_bm25, ORACLES["text_bm25"],
+          "Okapi BM25 top-n relevance ranking (rational idf, bit-exact)"),
     Query("text_fingerprint", text_fingerprint, ORACLES["text_fingerprint"],
           "min-hash document fingerprint"),
     Query("text_split_assign", text_split_assign, ORACLES["text_split_assign"],

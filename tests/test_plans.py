@@ -22,9 +22,11 @@ from demo_apache_flink_streaming_mode_spark.plans.registry import ALL_QUERIES, g
 SF = "/root/testdata/sf0.001"
 
 # sim_topk_ivf* BNLJ is the centroid-assignment cross join against a
-# broadcast <= n_cells-row centroid table — bounded, intended.
+# broadcast <= n_cells-row centroid table; text_bm25's is the 1-row
+# global-stats (N, avgdl, df) attach — both bounded broadcast sides,
+# O(N) passes, intended.
 BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
-                "sim_topk_ivf_trained"}
+                "sim_topk_ivf_trained", "text_bm25"}
 
 
 def _plan(spark, name: str) -> str:

@@ -157,6 +157,47 @@ def test_interval_join_rejects_empty_interval(spark):
         interval_join(df, df.withColumnRenamed("a", "b"), "t", "t", 5, 5)
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 9-node path (worst-case diameter for min propagation), a
+    2-node island, and a disconnected pair all resolve to their
+    component minimum; singleton docs never appear."""
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        connected_components)
+    chain = [(i, i + 1) for i in range(10, 18)]          # 10-11-...-18
+    pairs = spark.createDataFrame(
+        chain + [(30, 31), (41, 40)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == {**{i: 10 for i in range(10, 19)}, 30: 30, 31: 30,
+                   40: 40, 41: 40}
+
+
+def test_connected_components_partitioning_invariant(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        connected_components)
+    pairs = spark.createDataFrame(
+        [(i, (i * 3) % 17) for i in range(17) if i != (i * 3) % 17],
+        "doc_a long, doc_b long")
+    a = sorted(map(tuple, connected_components(pairs.repartition(5)).collect()))
+    b = sorted(map(tuple, connected_components(pairs.repartition(2)).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_bm25_absent_query_term_scores_zero_not_null(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.text import bm25_rank
+    docs = spark.createDataFrame(
+        [(1, "spark spark fast"), (2, "slow batch job"), (3, "spark job")],
+        "doc_id long, text string")
+    rows = bm25_rank(docs, ["spark", "nosuchterm"], topn=10).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # doc 2 has no query terms at all -> not scored
+    assert set(by_id) == {1, 3}
+    assert all(r["bm25"] is not None for r in rows)
+    # doc 1 (tf=2, shorter-field effects aside) outranks doc 3 (tf=1)
+    assert by_id[1]["rank"] == 1 and by_id[3]["rank"] == 2
+    assert by_id[1]["bm25"] > by_id[3]["bm25"] > 0
+
+
 @pytest.fixture(scope="module")
 def unit_vecs(spark):
     from demo_apache_flink_streaming_mode_spark.operators.similarity import (
