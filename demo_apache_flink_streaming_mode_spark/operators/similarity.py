@@ -35,8 +35,10 @@ def _dot(a: Column, b: Column, dim: int | None) -> Column:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    # testdata parquet is a single input split; fan out before the
-    # quadratic pair work (linear shuffle, negligible vs pair cost)
+    # testdata parquet is a single input split; fan out BEFORE the
+    # per-row normalization/bucketing work as well as the quadratic
+    # pair work (linear shuffle, negligible vs either) — spreading
+    # after the per-row compute would run every HOF fold on one task
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
@@ -96,7 +98,7 @@ def topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
     Ties broken by candidate id for full determinism.
     """
     q = unit_vectors(queries, id_col, vec_col, "query_id", "qv")
-    c = _spread(unit_vectors(corpus, id_col, vec_col, "neighbor_id", "cv"))
+    c = unit_vectors(_spread(corpus), id_col, vec_col, "neighbor_id", "cv")
     scored = (F.broadcast(q).crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
@@ -129,7 +131,7 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
             F.transform("_v", lambda x: x / F.col("_nrm")).alias(out_vec))
 
     q = with_bucket(queries, "query_id", "qv")
-    c = _spread(with_bucket(corpus, "neighbor_id", "cv"))
+    c = with_bucket(_spread(corpus), "neighbor_id", "cv")
     scored = (F.broadcast(q).join(c, "bucket")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
@@ -208,7 +210,11 @@ def kmeans_centroids(u: DataFrame, n_cells: int, iters: int,
         cent = (dims.groupBy("cell")
                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
                 .select("cell", F.transform("ms", lambda s: s["m"]).alias("cv")))
-    return cent
+    # materialize the (<= n_cells)-row codebook: training is a terminal
+    # iterative job, and downstream plans reference the centroids more
+    # than once — without this the whole training lineage re-executes
+    # per reference (measured ~2x on the probe query)
+    return cent.localCheckpoint()
 
 
 def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int, n_cells: int,
@@ -225,7 +231,7 @@ def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int, n_cells: int,
     shuffles ONCE on cell id, and each query probes one cell — the
     classic IVF trade of recall for a 1/n_cells search fan-in.
     """
-    u = _spread(unit_vectors(corpus, id_col, vec_col, id_col, "uv"))
+    u = unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
     if train_iters:
         centroids = kmeans_centroids(u, n_cells, train_iters, id_col, "uv", dim=dim)
     else:
@@ -254,12 +260,13 @@ def cosine_near_dup_blocked(vecs: DataFrame, threshold: float,
     raise num_planes tables/OR-constructions for recall at scale.
     """
     planes = [hyperplane(j, dim) for j in range(num_planes)]
-    v = (vecs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("_raw"),
-                     F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
+    v = (_spread(vecs)
+         .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("_raw"),
+                 F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
          .withColumn("bucket", lsh_bucket(F.col("_raw"), planes))
          .withColumn("_nrm", _safe_nrm(norm(F.col("_v")))))
-    v = _spread(v.select("vid", "bucket",
-                         F.transform("_v", lambda x: x / F.col("_nrm")).alias("uv")))
+    v = v.select("vid", "bucket",
+                 F.transform("_v", lambda x: x / F.col("_nrm")).alias("uv"))
     a = v.select(F.col("vid").alias("vec_a"), "bucket", F.col("uv").alias("va"))
     b = v.select(F.col("vid").alias("vec_b"), "bucket", F.col("uv").alias("vb"))
     return (a.join(b, "bucket")
@@ -289,19 +296,22 @@ def cosine_near_dup_pairs(vecs: DataFrame, threshold: float,
     would silently null out scores).
     """
     if dim is None:
-        a = _spread(unit_vectors(vecs, id_col, vec_col, "vec_a", "va"))
-        b = unit_vectors(vecs, id_col, vec_col, "vec_b", "vb")
+        spread_vecs = _spread(vecs)
+        a = unit_vectors(spread_vecs, id_col, vec_col, "vec_a", "va")
+        b = unit_vectors(spread_vecs, id_col, vec_col, "vec_b", "vb")
         return (a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
                 .select("vec_a", "vec_b",
                         dot(F.col("va"), F.col("vb")).alias("cos_sim"))
                 .filter(F.col("cos_sim") >= threshold))
 
+    spread_vecs = _spread(vecs)
+
     def widen(out_id: str, prefix: str) -> DataFrame:
-        u = unit_vectors(vecs, id_col, vec_col, out_id, "uv")
+        u = unit_vectors(spread_vecs, id_col, vec_col, out_id, "uv")
         return u.select(out_id, *[F.element_at("uv", i + 1).alias(f"{prefix}{i}")
                                   for i in range(dim)])
 
-    a = _spread(widen("vec_a", "a"))
+    a = widen("vec_a", "a")
     b = widen("vec_b", "b")
     score = F.col("a0") * F.col("b0")
     for i in range(1, dim):

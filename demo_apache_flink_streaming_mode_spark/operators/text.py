@@ -158,6 +158,45 @@ def winnow_fingerprint(docs: DataFrame, text_col: str = "text",
                 lambda x: x.cast("string"))).alias("fp")))
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/RefinedWeb-style repetition signals per document:
+
+    - dup_token_frac:   (n_tokens - n_distinct) / n_tokens
+    - top_bigram_frac:  occurrences of the most frequent word 2-gram
+                        over total 2-grams
+    - top_trigram_frac: same for 3-grams
+
+    High values flag boilerplate/spam for corpus filtering. Each n-gram
+    fraction is explode + two HashAggregates (per-(doc, gram) count,
+    then per-doc max/total) — map-side combinable, linear in corpus
+    size; a per-row HOF counting every gram against every distinct gram
+    would be quadratic per document and interpreted. The fractions are
+    single integer-over-integer IEEE divisions — bit-exact on any
+    engine.
+    """
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        spread, word_shingles)
+
+    toks = spread(docs, "doc_id").select(
+        "doc_id", word_tokens(F.col(text_col)).alias("tokens"))
+    base = toks.select(
+        "doc_id",
+        ((F.size("tokens") - F.size(F.array_distinct("tokens")))
+         / F.size("tokens")).alias("dup_token_frac"),
+        "tokens")
+
+    def top_frac(n: int, out: str) -> DataFrame:
+        grams = toks.select(
+            "doc_id", F.explode(word_shingles(F.col("tokens"), n)).alias("g"))
+        per = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return (per.groupBy("doc_id")
+                .agg((F.max("c") / F.sum("c")).alias(out)))
+
+    return (base.select("doc_id", "dup_token_frac")
+            .join(top_frac(2, "top_bigram_frac"), "doc_id")
+            .join(top_frac(3, "top_trigram_frac"), "doc_id"))
+
+
 def bm25_rank(docs: DataFrame, query_terms: list[str], k1: float = 1.2,
               b: float = 0.75, topn: int = 50,
               text_col: str = "text") -> DataFrame:

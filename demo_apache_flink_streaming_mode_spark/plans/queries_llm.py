@@ -165,6 +165,10 @@ def text_quality(spark, sf_dir):
     return text.quality_score(_docs(spark, sf_dir))
 
 
+def text_repetition(spark, sf_dir):
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
 def text_bm25(spark, sf_dir):
     return text.bm25_rank(_docs(spark, sf_dir), list(BM25_TERMS),
                           k1=BM25_K1, b=BM25_B, topn=BM25_TOPN)
@@ -549,6 +553,28 @@ ORACLES = {
                + 0.4 * (nd / n)
                + 0.2 * least((chars / n) / 8.0, 1.0) AS quality
         FROM m""",
+    "text_repetition": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+        base AS (
+          SELECT doc_id,
+                 (len(tokens) - len(list_distinct(tokens))) / len(tokens)
+                   AS dup_token_frac
+          FROM toks),
+        sh2 AS (SELECT doc_id, {_shingles_sql(2)} AS shingles FROM toks),
+        sh3 AS (SELECT doc_id, {_shingles_sql(3)} AS shingles FROM toks),
+        f2 AS (SELECT doc_id, MAX(c) / SUM(c) AS top_bigram_frac
+               FROM (SELECT doc_id, g, COUNT(*) AS c
+                     FROM (SELECT doc_id, unnest(shingles) AS g FROM sh2)
+                     GROUP BY 1, 2)
+               GROUP BY doc_id),
+        f3 AS (SELECT doc_id, MAX(c) / SUM(c) AS top_trigram_frac
+               FROM (SELECT doc_id, g, COUNT(*) AS c
+                     FROM (SELECT doc_id, unnest(shingles) AS g FROM sh3)
+                     GROUP BY 1, 2)
+               GROUP BY doc_id)
+        SELECT b.doc_id, b.dup_token_frac, f2.top_bigram_frac,
+               f3.top_trigram_frac
+        FROM base b JOIN f2 USING (doc_id) JOIN f3 USING (doc_id)""",
     "text_bm25": None,  # filled below (_bm25_oracle)
     "text_fingerprint": f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
@@ -732,6 +758,8 @@ QUERIES = [
           "marker-based language ID with deterministic argmax"),
     Query("text_quality", text_quality, ORACLES["text_quality"],
           "doc quality scoring (length/diversity/token-length)"),
+    Query("text_repetition", text_repetition, ORACLES["text_repetition"],
+          "Gopher-style repetition signals (dup-token / top n-gram fractions)"),
     Query("text_bm25", text_bm25, ORACLES["text_bm25"],
           "Okapi BM25 top-n relevance ranking (rational idf, bit-exact)"),
     Query("text_fingerprint", text_fingerprint, ORACLES["text_fingerprint"],

@@ -67,6 +67,30 @@ def session_stats(df: DataFrame, ts: str, gap: str, key: str) -> DataFrame:
     return windows.session_stats(df, ts, gap, key)
 
 
+def dedup_stream(df: DataFrame, keys: list[str], ts: str | None = None,
+                 delay: str | None = None) -> DataFrame:
+    """Streaming exact dedup — first occurrence per key wins (the
+    streaming twin of ``operators.dedup.exact_dedup_groups``'s keeper
+    semantics, emitted as whole rows).
+
+    With ``ts`` + ``delay``: ``dropDuplicatesWithinWatermark`` — the
+    state store holds one entry per key and EVICTS it once the
+    watermark passes the key's event time + delay. Bounded state at
+    any scale; the documented trade is that duplicates farther apart
+    than ``delay`` are re-emitted (at 100 TB an unbounded dedup state
+    is not an option, so this is the production form).
+
+    Without: global ``dropDuplicates`` — exact across the whole
+    stream, state grows with key cardinality (fine for bounded key
+    domains, e.g. user ids; not for content hashes).
+    """
+    if (ts is None) != (delay is None):
+        raise ValueError("dedup_stream needs both ts and delay, or neither")
+    if ts is not None:
+        return df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 def window_join(left: DataFrame, right: DataFrame, key: str, ts: str,
                 width: str, delay: str) -> DataFrame:
     """J1 streaming — tumbling-window inner equi-join of two streams.

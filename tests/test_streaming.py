@@ -315,6 +315,57 @@ def test_session_append_emits_only_closed_sessions(spark, events_csv_timeordered
     assert got == want
 
 
+def test_dedup_stream_global_parity(spark, batch_events, stream_events):
+    """Streaming dropDuplicates: one row per key, key set == batch
+    distinct (the kept row per key is arrival-order-dependent, so
+    parity is on the key multiset, not full rows)."""
+    _drain(pipelines.dedup_stream(
+        stream_events.select("user_id", "event_type"),
+        ["user_id", "event_type"]), "t_dedup")
+    got = sorted((r["user_id"], r["event_type"])
+                 for r in spark.table("t_dedup").collect())
+    want = sorted((r["user_id"], r["event_type"])
+                  for r in batch_events.select("user_id", "event_type")
+                  .distinct().collect())
+    assert got == want and len(got) > 0
+
+
+def test_dedup_stream_watermark_evicts_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the horizon
+    collapse; once the watermark passes key-ts + delay the state is
+    evicted and a later duplicate is re-emitted (bounded state)."""
+    d, ckpt, out = tmp_path / "in", str(tmp_path / "ckpt"), str(tmp_path / "out")
+    d.mkdir()
+    t0 = 1_700_000_000_000_000  # epoch micros
+    HOUR_US = 3_600_000_000
+
+    def run_batch():
+        s = _typed(sources.file_stream(spark, str(d), EVENTS_CSV))
+        dd = pipelines.dedup_stream(
+            s, ["user_id", "event_type"], ts="ts", delay="30 minutes")
+        q = (sinks.file_sink(
+                dd.select("event_id", "user_id", "event_type"),
+                out, ckpt, fmt="csv")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: duplicate key 1 min apart -> collapses to the first row;
+    # a second key 3h ahead advances the watermark past t0 + 30min
+    (d / "f1.csv").write_text(
+        f"1,{t0},10,click,1.0\n"
+        f"2,{t0 + 60_000_000},10,click,1.0\n"
+        f"3,{t0 + 3 * HOUR_US},99,view,1.0\n")
+    run_batch()
+    # batch 2: key 10/click again, far beyond the horizon -> state was
+    # evicted, so it is re-emitted
+    (d / "f2.csv").write_text(f"4,{t0 + 4 * HOUR_US},10,click,1.0\n")
+    run_batch()
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string").csv(out)
+    ids = sorted(r["event_id"] for r in back.collect())
+    assert ids == [1, 3, 4]
+
+
 def test_kafka_source_plan(spark):
     """S2: the Kafka reader builds its plan when the connector is on the
     classpath; otherwise it must fail with the documented missing-source
