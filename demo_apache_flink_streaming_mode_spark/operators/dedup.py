@@ -290,3 +290,49 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
                     (F.col("n_inter") /
                      (F.col("na") + F.col("nb") - F.col("n_inter")))
                     .alias("jaccard")))
+
+
+# --- benchmark decontamination -------------------------------------------
+
+
+def benchmark_contamination(docs: DataFrame, bench_filter: Column,
+                            shingle_n: int = 5, threshold: float = 0.2,
+                            text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: for every non-benchmark document, the
+    fraction of its distinct word ``shingle_n``-grams that also occur in
+    ANY benchmark document (``bench_filter`` selects the benchmark set).
+
+    The standard training-data hygiene pass (cf. GPT-3 appendix C /
+    PaLM-style 13-gram overlap): docs with ``contamination >=
+    threshold`` are flagged for removal so evaluation data doesn't leak
+    into the training corpus.
+
+    Execution shape: shingle once over the whole corpus, hash each gram
+    to a 60-bit md5-derived long, split by the benchmark flag. The
+    benchmark gram set is distinct-ed and BROADCAST — benchmarks are
+    tiny relative to a 100 TB corpus, so the candidate side (the actual
+    100 TB) is never shuffled for the membership probe; the only
+    exchanges are the vocab-bounded distinct on the benchmark side and
+    the per-doc count aggregation (map-side combinable). Joining on the
+    8-byte hash, never the gram text, keeps the broadcast table and the
+    probe narrow.
+    """
+    grams = spread(docs, "doc_id").select(
+        "doc_id", bench_filter.alias("_isb"),
+        F.explode(F.array_distinct(
+            word_shingles(word_tokens(F.col(text_col)), shingle_n))).alias("g"))
+    hashed = grams.select("doc_id", "_isb",
+                          hex_to_long(F.md5(F.col("g"))).alias("gh"))
+    bench = (hashed.filter(F.col("_isb")).select("gh").distinct()
+             .withColumn("_hit", F.lit(1)))
+    cand = hashed.filter(~F.col("_isb")).select("doc_id", "gh")
+    return (cand.join(F.broadcast(bench), "gh", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+                 .alias("n_overlap"))
+            .select("doc_id", "n_grams", "n_overlap",
+                    (F.col("n_overlap") / F.col("n_grams"))
+                    .alias("contamination"),
+                    (F.col("n_overlap") / F.col("n_grams") >= threshold)
+                    .alias("is_contaminated")))

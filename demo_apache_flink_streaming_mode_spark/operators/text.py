@@ -278,3 +278,42 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     return (doc_shingles(docs, text_col, shingle_n)
             .groupBy("doc_id")
             .agg(F.min(hex_to_long(F.md5(F.col("g")))).alias("fingerprint")))
+
+
+def tfidf_top_terms(docs: DataFrame, top_per_doc: int = 3,
+                    text_col: str = "text") -> DataFrame:
+    """Per-document top-``top_per_doc`` terms by tf-idf — the keyword
+    extraction pass of a corpus-indexing pipeline.
+
+    idf is the same rational Robertson form as :func:`bm25_rank`
+    ((N - df + 0.5) / (df + 0.5), no libm log) so every score is a
+    fixed chain of IEEE ops and the oracle hash-matches the doubles.
+    Ties break by term ascending — fully deterministic output.
+
+    Execution shape: one explode feeds per-(doc, term) tf counts
+    (map-side combine), per-term document frequencies are a second
+    vocab-bounded aggregation joined back ON TERM (shuffle carries
+    (term, df) — never documents), the corpus size N is a 1-row
+    broadcast, and the per-doc top-n is a rank window partitioned by
+    doc_id — no global sort, no single-task stage anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import spread
+
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.explode(word_tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (tf.groupBy("term")
+             .agg(F.count("*").cast("double").alias("df")))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc_id", "term",
+                      (F.col("tf").cast("double")
+                       * (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                       / (F.col("df") + F.lit(0.5))).alias("tfidf")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_per_doc)
+            .select("doc_id", "rank", "term", "tfidf"))

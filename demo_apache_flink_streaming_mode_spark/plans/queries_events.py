@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from demo_apache_flink_streaming_mode_spark.operators import eventtime, joins, stateful, transforms, windows
+from demo_apache_flink_streaming_mode_spark.operators import cep, eventtime, joins, stateful, transforms, windows
 from demo_apache_flink_streaming_mode_spark.plans.base import Query
 from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
 
@@ -26,6 +26,8 @@ SESSION_GAP_MS = 6 * HOUR_MS
 ST1_THRESHOLD_MS = HOUR_MS
 LATE_BUFFER_MS = 600_000  # 10 min (reference: 2 s at seconds scale)
 INTERVAL_MS = 600_000     # j3 interval half-width (10 min)
+FUNNEL_STEPS = ["view", "click", "purchase"]   # CEP pattern, in order
+FUNNEL_WITHIN_MS = 12 * HOUR_MS                # max gap between steps
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,6 +170,13 @@ def w3_late_classify(spark, sf_dir):
         "event_id", "watermark_ms", "is_late")
 
 
+def cep_funnel(spark, sf_dir):
+    """FlinkCEP-style begin(view).followedBy(click).followedBy(purchase)
+    .within(12h) — relaxed contiguity, per user."""
+    return cep.funnel_matches(_events(spark, sf_dir), FUNNEL_STEPS,
+                              FUNNEL_WITHIN_MS)
+
+
 # --- oracles -------------------------------------------------------------
 
 _LAG_WINDOW = "(PARTITION BY user_id ORDER BY ts, event_id)"
@@ -274,6 +283,23 @@ ORACLES = {
         SELECT e.error_id, c.click_id, c.clk_ms - e.err_ms AS delta_ms
         FROM e JOIN c
           ON c.clk_ms BETWEEN e.err_ms - 600000 AND e.err_ms + 600000""",
+    "cep_funnel": f"""
+        WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+                   FROM events),
+        s0 AS (SELECT *, CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ms END
+                           AS q0 FROM e),
+        p1 AS (SELECT *, MAX(q0) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p0
+               FROM s0),
+        s1 AS (SELECT *, CASE WHEN event_type = '{FUNNEL_STEPS[1]}'
+                                AND p0 >= ms - {FUNNEL_WITHIN_MS} THEN ms END
+                           AS q1 FROM p1),
+        p2 AS (SELECT *, MAX(q1) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv
+               FROM s1)
+        SELECT user_id, event_id, ms AS complete_ms, pv AS prev_step_ms
+        FROM p2
+        WHERE event_type = '{FUNNEL_STEPS[2]}' AND pv >= ms - {FUNNEL_WITHIN_MS}""",
     "w3_late_classify": f"""
         WITH o AS (
           SELECT event_id, epoch_ms(ts) AS ms,
@@ -326,4 +352,6 @@ QUERIES = [
           "ST2 dual ValueState dwell-time sessionization (AnalyzeBrowserEvents.java:115-181)"),
     Query("w3_late_classify", w3_late_classify, ORACLES["w3_late_classify"],
           "W2/W3 watermark + late-data classification (EventTimeOperations.java:88-134)"),
+    Query("cep_funnel", cep_funnel, ORACLES["cep_funnel"],
+          "CEP funnel view->click->purchase within 12h (FlinkCEP followedBy analog)"),
 ]

@@ -35,6 +35,10 @@ KMEANS_ITERS = 2        # Lloyd's refinement passes for the trained codebook
 WINNOW_N, WINNOW_W = 3, 4
 BM25_TERMS = ("spark", "stream", "window")   # query bag for text_bm25
 BM25_K1, BM25_B, BM25_TOPN = 1.2, 0.75, 50
+DECON_SHINGLE_N = 5     # decontamination n-gram length
+DECON_MOD = 20          # benchmark set = md5('bench:'||doc_id) % MOD == 0
+DECON_THRESHOLD = 0.2   # contaminated if >= 20% gram overlap
+TFIDF_TOPN = 3          # keywords kept per document
 MM_DIM = 8              # fake-codec feature dimension
 MM_RESIZE_BYTES = 256   # resize kernel target size
 MM_FRAME_BYTES, MM_EVERY_N = 1024, 4  # frame-sample kernel params
@@ -167,6 +171,22 @@ def text_quality(spark, sf_dir):
 
 def text_repetition(spark, sf_dir):
     return text.repetition_stats(_docs(spark, sf_dir))
+
+
+def text_decontam(spark, sf_dir):
+    """Benchmark decontamination: gram overlap of every candidate doc
+    against a deterministic hash-picked ~5% 'benchmark' subset."""
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+    bench = (hex_to_long(F.md5(F.concat(F.lit("bench:"),
+                                        F.col("doc_id").cast("string"))))
+             % DECON_MOD == 0)
+    return dedup.benchmark_contamination(
+        _docs(spark, sf_dir), bench, shingle_n=DECON_SHINGLE_N,
+        threshold=DECON_THRESHOLD)
+
+
+def text_tfidf(spark, sf_dir):
+    return text.tfidf_top_terms(_docs(spark, sf_dir), top_per_doc=TFIDF_TOPN)
 
 
 def text_bm25(spark, sf_dir):
@@ -575,6 +595,43 @@ ORACLES = {
         SELECT b.doc_id, b.dup_token_frac, f2.top_bigram_frac,
                f3.top_trigram_frac
         FROM base b JOIN f2 USING (doc_id) JOIN f3 USING (doc_id)""",
+    "text_decontam": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct({_shingles_sql(DECON_SHINGLE_N)}) AS shingles
+               FROM toks),
+        fl AS (SELECT doc_id, shingles,
+                      ('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)),
+                                      1, 15))::BIGINT % {DECON_MOD} = 0 AS isb
+               FROM sh),
+        gh AS (SELECT doc_id, isb, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+               FROM (SELECT doc_id, isb, unnest(shingles) AS g FROM fl)),
+        bench AS (SELECT DISTINCT gh FROM gh WHERE isb),
+        agg AS (SELECT c.doc_id, COUNT(*) AS n_grams,
+                       CAST(SUM(CASE WHEN bench.gh IS NULL THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_overlap
+                FROM (SELECT doc_id, gh FROM gh WHERE NOT isb) c
+                LEFT JOIN bench ON c.gh = bench.gh
+                GROUP BY c.doc_id)
+        SELECT doc_id, n_grams, n_overlap,
+               n_overlap / n_grams AS contamination,
+               n_overlap / n_grams >= {DECON_THRESHOLD} AS is_contaminated
+        FROM agg""",
+    "text_tfidf": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+                  FROM tf GROUP BY term),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        scored AS (SELECT doc_id, term,
+                          CAST(tf AS DOUBLE) * (n_docs - df + 0.5) / (df + 0.5)
+                            AS tfidf
+                   FROM tf JOIN dfreq USING (term), n),
+        r AS (SELECT doc_id, term, tfidf,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored)
+        SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= {TFIDF_TOPN}""",
     "text_bm25": None,  # filled below (_bm25_oracle)
     "text_fingerprint": f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
@@ -760,6 +817,10 @@ QUERIES = [
           "doc quality scoring (length/diversity/token-length)"),
     Query("text_repetition", text_repetition, ORACLES["text_repetition"],
           "Gopher-style repetition signals (dup-token / top n-gram fractions)"),
+    Query("text_decontam", text_decontam, ORACLES["text_decontam"],
+          "benchmark decontamination (5-gram overlap vs hash-picked bench set)"),
+    Query("text_tfidf", text_tfidf, ORACLES["text_tfidf"],
+          "per-doc top-3 keywords by tf-idf (rational idf, bit-exact)"),
     Query("text_bm25", text_bm25, ORACLES["text_bm25"],
           "Okapi BM25 top-n relevance ranking (rational idf, bit-exact)"),
     Query("text_fingerprint", text_fingerprint, ORACLES["text_fingerprint"],

@@ -26,7 +26,7 @@ SF = "/root/testdata/sf0.001"
 # global-stats (N, avgdl, df) attach — both bounded broadcast sides,
 # O(N) passes, intended.
 BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
-                "sim_topk_ivf_trained", "text_bm25"}
+                "sim_topk_ivf_trained", "text_bm25", "text_tfidf"}
 
 
 def _plan(spark, name: str) -> str:

@@ -252,3 +252,130 @@ def test_kmeans_excludes_zero_norm_vectors(spark):
         "vec_id long, embedding array<double>")
     cents = kmeans_centroids(unit_vectors(raw), n_cells=2, iters=1).collect()
     assert cents and all(c is not None for r in cents for c in r["cv"])
+
+
+# --- CEP funnel ----------------------------------------------------------
+
+def _ev(spark, rows):
+    df = spark.createDataFrame(rows, "user_id long, event_id long, "
+                                     "event_type string, ms long")
+    return df.select("user_id", "event_id", "event_type",
+                     F.timestamp_millis(F.col("ms")).alias("ts"))
+
+
+def test_funnel_basic_chain_and_order(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.cep import funnel_matches
+    ev = _ev(spark, [
+        (1, 1, "view", 0), (1, 2, "click", 10), (1, 3, "purchase", 20),
+        # user 2: click BEFORE view -> never a qualified click -> no match
+        (2, 4, "click", 0), (2, 5, "view", 10), (2, 6, "purchase", 20),
+    ])
+    out = funnel_matches(ev, ["view", "click", "purchase"], 100).collect()
+    assert [(r["user_id"], r["event_id"], r["complete_ms"], r["prev_step_ms"])
+            for r in out] == [(1, 3, 20, 10)]
+
+
+def test_funnel_within_bound_per_gap(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.cep import funnel_matches
+    ev = _ev(spark, [
+        # first gap too wide: click can't chain to the view
+        (1, 1, "view", 0), (1, 2, "click", 200), (1, 3, "purchase", 210),
+        # second gap too wide: purchase can't chain to the click
+        (2, 4, "view", 0), (2, 5, "click", 50), (2, 6, "purchase", 200),
+        # both gaps exactly at the bound -> inclusive match
+        (3, 7, "view", 0), (3, 8, "click", 100), (3, 9, "purchase", 200),
+    ])
+    out = funnel_matches(ev, ["view", "click", "purchase"], 100).collect()
+    assert [(r["user_id"], r["event_id"]) for r in out] == [(3, 9)]
+
+
+def test_funnel_relaxed_contiguity(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.cep import funnel_matches
+    ev = _ev(spark, [
+        # noise events between steps are ignored; two completions both
+        # chain to the same (latest qualified) click
+        (1, 1, "view", 0), (1, 2, "error", 5), (1, 3, "click", 10),
+        (1, 4, "signup", 15), (1, 5, "purchase", 20), (1, 6, "purchase", 30),
+    ])
+    out = funnel_matches(ev, ["view", "click", "purchase"], 100).collect()
+    assert sorted((r["event_id"], r["prev_step_ms"]) for r in out) \
+        == [(5, 10), (6, 10)]
+
+
+def test_funnel_same_timestamp_ties_resolve_by_event_id(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.cep import funnel_matches
+    ev = _ev(spark, [
+        # all three at ms=10: chain follows event_id order within the tie
+        (1, 1, "view", 10), (1, 2, "click", 10), (1, 3, "purchase", 10),
+        # reversed ids at one timestamp -> no chain
+        (2, 6, "view", 10), (2, 5, "click", 10), (2, 4, "purchase", 10),
+    ])
+    out = funnel_matches(ev, ["view", "click", "purchase"], 100).collect()
+    assert [(r["user_id"], r["event_id"]) for r in out] == [(1, 3)]
+
+
+def test_funnel_rejects_single_step(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.cep import funnel_matches
+    with pytest.raises(ValueError):
+        funnel_matches(spark.range(1), ["view"], 100)
+
+
+# --- benchmark decontamination ------------------------------------------
+
+def test_contamination_exact_copy_and_disjoint(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        benchmark_contamination)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),          # benchmark
+         (2, "a b c d e f"),          # exact copy -> contamination 1.0
+         (3, "q r s t u v"),          # disjoint    -> 0.0
+         (4, "a b c d e zz")],        # shares 1 of 2 5-grams -> 0.5
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in benchmark_contamination(
+        docs, F.col("doc_id") == 1, shingle_n=5, threshold=0.5).collect()}
+    assert set(out) == {2, 3, 4}      # bench doc excluded from the output
+    assert out[2]["contamination"] == 1.0 and out[2]["is_contaminated"]
+    assert out[3]["contamination"] == 0.0 and not out[3]["is_contaminated"]
+    assert out[4]["n_grams"] == 2 and out[4]["n_overlap"] == 1
+    assert out[4]["contamination"] == 0.5 and out[4]["is_contaminated"]
+
+
+def test_contamination_counts_distinct_grams_once(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        benchmark_contamination)
+    # candidate repeats one bench gram many times: distinct-gram counting
+    # keeps n_grams == n_distinct and the repeat contributes once
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c a b c a b c")],
+        "doc_id long, text string")
+    out = benchmark_contamination(docs, F.col("doc_id") == 1,
+                                  shingle_n=3, threshold=0.5).collect()
+    # doc 2 grams: 'a b c','b c a','c a b' (distinct) -> one overlaps
+    assert [(r["n_grams"], r["n_overlap"]) for r in out] == [(3, 1)]
+
+
+# --- tf-idf keywords -----------------------------------------------------
+
+def test_tfidf_ranks_rare_terms_above_common(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.text import tfidf_top_terms
+    docs = spark.createDataFrame(
+        [(1, "apple banana banana"), (2, "apple cherry")],
+        "doc_id long, text string")
+    out = [(r["doc_id"], r["rank"], r["term"], r["tfidf"])
+           for r in tfidf_top_terms(docs, top_per_doc=2).collect()]
+    # N=2; df(apple)=2, df(banana)=df(cherry)=1
+    # idf(apple) = (2-2+0.5)/(2+0.5) = 0.2; idf(rare) = (2-1+0.5)/(1+0.5) = 1.0
+    assert sorted(out) == [
+        (1, 1, "banana", 2.0 * (2.0 - 1.0 + 0.5) / (1.0 + 0.5)),
+        (1, 2, "apple", 1.0 * (2.0 - 2.0 + 0.5) / (2.0 + 0.5)),
+        (2, 1, "cherry", 1.0 * (2.0 - 1.0 + 0.5) / (1.0 + 0.5)),
+        (2, 2, "apple", 1.0 * (2.0 - 2.0 + 0.5) / (2.0 + 0.5)),
+    ]
+
+
+def test_tfidf_equal_scores_tie_break_by_term(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.text import tfidf_top_terms
+    docs = spark.createDataFrame([(1, "zebra alpha")], "doc_id long, text string")
+    out = [(r["rank"], r["term"])
+           for r in tfidf_top_terms(docs, top_per_doc=2).collect()]
+    assert sorted(out) == [(1, "alpha"), (2, "zebra")]
