@@ -78,16 +78,24 @@ def main() -> None:
             log(f"p{p} {q.name}: {dt}s")
             passes[q.name].append(dt)
 
-    # headline value stays min-of-N; raw per-pass timings ride along so
-    # round-over-round regressions are attributable to code vs host steal
+    # headline value stays min-of-N; raw per-pass timings go to stderr
+    # and a side file, NOT the stdout JSON line — the driver parses that
+    # line from a bounded tail window, and r02's passes-inflated line
+    # overflowed it (BENCH_r02.json: "parsed": null). Keep stdout short.
     timings = {name: min(ts) for name, ts in passes.items()}
     total = round(sum(timings.values()), 3)
+    log("passes: " + json.dumps(passes))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_passes.json"), "w") as f:
+            json.dump(passes, f)
+    except OSError as e:  # side data must never sink the headline line
+        log(f"could not write bench_passes.json: {e}")
     print(json.dumps({
         "metric": "total_query_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "passes": passes,
         "sf": sf,
     }))
 
