@@ -152,6 +152,16 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame,
     scored = (vecs.crossJoin(F.broadcast(centroids))
               .select(id_col, "cell", vec_col,
                       _dot(F.col(vec_col), F.col("cv"), dim).alias("score")))
+    # argmax stays a row_number window on purpose — both "cheaper"
+    # shapes were measured slower on local[32] at sf0.1 (r3):
+    # max(struct(score, -cell, cell, uv)) plans as SortAggregate whose
+    # sort comparisons walk the 64-double array (minutes, not seconds,
+    # on the k-means loop); max_by plans as ObjectHashAggregate but
+    # falls back to sort-based past spark.sql.objectHashAggregate.
+    # sortBased.fallbackThreshold (128) distinct keys per partition,
+    # and with ~N distinct ids it measured ~2x slower than this window
+    # (6.0s vs 2.3s for sim_topk_ivf). The window sorts (id, score)
+    # pairs of primitives only — the vector rides along unsorted.
     w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cell"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
