@@ -1,0 +1,169 @@
+"""Distributed sketch operators: HyperLogLog distinct counting,
+count-min frequency estimation, and content-defined chunking.
+
+The 100 TB motivation: exact `COUNT(DISTINCT x)` shuffles every
+distinct value and a per-key top-k of term counts shuffles the whole
+vocabulary; sketches compress both to fixed-size state that partial-
+aggregates map-side. These are the "novel sketch" class of custom
+operator (no reference equivalent — SURVEY.md §2.9/§2.10): composed
+entirely of built-in expressions (md5 / integer bit arithmetic /
+decimal sums), no Python in the data path, so every stage stays in
+whole-stage codegen and the shuffles carry only (key, register) or
+(row, bucket) rows.
+
+Engine-portability (the DuckDB oracle must hash-match bit-for-bit):
+- all hashes are md5 substrings parsed as BIGINT (`hex_to_long`);
+- the HLL register sum is computed EXACTLY: sum of 2^(61-reg) in
+  DECIMAL(38,0) (order-free, no float accumulation), converted to
+  double once at the end — a float SUM over registers would be
+  partition-order-dependent in the last ulp;
+- rho (leading-zero rank) uses `length(bin(v))`, identical in Spark
+  and DuckDB (both print minimal binary digits, bin(0) = '0');
+- no log/exp anywhere (the raw HLL estimator without the small-range
+  linear-counting correction — the correction needs ln(), whose libm
+  rounding differs across engines; the delta is documented, not hidden).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+from demo_apache_flink_streaming_mode_spark.operators.dedup import word_tokens
+
+# Raw-estimator bias constant alpha_m for m=64 registers; repr() of this
+# float is inlined into the oracle SQL so both engines use the same bits.
+HLL_M = 64
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_POW2_61 = float(1 << 61)  # exact in double
+
+
+def hll_distinct(df: DataFrame, key_cols: list[str], value_col: str,
+                 m: int = HLL_M) -> DataFrame:
+    """Per-key HyperLogLog distinct estimate (raw estimator, m registers).
+
+    Dataflow: one narrow projection computes (bucket, rho) per row, a
+    groupBy(keys, bucket) max collapses to <= m register rows per key
+    (map-side combinable — the shuffle carries registers, not values),
+    then a per-key fold over the dense register vector produces the
+    estimate. At 100 TB the state per key is m small ints regardless of
+    cardinality — the entire point of the sketch.
+
+    Emits (keys..., hll_est double). Estimate error ~ 1.04/sqrt(m).
+    """
+    h = F.md5(F.col(value_col).cast("string"))
+    bucket = (hex_to_long(h, 1, 2) % m).alias("bucket")
+    v60 = hex_to_long(h, 3, 15)
+    rho = (F.when(v60 == 0, F.lit(61))
+           .otherwise(F.lit(61) - F.length(F.bin(v60)))).alias("rho")
+
+    regs = (df.select(*key_cols, bucket, rho)
+            .groupBy(*key_cols, "bucket").agg(F.max("rho").alias("reg")))
+    # densify to all m buckets (missing register == 0) so the sum has a
+    # fixed term count; the per-key bucket list is tiny (m rows)
+    keys = regs.select(*key_cols).distinct()
+    dense = (keys.select(*key_cols, F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+                         .alias("bucket"))
+             .join(regs, [*key_cols, "bucket"], "left")
+             .withColumn("reg", F.coalesce("reg", F.lit(0))))
+    # EXACT register sum: sum_j 2^-reg_j == (sum_j 2^(61-reg_j)) / 2^61,
+    # accumulated in DECIMAL(38,0) — order-free, so plain SUM is safe
+    s_int = F.sum(F.expr("shiftleft(cast(1 as bigint), 61 - reg)")
+                  .cast("decimal(38,0)")).alias("s_int")
+    est = (F.lit(HLL_ALPHA * m * m) * F.lit(_POW2_61)
+           / F.col("s_int").cast("double")).alias("hll_est")
+    return dense.groupBy(*key_cols).agg(s_int).select(*key_cols, est)
+
+
+def cms_buckets(term: Column, row: int, w: int) -> Column:
+    """Count-min bucket of `term` for hash row `row` (md5-derived)."""
+    return hex_to_long(F.md5(F.concat(F.lit(f"{row}:"), term)), 1, 4) % w
+
+
+def cms_term_estimates(docs: DataFrame, d: int = 3, w: int = 256,
+                       text_col: str = "text") -> DataFrame:
+    """Count-min sketch over corpus term frequencies, joined back to the
+    true counts to expose the overcount (always >= 0 by construction).
+
+    The sketch itself is d*w counters — at 100 TB the explode shuffles
+    one (row, bucket) pair per token occurrence with map-side combine,
+    so the reduce side sees at most d*w*partitions rows; the estimate
+    join broadcasts the d*w-row sketch. Emits (term, true_cnt, cms_est,
+    overcount) for every distinct term.
+    """
+    terms = docs.select(F.explode(word_tokens(F.col(text_col))).alias("term"))
+    truth = terms.groupBy("term").agg(F.count("*").alias("true_cnt"))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
+    sketch = (terms.select("term", rows)
+              .withColumn("bucket",
+                          hex_to_long(F.md5(F.concat_ws(":", "row", "term")), 1, 4)
+                          % w)
+              .groupBy("row", "bucket").agg(F.count("*").alias("cnt")))
+    est = truth
+    for i in range(d):
+        row_counts = (sketch.filter(F.col("row") == i)
+                      .select(F.col("bucket").alias(f"b{i}"),
+                              F.col("cnt").alias(f"c{i}")))
+        est = (est.withColumn(f"b{i}", cms_buckets(F.col("term"), i, w))
+               .join(F.broadcast(row_counts), f"b{i}"))
+    cms = F.least(*[F.col(f"c{i}") for i in range(d)]).alias("cms_est")
+    return est.select("term", "true_cnt", cms,
+                      (cms - F.col("true_cnt")).alias("overcount"))
+
+
+def cdc_chunks(docs: DataFrame, window: int = 4, divisor: int = 16,
+               text_col: str = "text") -> DataFrame:
+    """Content-defined chunking: split each document at positions where
+    the rolling hash of the last `window` tokens is 0 mod `divisor`.
+
+    Content-defined (not fixed-size) boundaries survive insertions —
+    an edit only reflows the chunk it touches, so chunk-level dedup
+    across document versions still hits. Expected chunk length is
+    `divisor` tokens.
+
+    Per-token work is a narrow expression over the doc's own token
+    array (no self-join); chunk assembly is one groupBy(doc, chunk) of
+    (pos, token) rows — linear shuffle. Emits one row per chunk:
+    (doc_id, chunk_id, n_tokens, chunk_hash).
+    """
+    toks = docs.select("doc_id", word_tokens(F.col(text_col)).alias("tokens"))
+    pe = toks.select("doc_id", F.posexplode("tokens").alias("idx", "tok"),
+                     F.col("tokens"))
+    pos = F.col("idx") + 1  # 1-based
+    start = F.greatest(pos - (window - 1), F.lit(1))
+    gram = F.concat_ws(" ", F.slice(F.col("tokens"), start, pos - start + 1))
+    bnd = (hex_to_long(F.md5(gram), 1, 15) % divisor == 0).cast("int")
+    marked = pe.select("doc_id", pos.alias("pos"), "tok", bnd.alias("bnd"))
+    # chunk id = boundaries strictly before this position (a boundary
+    # token ENDS its chunk); running count via an exclusive-frame window
+    w_prev = (W.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(W.unboundedPreceding, -1))
+    chunked = marked.withColumn(
+        "chunk_id", F.lit(1) + F.coalesce(F.sum("bnd").over(w_prev), F.lit(0)))
+    return (chunked.groupBy("doc_id", "chunk_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                     lambda s: s["tok"])).alias("chunk_text"))
+            .select("doc_id", "chunk_id", "n_tokens",
+                    F.md5(F.col("chunk_text")).alias("chunk_hash")))
+
+
+def duplicate_chunks(chunks: DataFrame) -> DataFrame:
+    """Cross-document duplicate chunks from `cdc_chunks` output: chunks
+    whose text hash recurs, with the keeper occurrence (lowest doc,
+    then lowest chunk id). Shuffles 16-byte hashes, not chunk text.
+
+    The keeper argmin is packed into one BIGINT (doc_id << 21 | chunk)
+    instead of min(struct(...)) — struct aggregation buffers knock the
+    groupBy out of HashAggregate into SortAggregate (see the plan guard
+    in tests/test_plans.py); a long min keeps the hash path."""
+    packed = F.min(F.shiftleft(F.col("doc_id"), 21) + F.col("chunk_id"))
+    return (chunks.groupBy("chunk_hash")
+            .agg(F.count("*").alias("n_copies"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 packed.alias("keep_key"))
+            .filter(F.col("n_copies") > 1)
+            .select("chunk_hash", "n_copies", "n_docs",
+                    F.shiftright(F.col("keep_key"), 21).alias("keep_doc_id"),
+                    (F.col("keep_key") % (1 << 21)).alias("keep_chunk_id")))

@@ -1,0 +1,166 @@
+"""Sketch + chunking queries (operators/sketches.py) with DuckDB twins.
+
+HLL distinct over ``events``, count-min term frequencies and
+content-defined chunk dedup over ``documents``. Every oracle reproduces
+the Spark math bit-for-bit: md5-derived hashes, integer bit arithmetic,
+and an exact DECIMAL register sum (see operators/sketches.py docstring
+for why no float accumulation or libm call appears on either side).
+
+The oracles deliberately use per-document list comprehensions where the
+Spark side uses windows — the oracle only has to be CORRECT at the
+driver's sf0.01, while the Spark plan has to scale; asymmetry here is
+a feature, not drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_apache_flink_streaming_mode_spark.operators import sketches
+from demo_apache_flink_streaming_mode_spark.plans.base import Query
+from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+HLL_M = sketches.HLL_M
+CMS_D, CMS_W = 3, 256
+CDC_WINDOW, CDC_DIVISOR = 4, 16
+
+# inlined float literals: repr() round-trips, so DuckDB parses the bits
+_HLL_SCALE = sketches.HLL_ALPHA * HLL_M * HLL_M
+_POW2_61 = float(1 << 61)
+
+_TOKENS = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+
+# --- Spark queries -------------------------------------------------------
+
+def sketch_hll_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    est = sketches.hll_distinct(ev, ["event_type"], "user_id", m=HLL_M)
+    return exact.join(est, "event_type").select("event_type", "n_exact", "hll_est")
+
+
+def sketch_cms_terms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.cms_term_estimates(docs, d=CMS_D, w=CMS_W)
+
+
+def _chunks(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.cdc_chunks(docs, window=CDC_WINDOW, divisor=CDC_DIVISOR)
+
+
+def text_cdc_chunks(spark, sf_dir):
+    return (_chunks(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.max("n_tokens").alias("max_chunk_tokens"),
+                 F.countDistinct("chunk_hash").alias("n_distinct_chunks")))
+
+
+def dedup_cdc_chunks(spark, sf_dir):
+    return sketches.duplicate_chunks(_chunks(spark, sf_dir))
+
+
+# --- DuckDB oracles ------------------------------------------------------
+
+# shared chunking CTEs: boundary flags per position, then chunk id as
+# the count of boundaries strictly before the position (list math —
+# quadratic per doc, fine at oracle scale)
+_CDC_CTES = f"""
+    toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+    b AS (SELECT doc_id, tokens,
+                 list_transform(range(1, len(tokens)+1), i -> CASE WHEN
+                     ('0x' || substr(md5(array_to_string(
+                         list_slice(tokens, greatest(i-{CDC_WINDOW - 1}, 1), i),
+                         ' ')), 1, 15))::BIGINT % {CDC_DIVISOR} = 0
+                     THEN 1 ELSE 0 END) AS bnd
+          FROM toks),
+    px AS (SELECT doc_id, tokens, bnd,
+                  unnest(range(1, len(tokens)+1)) AS pos
+           FROM b),
+    ch AS (SELECT doc_id, pos, tokens[pos] AS tok,
+                  1 + coalesce(list_sum(list_slice(bnd, 1, pos-1)), 0) AS chunk_id
+           FROM px),
+    chunks AS (SELECT doc_id, chunk_id, COUNT(*) AS n_tokens,
+                      md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+               FROM ch GROUP BY 1, 2)"""
+
+ORACLES: dict[str, str] = {
+    "sketch_hll_users": f"""
+        WITH h AS (SELECT event_type,
+                          md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        br AS (SELECT event_type,
+                      ('0x' || substr(h, 1, 2))::BIGINT % {HLL_M} AS bucket,
+                      ('0x' || substr(h, 3, 15))::BIGINT AS v60
+               FROM h),
+        r AS (SELECT event_type, bucket,
+                     MAX(CASE WHEN v60 = 0 THEN 61
+                         ELSE 61 - length(bin(v60)) END) AS reg
+              FROM br GROUP BY 1, 2),
+        dense AS (SELECT k.event_type, g.bucket, coalesce(r.reg, 0) AS reg
+                  FROM (SELECT DISTINCT event_type FROM r) k
+                  CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS bucket) g
+                  LEFT JOIN r ON r.event_type = k.event_type
+                             AND r.bucket = g.bucket),
+        s AS (SELECT event_type,
+                     SUM(((1::BIGINT << (61 - reg)))::DECIMAL(38,0)) AS s_int
+              FROM dense GROUP BY 1),
+        e AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+              FROM events GROUP BY 1)
+        SELECT e.event_type, e.n_exact,
+               ({_HLL_SCALE!r} * {_POW2_61!r}) / s.s_int::DOUBLE AS hll_est
+        FROM e JOIN s USING (event_type)""",
+    "sketch_cms_terms": f"""
+        WITH t AS (SELECT unnest({_TOKENS}) AS term FROM documents),
+        truth AS (SELECT term, COUNT(*) AS true_cnt FROM t GROUP BY 1),
+        pairs AS (SELECT term, unnest(range(0, {CMS_D})) AS row FROM t),
+        sk AS (SELECT row,
+                      ('0x' || substr(md5(row::VARCHAR || ':' || term), 1, 4)
+                      )::BIGINT % {CMS_W} AS bucket,
+                      COUNT(*) AS cnt
+               FROM pairs GROUP BY 1, 2),
+        v AS (SELECT term, true_cnt,
+                     ('0x' || substr(md5('0:' || term), 1, 4))::BIGINT
+                         % {CMS_W} AS b0,
+                     ('0x' || substr(md5('1:' || term), 1, 4))::BIGINT
+                         % {CMS_W} AS b1,
+                     ('0x' || substr(md5('2:' || term), 1, 4))::BIGINT
+                         % {CMS_W} AS b2
+              FROM truth)
+        SELECT v.term, v.true_cnt,
+               least(s0.cnt, s1.cnt, s2.cnt) AS cms_est,
+               least(s0.cnt, s1.cnt, s2.cnt) - v.true_cnt AS overcount
+        FROM v
+        JOIN sk s0 ON s0.row = 0 AND s0.bucket = v.b0
+        JOIN sk s1 ON s1.row = 1 AND s1.bucket = v.b1
+        JOIN sk s2 ON s2.row = 2 AND s2.bucket = v.b2""",
+    "text_cdc_chunks": f"""
+        WITH {_CDC_CTES}
+        SELECT doc_id, COUNT(*) AS n_chunks,
+               MAX(n_tokens) AS max_chunk_tokens,
+               COUNT(DISTINCT chunk_hash) AS n_distinct_chunks
+        FROM chunks GROUP BY 1""",
+    "dedup_cdc_chunks": f"""
+        WITH {_CDC_CTES}
+        SELECT chunk_hash, COUNT(*) AS n_copies,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               (MIN((doc_id << 21) + chunk_id) // 2097152)::BIGINT
+                   AS keep_doc_id,
+               (MIN((doc_id << 21) + chunk_id) % 2097152)::BIGINT
+                   AS keep_chunk_id
+        FROM chunks GROUP BY 1 HAVING COUNT(*) > 1""",
+}
+
+QUERIES = [
+    Query("sketch_hll_users", sketch_hll_users, ORACLES["sketch_hll_users"],
+          "HyperLogLog distinct-user estimate per event type (m=64, exact "
+          "decimal register sum) vs exact count"),
+    Query("sketch_cms_terms", sketch_cms_terms, ORACLES["sketch_cms_terms"],
+          "count-min sketch term frequencies (d=3, w=256) vs true counts"),
+    Query("text_cdc_chunks", text_cdc_chunks, ORACLES["text_cdc_chunks"],
+          "content-defined chunking (rolling-hash boundaries) per-doc stats"),
+    Query("dedup_cdc_chunks", dedup_cdc_chunks, ORACLES["dedup_cdc_chunks"],
+          "cross-document duplicate chunk groups from CDC chunking"),
+]

