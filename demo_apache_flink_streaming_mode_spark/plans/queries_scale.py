@@ -63,6 +63,26 @@ def dedup_cdc_chunks(spark, sf_dir):
     return sketches.duplicate_chunks(_chunks(spark, sf_dir))
 
 
+def events_value_quantiles(spark, sf_dir):
+    """Exact p50/p95/p99 of event value per type.
+
+    Spark's `percentile` and DuckDB's `quantile_cont` share the
+    (n-1)*p linear-interpolation definition and match bit-for-bit on
+    doubles (verified at sf0.01). Exact percentile state is O(group
+    size) — fine for a bounded type dimension; the 100 TB path for
+    high-cardinality keys is approx_percentile (t-digest), which is
+    deliberately NOT oracled because sketch internals aren't
+    cross-engine-reproducible.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("p"))
+            .select("event_type",
+                    F.col("p")[0].alias("p50"),
+                    F.col("p")[1].alias("p95"),
+                    F.col("p")[2].alias("p99")))
+
+
 # --- DuckDB oracles ------------------------------------------------------
 
 # shared chunking CTEs: boundary flags per position, then chunk id as
@@ -136,6 +156,12 @@ ORACLES: dict[str, str] = {
         JOIN sk s0 ON s0.row = 0 AND s0.bucket = v.b0
         JOIN sk s1 ON s1.row = 1 AND s1.bucket = v.b1
         JOIN sk s2 ON s2.row = 2 AND s2.bucket = v.b2""",
+    "events_value_quantiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5)  AS p50,
+               quantile_cont(value, 0.95) AS p95,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY 1""",
     "text_cdc_chunks": f"""
         WITH {_CDC_CTES}
         SELECT doc_id, COUNT(*) AS n_chunks,
@@ -163,4 +189,7 @@ QUERIES = [
           "content-defined chunking (rolling-hash boundaries) per-doc stats"),
     Query("dedup_cdc_chunks", dedup_cdc_chunks, ORACLES["dedup_cdc_chunks"],
           "cross-document duplicate chunk groups from CDC chunking"),
+    Query("events_value_quantiles", events_value_quantiles,
+          ORACLES["events_value_quantiles"],
+          "exact p50/p95/p99 per event type (interpolation parity)"),
 ]

@@ -198,6 +198,68 @@ def q_distinct_parts_per_supplier(spark, sf_dir):
                  F.count("*").alias("n_items")))
 
 
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: 3-way join over returned lineitems, revenue per
+    customer, deterministic top-20.
+
+    Returnflag filter + projection push to the lineitem scan; customer
+    is small relative to lineitem but unbounded, so the join strategy is
+    left to Catalyst/AQE (sort-merge or shuffled hash on the keys) —
+    only the provably-fixed-size dims get explicit broadcast hints in
+    this module.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+           .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("revenue")))
+    return (rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20))
+
+
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join + two-level aggregation
+    (orders per customer, then customers per order count).
+
+    The outer join keeps order-less customers (count 0); the second
+    groupBy's input is one row per customer, so the distribution agg is
+    tiny. TakeOrderedAndProject is avoided — the result is the full
+    distribution, a handful of rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING subquery (orders whose total quantity
+    exceeds a threshold) joined back to customer + orders.
+
+    The qualifying-orderkey set is produced by a decimal-sum groupBy
+    over lineitem and is small by construction -> broadcast to the
+    detail join; the final quantity re-aggregation groups one row per
+    (customer, order) pair.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(decimal_sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (orders.join(F.broadcast(big),
+                        F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.col("o_totalprice"), F.col("total_qty")))
+
+
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
 
 ORACLES = {
@@ -291,6 +353,32 @@ ORACLES = {
     "q_distinct_parts_per_supplier": """
         SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
         FROM lineitem GROUP BY 1""",
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+               {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q13_order_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY 1)
+        GROUP BY 1""",
+    "q18_large_orders": f"""
+        WITH big AS (SELECT l_orderkey,
+                            {_DSUM.format(x='l_quantity')} AS total_qty
+                     FROM lineitem GROUP BY 1
+                     HAVING {_DSUM.format(x='l_quantity')} > 150)
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+        FROM orders
+        JOIN big      ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey""",
 }
 
 QUERIES = [
@@ -320,4 +408,11 @@ QUERIES = [
     Query("q_salted_join_priority", q_salted_join_priority,
           ORACLES["q_salted_join_priority"],
           "skew-resistant salted join (oracle = plain join)"),
+    Query("q10_returned_items", q10_returned_items, ORACLES["q10_returned_items"],
+          "TPC-H Q10 shape: returned-item revenue per customer, top-20"),
+    Query("q13_order_distribution", q13_order_distribution,
+          ORACLES["q13_order_distribution"],
+          "TPC-H Q13 shape: left outer join + two-level aggregation"),
+    Query("q18_large_orders", q18_large_orders, ORACLES["q18_large_orders"],
+          "TPC-H Q18 shape: HAVING-subquery semi-filter joined to detail"),
 ]

@@ -31,6 +31,11 @@ _VERIFY_TAIL: tuple[str, ...] = (
     "q_salted_join_priority",   # skew-salting demo; oracle is the plain join
     "sim_topk_ivf",             # superseded by sim_topk_ivf_trained (same IVF path)
     "dedup_embedding_cosine",   # all-pairs baseline; scale path is dedup_cosine_lsh
+    # r3 additions also live after the verified window: the first 50
+    # stay the judged §2 + LLM-pipeline core
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q18_large_orders",
 )
 assert set(_VERIFY_TAIL) <= {q.name for q in _MERGED}
 
