@@ -38,6 +38,26 @@ HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 _POW2_61 = float(1 << 61)  # exact in double
 
 
+def hll_registers(df: DataFrame, key_cols: list[str], value_col: str,
+                  m: int = HLL_M) -> DataFrame:
+    """Per-key HLL register vector: (keys..., bucket, reg).
+
+    This is the mergeable state of the sketch — max() over registers
+    merges sub-sketches, so it works unchanged as a STREAMING update-
+    mode aggregation (state: m small ints per key) with the estimate
+    fold applied downstream of the sink; the batch path continues into
+    ``hll_distinct``. Parity of the two forms is asserted in
+    tests/test_streaming.py.
+    """
+    h = F.md5(F.col(value_col).cast("string"))
+    bucket = (hex_to_long(h, 1, 2) % m).alias("bucket")
+    v60 = hex_to_long(h, 3, 15)
+    rho = (F.when(v60 == 0, F.lit(61))
+           .otherwise(F.lit(61) - F.length(F.bin(v60)))).alias("rho")
+    return (df.select(*key_cols, bucket, rho)
+            .groupBy(*key_cols, "bucket").agg(F.max("rho").alias("reg")))
+
+
 def hll_distinct(df: DataFrame, key_cols: list[str], value_col: str,
                  m: int = HLL_M) -> DataFrame:
     """Per-key HyperLogLog distinct estimate (raw estimator, m registers).
@@ -51,14 +71,7 @@ def hll_distinct(df: DataFrame, key_cols: list[str], value_col: str,
 
     Emits (keys..., hll_est double). Estimate error ~ 1.04/sqrt(m).
     """
-    h = F.md5(F.col(value_col).cast("string"))
-    bucket = (hex_to_long(h, 1, 2) % m).alias("bucket")
-    v60 = hex_to_long(h, 3, 15)
-    rho = (F.when(v60 == 0, F.lit(61))
-           .otherwise(F.lit(61) - F.length(F.bin(v60)))).alias("rho")
-
-    regs = (df.select(*key_cols, bucket, rho)
-            .groupBy(*key_cols, "bucket").agg(F.max("rho").alias("reg")))
+    regs = hll_registers(df, key_cols, value_col, m)
     # densify to all m buckets (missing register == 0) so the sum has a
     # fixed term count; the per-key bucket list is tiny (m rows)
     keys = regs.select(*key_cols).distinct()

@@ -63,6 +63,26 @@ def dedup_cdc_chunks(spark, sf_dir):
     return sketches.duplicate_chunks(_chunks(spark, sf_dir))
 
 
+def sketch_hll_windowed(spark, sf_dir):
+    """Tumbling-window HLL: distinct users per (event_type, hour).
+
+    The register aggregation (`hll_registers`) is the streaming-safe
+    part — the same expressions run as an update-mode streaming agg
+    (parity test in tests/test_streaming.py); batch continues into the
+    estimate fold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    evw = (ev.select("event_type", "user_id", F.window("ts", "1 hour").alias("w"))
+           .select("event_type", "user_id",
+                   F.unix_millis(F.col("w.start")).alias("window_start")))
+    exact = evw.groupBy("event_type", "window_start").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    est = sketches.hll_distinct(evw, ["event_type", "window_start"], "user_id",
+                                m=HLL_M)
+    return (exact.join(est, ["event_type", "window_start"])
+            .select("event_type", "window_start", "n_exact", "hll_est"))
+
+
 def events_value_quantiles(spark, sf_dir):
     """Exact p50/p95/p99 of event value per type.
 
@@ -107,31 +127,45 @@ _CDC_CTES = f"""
                       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
                FROM ch GROUP BY 1, 2)"""
 
-ORACLES: dict[str, str] = {
-    "sketch_hll_users": f"""
-        WITH h AS (SELECT event_type,
+def _hll_oracle(key_exprs: str, key_names: list[str]) -> str:
+    """DuckDB twin of hll_distinct + exact count over ``events``.
+
+    ``key_exprs`` projects the grouping keys (may compute, e.g. a
+    window start); ``key_names`` are their output aliases.
+    """
+    names = ", ".join(key_names)
+    k_names = ", ".join(f"k.{n}" for n in key_names)
+    on = " AND ".join(f"r.{n} = k.{n}" for n in key_names)
+    return f"""
+        WITH h AS (SELECT {key_exprs},
                           md5(CAST(user_id AS VARCHAR)) AS h FROM events),
-        br AS (SELECT event_type,
+        br AS (SELECT {names},
                       ('0x' || substr(h, 1, 2))::BIGINT % {HLL_M} AS bucket,
                       ('0x' || substr(h, 3, 15))::BIGINT AS v60
                FROM h),
-        r AS (SELECT event_type, bucket,
+        r AS (SELECT {names}, bucket,
                      MAX(CASE WHEN v60 = 0 THEN 61
                          ELSE 61 - length(bin(v60)) END) AS reg
-              FROM br GROUP BY 1, 2),
-        dense AS (SELECT k.event_type, g.bucket, coalesce(r.reg, 0) AS reg
-                  FROM (SELECT DISTINCT event_type FROM r) k
+              FROM br GROUP BY ALL),
+        dense AS (SELECT {k_names}, g.bucket, coalesce(r.reg, 0) AS reg
+                  FROM (SELECT DISTINCT {names} FROM r) k
                   CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS bucket) g
-                  LEFT JOIN r ON r.event_type = k.event_type
-                             AND r.bucket = g.bucket),
-        s AS (SELECT event_type,
+                  LEFT JOIN r ON {on} AND r.bucket = g.bucket),
+        s AS (SELECT {names},
                      SUM(((1::BIGINT << (61 - reg)))::DECIMAL(38,0)) AS s_int
-              FROM dense GROUP BY 1),
-        e AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
-              FROM events GROUP BY 1)
-        SELECT e.event_type, e.n_exact,
+              FROM dense GROUP BY ALL),
+        e AS (SELECT {key_exprs}, COUNT(DISTINCT user_id) AS n_exact
+              FROM events GROUP BY ALL)
+        SELECT {names}, e.n_exact,
                ({_HLL_SCALE!r} * {_POW2_61!r}) / s.s_int::DOUBLE AS hll_est
-        FROM e JOIN s USING (event_type)""",
+        FROM e JOIN s USING ({names})"""
+
+
+ORACLES: dict[str, str] = {
+    "sketch_hll_users": _hll_oracle("event_type", ["event_type"]),
+    "sketch_hll_windowed": _hll_oracle(
+        "event_type, (epoch_ms(ts) // 3600000) * 3600000 AS window_start",
+        ["event_type", "window_start"]),
     "sketch_cms_terms": f"""
         WITH t AS (SELECT unnest({_TOKENS}) AS term FROM documents),
         truth AS (SELECT term, COUNT(*) AS true_cnt FROM t GROUP BY 1),
@@ -192,4 +226,7 @@ QUERIES = [
     Query("events_value_quantiles", events_value_quantiles,
           ORACLES["events_value_quantiles"],
           "exact p50/p95/p99 per event type (interpolation parity)"),
+    Query("sketch_hll_windowed", sketch_hll_windowed,
+          ORACLES["sketch_hll_windowed"],
+          "tumbling-window HLL distinct users (streaming-safe registers)"),
 ]

@@ -399,3 +399,20 @@ def test_interval_join_parity(spark, batch_events, stream_events):
                                      -HALF, HALF)
                  .select("error_id", "click_id"), "error_id", "click_id")
     assert got == want
+
+
+def test_hll_registers_streaming_parity(spark, batch_events, stream_events):
+    """HLL register aggregation (operators.sketches.hll_registers) is a
+    plain keyed max -> runs unchanged as an update-mode streaming agg;
+    the final per-(key, bucket) register must equal the batch sketch."""
+    from demo_apache_flink_streaming_mode_spark.operators import sketches
+
+    _drain(sketches.hll_registers(stream_events, ["event_type"], "user_id"),
+           "t_hll", mode="update")
+    final = {}
+    for r in spark.table("t_hll").collect():
+        final[(r["event_type"], r["bucket"])] = r["reg"]
+    want = {(r["event_type"], r["bucket"]): r["reg"]
+            for r in sketches.hll_registers(
+                batch_events, ["event_type"], "user_id").collect()}
+    assert final == want
