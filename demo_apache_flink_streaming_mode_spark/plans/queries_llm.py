@@ -254,6 +254,19 @@ def mm_decode_features(spark, sf_dir):
         *[F.col("feature")[i].alias(f"f{i}") for i in range(MM_DIM)])
 
 
+def mm_decode_wav(spark, sf_dir):
+    """REAL audio decode: stdlib ``wave`` RIFF container round-trip.
+
+    The payload is containerized as an 8-bit mono WAV and decoded back
+    through actual wave-chunk parsing (operators.multimodal.
+    wav_decode_features); the PCM frames are the payload bytes, so the
+    decoded frame count and amplitude stats are reproduced by the
+    oracle over the text's byte values.
+    """
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return multimodal.wav_decode_features(media)
+
+
 def mm_resize(spark, sf_dir):
     """Resize/transcode kernel (1 row in -> 1 row out mapInPandas shape).
 
@@ -681,6 +694,21 @@ ORACLES = {
                {', '.join(f'CAST((n >> {s}) & 255 AS DOUBLE) AS f{s + 4}'
                           for s in range(MM_DIM - 4))}
         FROM h""",
+    "mm_decode_wav": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 list_transform(range(1, len(text) + 1),
+                                i -> ord(substr(text, i, 1))) AS bytes
+          FROM documents)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+               {multimodal.WAV_RATE} AS sample_rate,
+               1 AS n_channels, 1 AS samp_width,
+               CAST(COALESCE(list_max(bytes), 0) AS INT) AS max_amp,
+               CASE WHEN n > 0
+                    THEN list_aggregate(bytes, 'sum')::DOUBLE / n
+                    ELSE 0.0 END AS mean_amp
+        FROM b""",
     "mm_resize": f"""
         WITH h AS (
           SELECT doc_id, hex(encode(text)) AS hx,
@@ -837,4 +865,6 @@ QUERIES = [
           "media resize kernel, 1->1 mapInPandas shape (deterministic fake codec)"),
     Query("mm_frames", mm_frames, ORACLES["mm_frames"],
           "frame sampling kernel, 1->N mapInPandas shape (deterministic fake codec)"),
+    Query("mm_decode_wav", mm_decode_wav, ORACLES["mm_decode_wav"],
+          "REAL audio decode: stdlib wave RIFF round-trip via mapInPandas"),
 ]
