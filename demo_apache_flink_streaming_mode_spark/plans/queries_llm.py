@@ -117,6 +117,33 @@ def sim_ann_lsh(spark, sf_dir):
     return similarity.topk_lsh(queries, embs, TOPK, num_planes=NUM_PLANES, dim=DIM)
 
 
+def sim_recall_ann(spark, sf_dir):
+    """Recall@k of the LSH ANN against the brute-force baseline, per
+    query — the engine measuring its own approximation quality.
+
+    Pure counting on top of the two existing top-k pipelines (hit =
+    same (query, neighbor) pair in both). Integer outputs only, so the
+    oracle is a join of the two existing oracle CTEs with no float
+    arithmetic at all.
+    """
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    exact = (similarity.topk_bruteforce(queries, embs, TOPK, dim=DIM)
+             .select("query_id", "neighbor_id"))
+    ann = (similarity.topk_lsh(queries, embs, TOPK,
+                               num_planes=NUM_PLANES, dim=DIM)
+           .select("query_id", "neighbor_id"))
+    hits = (exact.join(ann, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    n_ann = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
+    return (n_exact.join(n_ann, "query_id", "left")
+            .join(hits, "query_id", "left")
+            .select("query_id", "n_exact",
+                    F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits")))
+
+
 def dedup_cosine_lsh(spark, sf_dir):
     return similarity.cosine_near_dup_blocked(
         _embs(spark, sf_dir), COS_DUP_THRESHOLD,
@@ -806,6 +833,25 @@ ORACLES["text_langid"] = f"""
     SELECT doc_id, CASE {' '.join(_cases)} ELSE '{_langs[-1]}' END AS pred_lang
     FROM s"""
 
+# recall report composes the two top-k oracles as subquery CTEs —
+# integer counting only, no float arithmetic to keep portable
+ORACLES["sim_recall_ann"] = f"""
+    WITH exact AS (SELECT query_id, neighbor_id
+                   FROM ({ORACLES['sim_topk_bruteforce']})),
+    ann AS (SELECT query_id, neighbor_id FROM ({ORACLES['sim_ann_lsh']})),
+    hits AS (SELECT e.query_id, COUNT(*) AS n_hits
+             FROM exact e JOIN ann a
+               ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+             GROUP BY 1),
+    ne AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+    na AS (SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY 1)
+    SELECT ne.query_id, ne.n_exact,
+           COALESCE(na.n_ann, 0) AS n_ann,
+           COALESCE(hits.n_hits, 0) AS n_hits
+    FROM ne
+    LEFT JOIN na  USING (query_id)
+    LEFT JOIN hits USING (query_id)"""
+
 QUERIES = [
     Query("dedup_exact", dedup_exact, ORACLES["dedup_exact"],
           "exact dedup via hash-groupBy (keeper + group size)"),
@@ -867,4 +913,6 @@ QUERIES = [
           "frame sampling kernel, 1->N mapInPandas shape (deterministic fake codec)"),
     Query("mm_decode_wav", mm_decode_wav, ORACLES["mm_decode_wav"],
           "REAL audio decode: stdlib wave RIFF round-trip via mapInPandas"),
+    Query("sim_recall_ann", sim_recall_ann, ORACLES["sim_recall_ann"],
+          "recall@k of LSH ANN vs the brute-force baseline (per query)"),
 ]
