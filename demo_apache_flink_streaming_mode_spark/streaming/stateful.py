@@ -197,3 +197,66 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+_NO_Q = -(1 << 60)  # "no qualified occurrence" sentinel (state holds longs)
+
+
+def funnel_matches(df: DataFrame, steps: list[str], within_ms: int,
+                   key: str = "user_id", ts: str = "ts",
+                   type_col: str = "event_type",
+                   tiebreak: str = "event_id") -> DataFrame:
+    """Streaming CEP funnel — same outputs as ``operators.cep.funnel_matches``.
+
+    State per key: the latest *qualified* timestamp of each step (k
+    longs) — exactly the per-row state the batch form threads through
+    its k window passes, and exactly the ValueState a FlinkCEP NFA
+    keeps for relaxed-contiguity ``followedBy`` chains. Each event is
+    evaluated against the PRE-event state (the batch form's
+    strictly-earlier window frame), then folded in.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    k = len(steps)
+
+    def handle(key_tuple: tuple, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        qs = [q if q != _NO_Q else None for q in state.get] if state.exists \
+            else [None] * k
+        out_ids, out_ms, out_prev = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts, tiebreak])
+            ms = _to_ms(pdf[ts])
+            for eid, m, ty in zip(pdf[tiebreak], ms, pdf[type_col]):
+                m = int(m)
+                new_qs = list(qs)
+                for i, step in enumerate(steps):
+                    if ty != step:
+                        continue
+                    if i == 0:
+                        new_qs[0] = m
+                    else:
+                        p = qs[i - 1]
+                        if p is not None and p >= m - within_ms:
+                            new_qs[i] = m
+                            if i == k - 1:
+                                out_ids.append(eid)
+                                out_ms.append(m)
+                                out_prev.append(p)
+                qs = new_qs
+        state.update(tuple(_NO_Q if q is None else q for q in qs))
+        if out_ids:
+            yield pd.DataFrame({key: key_tuple[0], tiebreak: out_ids,
+                                "complete_ms": out_ms,
+                                "prev_step_ms": out_prev})
+
+    out_schema = (f"{key} {_sql_type(df, key)}, "
+                  f"{tiebreak} {_sql_type(df, tiebreak)}, "
+                  "complete_ms long, prev_step_ms long")
+    state_schema = ", ".join(f"q{i} long" for i in range(k))
+    return df.groupBy(key).applyInPandasWithState(
+        handle,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)

@@ -416,3 +416,18 @@ def test_hll_registers_streaming_parity(spark, batch_events, stream_events):
             for r in sketches.hll_registers(
                 batch_events, ["event_type"], "user_id").collect()}
     assert final == want
+
+
+def test_cep_funnel_streaming_parity(spark, batch_events, stream_events):
+    """Streaming CEP funnel (k-long keyed state) == batch window form."""
+    from demo_apache_flink_streaming_mode_spark.operators import cep
+
+    steps = ["view", "click", "purchase"]
+    within = 12 * 3_600_000
+    _drain(stateful.funnel_matches(stream_events, steps, within),
+           "t_cep")
+    got = _rows(spark.table("t_cep"), "user_id", "event_id")
+    want = _rows(cep.funnel_matches(batch_events, steps, within),
+                 "user_id", "event_id")
+    assert got == want
+    assert len(got) > 0
