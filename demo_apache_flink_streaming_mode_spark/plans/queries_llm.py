@@ -117,6 +117,39 @@ def sim_ann_lsh(spark, sf_dir):
     return similarity.topk_lsh(queries, embs, TOPK, num_planes=NUM_PLANES, dim=DIM)
 
 
+def corpus_clean(spark, sf_dir):
+    """End-to-end curation decision per document — the query a
+    training-data pipeline actually ships: benchmark holdout > exact
+    dup > near-dup non-keeper > contaminated > keep, one reason code
+    per doc.
+
+    Pure composition of the judged component pipelines (exact dedup
+    groups, LSH->connected-components clusters, decontamination), so
+    the oracle is their oracle SELECTs as CTEs plus the same CASE —
+    definitions cannot drift. All joins are on doc_id/16-byte hashes.
+    """
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+    docs = _docs(spark, sf_dir)
+    exact = dedup_exact(spark, sf_dir)          # text_hash, keep_doc_id
+    clusters = dedup_clusters(spark, sf_dir)    # doc_id, is_keeper
+    decon = text_decontam(spark, sf_dir)        # doc_id, is_contaminated
+    bench = (hex_to_long(F.md5(F.concat(F.lit("bench:"),
+                                        F.col("doc_id").cast("string"))))
+             % DECON_MOD == 0)
+    d = (docs.select("doc_id", F.md5("text").alias("text_hash"),
+                     bench.alias("is_bench"))
+         .join(exact.select("text_hash", "keep_doc_id"), "text_hash")
+         .join(clusters.select("doc_id", "is_keeper"), "doc_id", "left")
+         .join(decon.select("doc_id", "is_contaminated"), "doc_id", "left"))
+    decision = (
+        F.when(F.col("is_bench"), "benchmark")
+        .when(F.col("doc_id") != F.col("keep_doc_id"), "exact_dup")
+        .when(~F.coalesce("is_keeper", F.lit(True)), "near_dup")
+        .when(F.coalesce("is_contaminated", F.lit(False)), "contaminated")
+        .otherwise("keep"))
+    return d.select("doc_id", decision.alias("decision"))
+
+
 def sim_recall_ann(spark, sf_dir):
     """Recall@k of the LSH ANN against the brute-force baseline, per
     query — the engine measuring its own approximation quality.
@@ -852,6 +885,25 @@ ORACLES["sim_recall_ann"] = f"""
     LEFT JOIN na  USING (query_id)
     LEFT JOIN hits USING (query_id)"""
 
+ORACLES["corpus_clean"] = f"""
+    WITH exact AS (SELECT * FROM ({ORACLES['dedup_exact']})),
+    clusters AS (SELECT * FROM ({ORACLES['dedup_clusters']})),
+    decon AS (SELECT * FROM ({ORACLES['text_decontam']})),
+    d AS (SELECT doc_id, md5(text) AS text_hash,
+                 ('0x' || substr(md5('bench:' || doc_id::VARCHAR), 1, 15)
+                 )::BIGINT % {DECON_MOD} = 0 AS is_bench
+          FROM documents)
+    SELECT d.doc_id,
+           CASE WHEN d.is_bench THEN 'benchmark'
+                WHEN d.doc_id <> e.keep_doc_id THEN 'exact_dup'
+                WHEN NOT COALESCE(c.is_keeper, TRUE) THEN 'near_dup'
+                WHEN COALESCE(dc.is_contaminated, FALSE) THEN 'contaminated'
+                ELSE 'keep' END AS decision
+    FROM d
+    JOIN exact e USING (text_hash)
+    LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    LEFT JOIN decon dc ON dc.doc_id = d.doc_id"""
+
 QUERIES = [
     Query("dedup_exact", dedup_exact, ORACLES["dedup_exact"],
           "exact dedup via hash-groupBy (keeper + group size)"),
@@ -915,4 +967,7 @@ QUERIES = [
           "REAL audio decode: stdlib wave RIFF round-trip via mapInPandas"),
     Query("sim_recall_ann", sim_recall_ann, ORACLES["sim_recall_ann"],
           "recall@k of LSH ANN vs the brute-force baseline (per query)"),
+    Query("corpus_clean", corpus_clean, ORACLES["corpus_clean"],
+          "end-to-end curation decision per doc (benchmark/exact/near/"
+          "contaminated/keep)"),
 ]
