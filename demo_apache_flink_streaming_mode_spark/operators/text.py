@@ -317,3 +317,31 @@ def tfidf_top_terms(docs: DataFrame, top_per_doc: int = 3,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_per_doc)
             .select("doc_id", "rank", "term", "tfidf"))
+
+
+# Simple-by-design PII patterns: character classes + bounded repetition
+# only — the subset where Java regex (Spark) and RE2 (DuckDB) agree, so
+# the oracle reproduces matches exactly. Production would swap in
+# validated pattern packs; the operator shape (count + replace in one
+# narrow projection) is the point.
+PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+PII_PHONE = r"\+[0-9][0-9-]{6,}[0-9]"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact email/phone PII per document.
+
+    One narrow per-row projection (regexp_extract_all + two
+    regexp_replace) — no shuffle at all; at 100 TB this is a pure
+    map stage that pipelines with the scan. The redacted text is
+    surfaced as its md5 so downstream comparison stays 16 bytes/row.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )

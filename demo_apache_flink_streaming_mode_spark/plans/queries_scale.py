@@ -16,7 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from demo_apache_flink_streaming_mode_spark.operators import sketches
+from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+from demo_apache_flink_streaming_mode_spark.operators import sketches, text
 from demo_apache_flink_streaming_mode_spark.plans.base import Query
 from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
 
@@ -81,6 +82,31 @@ def sketch_hll_windowed(spark, sf_dir):
                                 m=HLL_M)
     return (exact.join(est, ["event_type", "window_start"])
             .select("event_type", "window_start", "n_exact", "hll_est"))
+
+
+PII_MOD = 10  # every 10th doc (md5-picked) gets synthetic PII injected
+
+
+def text_pii_redact(spark, sf_dir):
+    """PII count + redaction over a deterministically PII-seeded corpus.
+
+    The test corpus contains no PII, so the query first injects a
+    synthetic email + phone into an md5-picked ~10% of docs (a
+    self-contained fixture, reproduced identically by the oracle), then
+    runs the redaction operator — which therefore demonstrably finds
+    and strips real matches rather than counting zeros.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    picked = (hex_to_long(F.md5(F.concat(F.lit("pii:"),
+                                         F.col("doc_id").cast("string"))))
+              % PII_MOD == 0)
+    injected = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    seeded = docs.withColumn("text", F.when(picked, injected)
+                             .otherwise(F.col("text")))
+    return text.pii_redact(seeded)
 
 
 def events_value_quantiles(spark, sf_dir):
@@ -190,6 +216,23 @@ ORACLES: dict[str, str] = {
         JOIN sk s0 ON s0.row = 0 AND s0.bucket = v.b0
         JOIN sk s1 ON s1.row = 1 AND s1.bucket = v.b1
         JOIN sk s2 ON s2.row = 2 AND s2.bucket = v.b2""",
+    "text_pii_redact": f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 CASE WHEN ('0x' || substr(md5('pii:' || doc_id::VARCHAR),
+                                           1, 15))::BIGINT % {PII_MOD} = 0
+                      THEN text || ' contact user' || doc_id::VARCHAR
+                           || '@example.com or +1-555-'
+                           || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                      ELSE text END AS text
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{text.PII_PHONE}')) AS n_phones,
+               md5(regexp_replace(
+                   regexp_replace(text, '{text.PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{text.PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash
+        FROM seeded""",
     "events_value_quantiles": """
         SELECT event_type,
                quantile_cont(value, 0.5)  AS p50,
@@ -229,4 +272,6 @@ QUERIES = [
     Query("sketch_hll_windowed", sketch_hll_windowed,
           ORACLES["sketch_hll_windowed"],
           "tumbling-window HLL distinct users (streaming-safe registers)"),
+    Query("text_pii_redact", text_pii_redact, ORACLES["text_pii_redact"],
+          "PII count + redaction (self-seeded fixture, shuffle-free map)"),
 ]
