@@ -117,6 +117,23 @@ def sim_ann_lsh(spark, sf_dir):
     return similarity.topk_lsh(queries, embs, TOPK, num_planes=NUM_PLANES, dim=DIM)
 
 
+def dedup_jaccard_report(spark, sf_dir):
+    """MinHash-estimate quality per candidate pair: signature-agreement
+    Jaccard vs the exact n-gram Jaccard, with the signed error — the
+    dedup analog of sim_recall_ann (the sketch measuring itself).
+
+    Zero-overlap candidates (LSH false positives with no shared gram)
+    surface with exact jaccard 0.0 via the left join."""
+    docs = _docs(spark, sf_dir)
+    est = dedup_minhash_lsh(spark, sf_dir)     # doc_a, doc_b, est_jaccard
+    exact = dedup.ngram_jaccard_pairs(docs, est.select("doc_a", "doc_b"),
+                                      shingle_n=SHINGLE_N)
+    j = F.coalesce("jaccard", F.lit(0.0))
+    return (est.join(exact, ["doc_a", "doc_b"], "left")
+            .select("doc_a", "doc_b", "est_jaccard", j.alias("jaccard"),
+                    (F.col("est_jaccard") - j).alias("est_error")))
+
+
 def corpus_clean(spark, sf_dir):
     """End-to-end curation decision per document — the query a
     training-data pipeline actually ships: benchmark holdout > exact
@@ -885,6 +902,30 @@ ORACLES["sim_recall_ann"] = f"""
     LEFT JOIN na  USING (query_id)
     LEFT JOIN hits USING (query_id)"""
 
+ORACLES["dedup_jaccard_report"] = f"""
+    WITH {_MINHASH_CTES},
+    est AS (SELECT doc_a, doc_b,
+                   len(list_filter(range(1, {NUM_HASHES}+1),
+                                   i -> sig_a[i] = sig_b[i]))
+                     / {float(NUM_HASHES)} AS est_jaccard
+            FROM pairs),
+    grams AS (SELECT doc_id, unnest(list_distinct(shingles)) AS g FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY 1),
+    inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+              FROM (SELECT DISTINCT doc_a, doc_b FROM pairs) p
+              JOIN grams ga ON ga.doc_id = p.doc_a
+              JOIN grams gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+              GROUP BY 1, 2),
+    ex AS (SELECT i.doc_a, i.doc_b, i.ni / (sa.ng + sb.ng - i.ni) AS jaccard
+           FROM inter i
+           JOIN sizes sa ON sa.doc_id = i.doc_a
+           JOIN sizes sb ON sb.doc_id = i.doc_b)
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           COALESCE(x.jaccard, 0.0) AS jaccard,
+           e.est_jaccard - COALESCE(x.jaccard, 0.0) AS est_error
+    FROM est e
+    LEFT JOIN ex x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b"""
+
 ORACLES["corpus_clean"] = f"""
     WITH exact AS (SELECT * FROM ({ORACLES['dedup_exact']})),
     clusters AS (SELECT * FROM ({ORACLES['dedup_clusters']})),
@@ -970,4 +1011,7 @@ QUERIES = [
     Query("corpus_clean", corpus_clean, ORACLES["corpus_clean"],
           "end-to-end curation decision per doc (benchmark/exact/near/"
           "contaminated/keep)"),
+    Query("dedup_jaccard_report", dedup_jaccard_report,
+          ORACLES["dedup_jaccard_report"],
+          "MinHash-estimate vs exact Jaccard per candidate pair"),
 ]
