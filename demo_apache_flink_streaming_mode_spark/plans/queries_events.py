@@ -177,6 +177,25 @@ def cep_funnel(spark, sf_dir):
                               FUNNEL_WITHIN_MS)
 
 
+def cep_funnel_rates(spark, sf_dir):
+    """Funnel conversion rollup: distinct users and completion events
+    per funnel prefix (step 1 = any first-step event; step k = the
+    k-step funnel's completions). One small row per step — the
+    dashboard number on top of the CEP operator."""
+    ev = _events(spark, sf_dir)
+
+    def stats(df, step):
+        return df.agg(F.lit(step).alias("step"),
+                      F.countDistinct("user_id").alias("n_users"),
+                      F.count("*").alias("n_events"))
+
+    out = stats(ev.filter(F.col("event_type") == FUNNEL_STEPS[0]), 1)
+    for k in range(2, len(FUNNEL_STEPS) + 1):
+        out = out.unionByName(stats(
+            cep.funnel_matches(ev, FUNNEL_STEPS[:k], FUNNEL_WITHIN_MS), k))
+    return out
+
+
 # --- oracles -------------------------------------------------------------
 
 _LAG_WINDOW = "(PARTITION BY user_id ORDER BY ts, event_id)"
@@ -313,6 +332,38 @@ ORACLES = {
         FROM o""",
 }
 
+def _funnel_sql(steps: list[str], within_ms: int) -> str:
+    """k-step funnel completions as SQL — the general form of the
+    hand-written cep_funnel oracle (same CTE chain, any k)."""
+    ctes = [
+        "e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms "
+        "FROM events)",
+        f"s0 AS (SELECT *, CASE WHEN event_type = '{steps[0]}' THEN ms END "
+        "AS q0 FROM e)",
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"p{i} AS (SELECT *, MAX(q{i-1}) OVER (PARTITION BY user_id "
+            "ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            f"1 PRECEDING) AS pp{i} FROM s{i-1})")
+        ctes.append(
+            f"s{i} AS (SELECT *, CASE WHEN event_type = '{steps[i]}' "
+            f"AND pp{i} >= ms - {within_ms} THEN ms END AS q{i} FROM p{i})")
+    last = len(steps) - 1
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT user_id, event_id FROM s{last} "
+            f"WHERE q{last} IS NOT NULL")
+
+
+ORACLES["cep_funnel_rates"] = " UNION ALL ".join(
+    [f"""SELECT 1 AS step, COUNT(DISTINCT user_id) AS n_users,
+                COUNT(*) AS n_events
+         FROM events WHERE event_type = '{FUNNEL_STEPS[0]}'"""]
+    + [f"""SELECT {k} AS step, COUNT(DISTINCT user_id) AS n_users,
+                  COUNT(*) AS n_events
+           FROM ({_funnel_sql(FUNNEL_STEPS[:k], FUNNEL_WITHIN_MS)})"""
+       for k in range(2, len(FUNNEL_STEPS) + 1)])
+
 QUERIES = [
     Query("t1_parse_project", t1_parse_project, ORACLES["t1_parse_project"],
           "T1 map/projection + literal tag (BasicStreamingOperations.java:64-88)"),
@@ -354,4 +405,6 @@ QUERIES = [
           "W2/W3 watermark + late-data classification (EventTimeOperations.java:88-134)"),
     Query("cep_funnel", cep_funnel, ORACLES["cep_funnel"],
           "CEP funnel view->click->purchase within 12h (FlinkCEP followedBy analog)"),
+    Query("cep_funnel_rates", cep_funnel_rates, ORACLES["cep_funnel_rates"],
+          "funnel conversion rollup: users + completions per step prefix"),
 ]

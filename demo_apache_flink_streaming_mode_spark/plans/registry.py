@@ -36,6 +36,7 @@ _VERIFY_TAIL: tuple[str, ...] = (
     "q10_returned_items",
     "q13_order_distribution",
     "q18_large_orders",
+    "cep_funnel_rates",
 )
 assert set(_VERIFY_TAIL) <= {q.name for q in _MERGED}
 
