@@ -1,7 +1,8 @@
-"""Sketch + chunking queries (operators/sketches.py) with DuckDB twins.
+"""Round-3 scale-operator queries with DuckDB twins.
 
-HLL distinct over ``events``, count-min term frequencies and
-content-defined chunk dedup over ``documents``. Every oracle reproduces
+HLL distinct (global + windowed) over ``events``, count-min term
+frequencies, content-defined chunk dedup, and PII redaction over
+``documents``, plus exact per-group quantiles. Every oracle reproduces
 the Spark math bit-for-bit: md5-derived hashes, integer bit arithmetic,
 and an exact DECIMAL register sum (see operators/sketches.py docstring
 for why no float accumulation or libm call appears on either side).
