@@ -49,13 +49,24 @@ def hll_registers(df: DataFrame, key_cols: list[str], value_col: str,
     ``hll_distinct``. Parity of the two forms is asserted in
     tests/test_streaming.py.
     """
+    bucket, rho = hll_bucket_rho(value_col, m)
+    return (df.select(*key_cols, bucket, rho)
+            .groupBy(*key_cols, "bucket").agg(F.max("rho").alias("reg")))
+
+
+def hll_bucket_rho(value_col: str, m: int = HLL_M) -> tuple[Column, Column]:
+    """The per-row sketch projection: (bucket, rho) columns for a value.
+
+    Exposed separately so streaming pipelines can compose them with
+    their own watermarked `window()` grouping (see the windowed
+    streaming test) while batch goes through ``hll_registers``.
+    """
     h = F.md5(F.col(value_col).cast("string"))
     bucket = (hex_to_long(h, 1, 2) % m).alias("bucket")
     v60 = hex_to_long(h, 3, 15)
     rho = (F.when(v60 == 0, F.lit(61))
            .otherwise(F.lit(61) - F.length(F.bin(v60)))).alias("rho")
-    return (df.select(*key_cols, bucket, rho)
-            .groupBy(*key_cols, "bucket").agg(F.max("rho").alias("reg")))
+    return bucket, rho
 
 
 def hll_distinct(df: DataFrame, key_cols: list[str], value_col: str,

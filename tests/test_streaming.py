@@ -431,3 +431,34 @@ def test_cep_funnel_streaming_parity(spark, batch_events, stream_events):
                  "user_id", "event_id")
     assert got == want
     assert len(got) > 0
+
+
+def test_hll_windowed_append_watermark(spark, events_csv_timeordered):
+    """Windowed HLL registers in production form: append mode +
+    watermark evicting closed windows. Emitted register set == batch
+    registers restricted to windows closed by the final watermark."""
+    from demo_apache_flink_streaming_mode_spark.operators import sketches
+
+    s = _typed(sources.file_stream(spark, events_csv_timeordered, EVENTS_CSV,
+                                   max_files_per_trigger=1))
+    bucket, rho = sketches.hll_bucket_rho("user_id")
+    agg = (pipelines.with_event_time(s, "ts", "30 minutes")
+           .select("ts", "event_type", bucket, rho)
+           .groupBy(F.window("ts", "1 hour"), "event_type", "bucket")
+           .agg(F.max("rho").alias("reg"))
+           .select(F.unix_millis(F.col("window.start")).alias("window_start"),
+                   "event_type", "bucket", "reg"))
+    q = _drain(agg, "t_hll_w", mode="append")
+    wm = _final_watermark_ms(q)
+    got = _rows(spark.table("t_hll_w"), "window_start", "event_type", "bucket")
+    batch = _typed(spark.read.schema(EVENTS_CSV).csv(events_csv_timeordered))
+    bw = batch.select(
+        "user_id", "event_type",
+        F.unix_millis(F.window("ts", "1 hour").start).alias("window_start"))
+    want = _rows(sketches.hll_registers(
+        bw, ["window_start", "event_type"], "user_id")
+        .filter(F.col("window_start") + 3_600_000 <= wm)
+        .select("window_start", "event_type", "bucket", "reg"),
+        "window_start", "event_type", "bucket")
+    assert len(got) > 0
+    assert got == want
