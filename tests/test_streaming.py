@@ -462,3 +462,27 @@ def test_hll_windowed_append_watermark(spark, events_csv_timeordered):
         "window_start", "event_type", "bucket")
     assert len(got) > 0
     assert got == want
+
+
+def test_cms_sketch_streaming_parity(spark, batch_events, stream_events):
+    """Count-min sketch state is additive counts -> runs unchanged as an
+    update-mode streaming agg; final per-(row, bucket) counter equals
+    the batch sketch (here over event_type as the item stream)."""
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+
+    def sketch(df):
+        rows = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("row")
+        return (df.select(F.col("event_type").alias("term"), rows)
+                .withColumn("bucket",
+                            hex_to_long(F.md5(F.concat_ws(":", "row", "term")),
+                                        1, 4) % 256)
+                .groupBy("row", "bucket").agg(F.count("*").alias("cnt")))
+
+    _drain(sketch(stream_events), "t_cms", mode="update")
+    final = {}
+    for r in spark.table("t_cms").collect():
+        final[(r["row"], r["bucket"])] = r["cnt"]
+    want = {(r["row"], r["bucket"]): r["cnt"]
+            for r in sketch(batch_events).collect()}
+    assert final == want
+    assert len(final) > 0
