@@ -110,6 +110,34 @@ def text_pii_redact(spark, sf_dir):
     return text.pii_redact(seeded)
 
 
+def corpus_report(spark, sf_dir):
+    """Curation dashboard: per (source, lang) doc counts, kept-doc
+    counts after corpus_clean decisions, and mean quality score — the
+    rollup a data curator reads before shipping a training mix.
+
+    The mean floors each quality score to exact integer micro-units
+    before summing — NOT a decimal(38,6) cast: for computed doubles
+    (unlike the parquet-born decimals in the TPC-H sums) the
+    decimal-cast rounding can differ across engines at a decimal
+    midpoint (observed at sf0.001), while floor(x * 1e6) is exact IEEE
+    on both sides and the integer sum is order-free. Kept docs are a
+    filtered COUNT so both engines stay in BIGINT.
+    """
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        corpus_clean, text_quality)
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text_quality(spark, sf_dir)
+    decisions = corpus_clean(spark, sf_dir)
+    joined = (docs.select("doc_id", "source", "lang")
+              .join(quality, "doc_id").join(decisions, "doc_id"))
+    return (joined.groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count(F.when(F.col("decision") == "keep", 1))
+                 .alias("n_kept"),
+                 (F.sum(F.floor(F.col("quality") * F.lit(1e6))).cast("double")
+                  / F.lit(1e6) / F.count("*")).alias("mean_quality")))
+
+
 def events_value_quantiles(spark, sf_dir):
     """Exact p50/p95/p99 of event value per type.
 
@@ -234,6 +262,7 @@ ORACLES: dict[str, str] = {
                    regexp_replace(text, '{text.PII_EMAIL}', '<EMAIL>', 'g'),
                    '{text.PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash
         FROM seeded""",
+    "corpus_report": None,  # assigned below (composes queries_llm oracles)
     "events_value_quantiles": """
         SELECT event_type,
                quantile_cont(value, 0.5)  AS p50,
@@ -257,6 +286,23 @@ ORACLES: dict[str, str] = {
         FROM chunks GROUP BY 1 HAVING COUNT(*) > 1""",
 }
 
+def _llm_oracles() -> dict[str, str]:
+    from demo_apache_flink_streaming_mode_spark.plans import queries_llm
+    return queries_llm.ORACLES
+
+
+ORACLES["corpus_report"] = f"""
+    WITH q AS ({_llm_oracles()['text_quality']}),
+    d AS ({_llm_oracles()['corpus_clean']})
+    SELECT s.source, s.lang, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE d.decision = 'keep') AS n_kept,
+           SUM(FLOOR(q.quality * 1000000.0))::DOUBLE / 1000000.0 / COUNT(*)
+               AS mean_quality
+    FROM documents s
+    JOIN q USING (doc_id)
+    JOIN d USING (doc_id)
+    GROUP BY 1, 2"""
+
 QUERIES = [
     Query("sketch_hll_users", sketch_hll_users, ORACLES["sketch_hll_users"],
           "HyperLogLog distinct-user estimate per event type (m=64, exact "
@@ -275,4 +321,6 @@ QUERIES = [
           "tumbling-window HLL distinct users (streaming-safe registers)"),
     Query("text_pii_redact", text_pii_redact, ORACLES["text_pii_redact"],
           "PII count + redaction (self-seeded fixture, shuffle-free map)"),
+    Query("corpus_report", corpus_report, ORACLES["corpus_report"],
+          "per-(source, lang) curation dashboard: docs, kept, mean quality"),
 ]
