@@ -78,25 +78,36 @@ def main() -> None:
             log(f"p{p} {q.name}: {dt}s")
             passes[q.name].append(dt)
 
-    # headline value stays min-of-N; raw per-pass timings go to stderr
-    # and a side file, NOT the stdout JSON line — the driver parses that
-    # line from a bounded tail window, and r02's passes-inflated line
-    # overflowed it (BENCH_r02.json: "parsed": null). Keep stdout short.
+    # Headline value is min-of-N. The driver parses the FINAL stdout
+    # line from a bounded tail window; r02 and r03 both overflowed it by
+    # inlining the 74-entry per-query dict ("parsed": null). So the
+    # stdout line is now compact (fits any tail window) and the full
+    # per-query min map + per-pass raws live in committed side files.
     timings = {name: min(ts) for name, ts in passes.items()}
     total = round(sum(timings.values()), 3)
     log("passes: " + json.dumps(passes))
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_passes.json"), "w") as f:
-            json.dump(passes, f)
-    except OSError as e:  # side data must never sink the headline line
-        log(f"could not write bench_passes.json: {e}")
-    print(json.dumps({
+    here = os.path.dirname(os.path.abspath(__file__))
+    result = {
         "metric": "total_query_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+    }
+    for fname, payload in (("bench_passes.json", passes),
+                           ("bench_result.json", result)):
+        try:
+            with open(os.path.join(here, fname), "w") as f:
+                json.dump(payload, f, indent=1)
+        except OSError as e:  # side data must never sink the headline line
+            log(f"could not write {fname}: {e}")
+    print(json.dumps({
+        "metric": "total_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf,
+        "queries_file": "bench_result.json",
     }))
 
 
