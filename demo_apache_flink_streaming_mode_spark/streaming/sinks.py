@@ -68,10 +68,42 @@ def console_sink(df: DataFrame, output_mode: str = "append",
             .option("truncate", truncate).outputMode(output_mode))
 
 
+def drain_available(q: StreamingQuery, timeout_s: int = 120,
+                    settle_batches: int = 2) -> None:
+    """Wait until an availableNow query has consumed all available
+    input, then stop it if it is still running.
+
+    Stateless availableNow queries self-terminate and this just waits
+    for that. Stateful operators with ``ProcessingTimeTimeout`` do NOT
+    self-terminate under availableNow (observed on Spark 4.x: the
+    engine keeps scheduling timeout-processing batches indefinitely,
+    even after all state is evicted), so source exhaustion is detected
+    instead: once ``settle_batches`` consecutive batches read zero
+    input rows, every handler output and any due timeout eviction has
+    been processed, and the query is stopped explicitly.
+    """
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    zero_batches = 0
+    last_batch = None
+    while time.monotonic() < deadline and q.isActive:
+        p = q.lastProgress
+        if p is not None and p["batchId"] != last_batch:
+            last_batch = p["batchId"]
+            zero_batches = zero_batches + 1 if p["numInputRows"] == 0 else 0
+            if zero_batches >= settle_batches:
+                break
+        time.sleep(0.25)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(timeout_s)
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append",
                   timeout_s: int = 120) -> StreamingQuery:
     """Test/debug helper: drain all currently-available input into an
-    in-memory table `name` (query runs with availableNow and terminates).
+    in-memory table `name` (availableNow + ``drain_available``).
 
     The memory sink collects to the driver — test-scale only, never a
     production path.
@@ -79,5 +111,5 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append",
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode)
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    drain_available(q, timeout_s)
     return q

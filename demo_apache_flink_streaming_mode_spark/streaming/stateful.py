@@ -17,6 +17,21 @@ preserve per-key arrival order, and its generators emit in order).
 Scale: state is one small tuple per key in the state store (RocksDB
 provider for large key spaces); Arrow transfer is batched per
 micro-batch, not per row.
+
+State eviction: with an open key domain (user_id at 100 TB), per-key
+state must not live forever. Every operator here registers a
+processing-time timeout (``GroupStateTimeout.ProcessingTimeTimeout``)
+and evicts keys idle past ``state_ttl_ms``. Defaults are tied to each
+operator's own semantic horizon (ST1: 10x its ``threshold_ms``; CEP
+funnel: 10x its ``within_ms`` — the x10 is processing-time slack over
+the event-time horizon, since a key's events can arrive slower than
+wall-clock). ST2 sessionization and the as-of join have no intrinsic
+horizon, so they default to ``_DEFAULT_IDLE_TTL_MS`` (1 day idle);
+eviction there is semantically a session restart / dropped carry row,
+exactly what an explicit end-of-session event would produce. For any
+key whose events all arrive within its TTL, eviction never fires and
+outputs are identical to the batch twins (parity-tested, plus explicit
+eviction tests in tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -30,6 +45,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _MS = 1_000_000  # ns -> ms divisor
 
+# Idle-key TTL for operators with no intrinsic event-time horizon
+# (ST2 sessionization, as-of carry state): one day of processing-time
+# idleness before the key's state is evicted.
+_DEFAULT_IDLE_TTL_MS = 24 * 60 * 60 * 1000
+
 
 def _to_ms(col: pd.Series) -> pd.Series:
     return col.astype("int64") // _MS
@@ -41,14 +61,23 @@ def _sql_type(df: DataFrame, col: str) -> str:
 
 def repeat_action_alert(df: DataFrame, key: str, ts: str, action_col: str,
                         action: str, threshold_ms: int,
-                        tiebreak: str = "event_id") -> DataFrame:
+                        tiebreak: str = "event_id",
+                        state_ttl_ms: int | None = None) -> DataFrame:
     """ST1 streaming — same outputs as ``operators.stateful.repeat_action_alert``.
 
-    State: last `action` timestamp per key (one long).
+    State: last `action` timestamp per key (one long). A key idle
+    (processing-time) past ``state_ttl_ms`` (default 10x
+    ``threshold_ms``) is evicted — its stored timestamp could only
+    matter to an event arriving within ``threshold_ms`` event-time,
+    so for keys arriving within the TTL the output is unchanged.
     """
+    ttl_ms = state_ttl_ms if state_ttl_ms is not None else 10 * threshold_ms
 
     def handle(key_tuple: tuple, pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         last_ms = state.get[0] if state.exists else None
         out_ids, out_diffs = [], []
         for pdf in pdfs:
@@ -64,6 +93,7 @@ def repeat_action_alert(df: DataFrame, key: str, ts: str, action_col: str,
                 last_ms = int(m)
         if last_ms is not None:
             state.update((last_ms,))
+            state.setTimeoutDuration(ttl_ms)
         if out_ids:
             yield pd.DataFrame({key: key_tuple[0], "event_id": out_ids,
                                 "time_diff_ms": out_diffs})
@@ -75,20 +105,28 @@ def repeat_action_alert(df: DataFrame, key: str, ts: str, action_col: str,
         outputStructType=out_schema,
         stateStructType="last_ms long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout)
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
 
 
 def action_durations(df: DataFrame, key: str, ts: str, action_col: str,
                      start_action: str, end_action: str,
-                     tiebreak: str = "event_id") -> DataFrame:
+                     tiebreak: str = "event_id",
+                     state_ttl_ms: int = _DEFAULT_IDLE_TTL_MS) -> DataFrame:
     """ST2 streaming — same outputs as ``operators.stateful.action_durations``.
 
     State: (last_action, last_ms) per key; `end_action` clears it
-    (session end), every other event overwrites it.
+    (session end), every other event overwrites it. A key idle past
+    ``state_ttl_ms`` is evicted — the operator has no intrinsic
+    event-time horizon, so eviction is defined as a session restart:
+    the key's next event behaves exactly as if an ``end_action`` had
+    been seen (no duration, session restarts).
     """
 
     def handle(key_tuple: tuple, pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         prev_a, prev_ms = state.get if state.exists else (None, None)
         rows: list[tuple] = []
         for pdf in pdfs:
@@ -110,6 +148,7 @@ def action_durations(df: DataFrame, key: str, ts: str, action_col: str,
             state.remove()
         else:
             state.update((prev_a, prev_ms))
+            state.setTimeoutDuration(state_ttl_ms)
         if rows:
             yield pd.DataFrame(rows, columns=[key, "event_id",
                                               "prev_action", "duration_ms"])
@@ -122,11 +161,12 @@ def action_durations(df: DataFrame, key: str, ts: str, action_col: str,
         outputStructType=out_schema,
         stateStructType="last_action string, last_ms long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout)
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,
-              left_ts: str, right_ts: str) -> DataFrame:
+              left_ts: str, right_ts: str,
+              state_ttl_ms: int = _DEFAULT_IDLE_TTL_MS) -> DataFrame:
     """J2 streaming — backward as-of join with keyed state.
 
     The batch twin (``operators.joins.asof_join``) carries the last
@@ -145,7 +185,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     be disjoint across the two sides.
 
     Scale: state is ONE small tuple per key (RocksDB-friendly); the
-    only shuffle is the groupBy(key) exchange both sides share.
+    only shuffle is the groupBy(key) exchange both sides share. Right-
+    side retention: a key idle past ``state_ttl_ms`` drops its carried
+    right row (left rows arriving after eviction join to nulls, same
+    as a never-seen key) — bounding state on an open key domain.
     """
     lcols = [c for c in left.columns if c != key]
     rcols = [c for c in right.columns if c != key]
@@ -164,6 +207,9 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
 
     def handle(key_tuple: tuple, pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         st = tuple(state.get) if state.exists else None
         out_rows: list[tuple] = []
         for pdf in pdfs:
@@ -182,6 +228,7 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
                          *(st[1:] if st is not None else (None,) * len(rcols))))
         if st is not None:
             state.update(st)
+            state.setTimeoutDuration(state_ttl_ms)
         if out_rows:
             yield pd.DataFrame(out_rows, columns=[key, *lcols, *rcols])
 
@@ -196,7 +243,7 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout)
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
 
 
 _NO_Q = -(1 << 60)  # "no qualified occurrence" sentinel (state holds longs)
@@ -205,8 +252,9 @@ _NO_Q = -(1 << 60)  # "no qualified occurrence" sentinel (state holds longs)
 def funnel_matches(df: DataFrame, steps: list[str], within_ms: int,
                    key: str = "user_id", ts: str = "ts",
                    type_col: str = "event_type",
-                   tiebreak: str = "event_id") -> DataFrame:
-    """Streaming CEP funnel — same outputs as ``operators.cep.funnel_matches``.
+                   tiebreak: str = "event_id",
+                   state_ttl_ms: int | None = None) -> DataFrame:
+    """Streaming CEP funnel — batch-parity form of ``operators.cep.funnel_matches``.
 
     State per key: the latest *qualified* timestamp of each step (k
     longs) — exactly the per-row state the batch form threads through
@@ -214,13 +262,28 @@ def funnel_matches(df: DataFrame, steps: list[str], within_ms: int,
     keeps for relaxed-contiguity ``followedBy`` chains. Each event is
     evaluated against the PRE-event state (the batch form's
     strictly-earlier window frame), then folded in.
+
+    Parity contract: state folds events in per-micro-batch sorted
+    (ts, tiebreak) order, so outputs equal the batch form only under
+    the module's per-key in-order-arrival assumption — an earlier-ts
+    event arriving in a LATER trigger is applied after newer events
+    and can diverge from the batch window form.
+
+    Eviction: a key idle (processing-time) past ``state_ttl_ms``
+    (default 10x ``within_ms``) is evicted. Stored step timestamps
+    older than ``within_ms`` can never qualify a later step, so for
+    keys arriving within the TTL the output is unchanged.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
     k = len(steps)
+    ttl_ms = state_ttl_ms if state_ttl_ms is not None else 10 * within_ms
 
     def handle(key_tuple: tuple, pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         qs = [q if q != _NO_Q else None for q in state.get] if state.exists \
             else [None] * k
         out_ids, out_ms, out_prev = [], [], []
@@ -245,6 +308,7 @@ def funnel_matches(df: DataFrame, steps: list[str], within_ms: int,
                                 out_prev.append(p)
                 qs = new_qs
         state.update(tuple(_NO_Q if q is None else q for q in qs))
+        state.setTimeoutDuration(ttl_ms)
         if out_ids:
             yield pd.DataFrame({key: key_tuple[0], tiebreak: out_ids,
                                 "complete_ms": out_ms,
@@ -259,4 +323,4 @@ def funnel_matches(df: DataFrame, steps: list[str], within_ms: int,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout)
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)

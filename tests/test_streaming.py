@@ -486,3 +486,84 @@ def test_cms_sketch_streaming_parity(spark, batch_events, stream_events):
             for r in sketch(batch_events).collect()}
     assert final == want
     assert len(final) > 0
+
+
+# ---------------------------------------------------------------------------
+# State TTL / eviction (ProcessingTimeTimeout)
+# ---------------------------------------------------------------------------
+
+def _write_events_csv(path, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value)."""
+    import os
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(",".join(str(c) for c in r) + "\n")
+
+
+def _drain_ck(df, out, checkpoint):
+    """availableNow pass into a CSV file sink with an explicit
+    checkpoint (the memory sink refuses checkpoint recovery), so
+    successive passes resume source offsets AND persisted keyed state
+    (incl. the processing-time timeout deadlines)."""
+    q = (sinks.file_sink(df, out, checkpoint, fmt="csv")
+         .trigger(availableNow=True).start())
+    sinks.drain_available(q)
+    assert q.lastProgress is not None
+    return q
+
+
+_T0_US = 1_600_000_000_000_000  # stable epoch anchor (micros)
+
+
+def _st1_eviction_run(spark, tmp_path, name, ttl_ms, sleep_s):
+    """Three availableNow passes over one checkpoint:
+    1. key 1 + key 2 'error' events (key 1 state is set);
+    2. (after sleeping `sleep_s`) key 2 filler — triggers a batch in
+       which key 1 has no data, so an expired timeout evicts it;
+    3. a second key-1 'error' well inside the event-time threshold —
+       alerts ONLY if key 1's state survived.
+    Returns all alert rows for key 1 across the three passes.
+    """
+    import os
+    import time
+    d = str(tmp_path / f"in_{name}")
+    ck = str(tmp_path / f"ck_{name}")
+    out = str(tmp_path / f"out_{name}")
+    os.makedirs(d, exist_ok=True)  # source dir must exist at plan time
+    stream = _typed(sources.file_stream(spark, d, EVENTS_CSV))
+    alerts = stateful.repeat_action_alert(
+        stream, "user_id", "ts", "event_type",
+        action="error", threshold_ms=3_600_000, state_ttl_ms=ttl_ms)
+
+    _write_events_csv(f"{d}/f1.csv", [
+        (1, _T0_US, 1, "error", 0.0),
+        (2, _T0_US, 2, "error", 0.0),
+    ])
+    _drain_ck(alerts, out, ck)
+
+    time.sleep(sleep_s)
+    _write_events_csv(f"{d}/f2.csv", [(3, _T0_US + 5_000_000, 2, "noise", 0.0)])
+    _drain_ck(alerts, out, ck)
+
+    _write_events_csv(f"{d}/f3.csv", [(4, _T0_US + 10_000_000, 1, "error", 0.0)])
+    _drain_ck(alerts, out, ck)
+    back = spark.read.schema(
+        "user_id long, event_id long, time_diff_ms long").csv(out)
+    return [tuple(r) for r in back.filter(F.col("user_id") == 1).collect()]
+
+
+def test_st1_idle_state_evicted(spark, tmp_path):
+    """A key idle past its TTL is evicted: the next event is treated as
+    a first occurrence (no alert), exactly as if state never existed."""
+    got = _st1_eviction_run(spark, tmp_path, "ev", ttl_ms=1_000, sleep_s=2.5)
+    assert got == []
+
+
+def test_st1_in_horizon_state_survives(spark, tmp_path):
+    """Control for the eviction test: with a TTL far beyond the idle
+    gap the same sequence DOES alert — proving the eviction test
+    detects state survival rather than passing vacuously."""
+    got = _st1_eviction_run(spark, tmp_path, "ctrl",
+                            ttl_ms=3_600_000, sleep_s=0)
+    assert len(got) == 1 and got[0][1] == 4  # event_id 4 alerted
