@@ -8,17 +8,21 @@ large blobs and inlines small ones; either way the Spark-side plumbing
 same and is what this module implements and tests.
 
 Codec status: audio has a REAL decode path (``wav_decode_features`` —
-stdlib ``wave`` RIFF parsing, no external libs). Image/video decode
-needs libraries not present in this container, so those kernels are
-STUBBED: ``decode_features(..., codec="fake")`` produces deterministic
-pseudo-features from the bytes; ``codec="real"`` raises
-NotImplementedError at the first batch. Everything around the kernels —
-binary ingest, chunk manifest, Arrow batching, output schema — is real.
+stdlib ``wave`` RIFF parsing) and uncompressed images have one too
+(``bmp_decode_features`` — stdlib ``struct`` BMP/DIB parsing: file
+header, BITMAPINFOHEADER, palette, bottom-up padded rows). Compressed
+image formats and video need codec libraries not present in this
+container, so those kernels stay STUBBED: ``decode_features(...,
+codec="fake")`` produces deterministic pseudo-features from the bytes;
+``codec="real"`` raises NotImplementedError at the first batch.
+Everything around the kernels — binary ingest, chunk manifest, Arrow
+batching, output schema — is real.
 """
 
 from __future__ import annotations
 
 import io
+import struct
 import wave
 from collections.abc import Iterator
 from typing import Literal
@@ -135,6 +139,73 @@ def wav_decode_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, schema=WAV_SCHEMA)
+
+
+BMP_WIDTH = 64  # pixels per row; 8bpp stride 64 is already 4-byte aligned
+BMP_SCHEMA = ("doc_id bigint, width int, height int, bpp int, "
+              "n_px bigint, max_px int, mean_px double")
+
+
+def _encode_bmp(payload: bytes) -> bytes:
+    """Containerize payload bytes as an 8-bit grayscale BMP: each byte
+    is one pixel, rows of BMP_WIDTH, last row zero-padded, rows stored
+    bottom-up per the DIB spec, 256-entry gray palette."""
+    w = BMP_WIDTH
+    h = (len(payload) + w - 1) // w
+    rows = [payload[r * w:(r + 1) * w].ljust(w, b"\x00") for r in range(h)]
+    px = b"".join(reversed(rows))
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    off = 14 + 40 + len(palette)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(px),
+                       2835, 2835, 256, 0)
+    head = struct.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
+    return head + info + palette + px
+
+
+def bmp_decode_features(media: DataFrame) -> DataFrame:
+    """REAL image decode via stdlib ``struct`` BMP parsing (no external libs).
+
+    Mirrors ``wav_decode_features``: each payload is containerized as an
+    8-bit grayscale BMP (``_encode_bmp``) then decoded back by walking
+    the actual container structure — BITMAPFILEHEADER magic + pixel
+    offset, BITMAPINFOHEADER dims/bpp/compression, 4-byte-aligned
+    bottom-up rows reassembled top-down — inside the same Arrow-batched
+    mapInPandas shape as the other kernels. ``codec="real"`` therefore
+    no longer raises for uncompressed images.
+
+    Oracle-able because the pixels ARE the payload bytes plus
+    deterministic zero padding to a full last row: width/height/bpp and
+    the max/mean over all width*height pixels are SQL-expressible over
+    the text's byte values.
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "bpp",
+                                    "n_px", "max_px", "mean_px")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                blob = _encode_bmp(bytes(payload))
+                magic, _fsize, _r1, _r2, off = struct.unpack_from(
+                    "<2sIHHI", blob, 0)
+                if magic != b"BM":
+                    raise ValueError("not a BMP stream")
+                (hsz, w, h, _planes, bpp, comp, _isz, _xp, _yp, _ncol,
+                 _nimp) = struct.unpack_from("<IiiHHIIiiII", blob, 14)
+                if hsz != 40 or comp != 0 or bpp != 8:
+                    raise ValueError("unsupported DIB variant")
+                stride = (w * bpp // 8 + 3) & ~3
+                px = b"".join(
+                    blob[off + r * stride: off + r * stride + w]
+                    for r in reversed(range(h)))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bpp"].append(bpp)
+                rows["n_px"].append(len(px))
+                rows["max_px"].append(max(px) if px else 0)
+                rows["mean_px"].append(sum(px) / len(px) if px else 0.0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=BMP_SCHEMA)
 
 
 RESIZED_SCHEMA = "doc_id bigint, media_type string, media binary, n_bytes bigint"

@@ -141,13 +141,15 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
 
 def ivf_assign(vecs: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "uv",
-               dim: int | None = None) -> DataFrame:
-    """Assign each vector to its nearest coarse centroid (IVF cell).
+               dim: int | None = None, n_probe: int = 1) -> DataFrame:
+    """Assign each vector to its `n_probe` nearest coarse centroids.
 
     On unit vectors argmin L2 == argmax cosine, so the score is the
     in-order dot fold (engine-portable). The centroid side is tiny by
     construction -> broadcast; ties break to the smallest cell id.
-    Output: (id, cell, uv).
+    Output: (id, cell, uv) — one row per (vector, probed cell);
+    ``n_probe=1`` (the default, used for corpus placement and k-means)
+    keeps exactly the nearest cell.
     """
     scored = (vecs.crossJoin(F.broadcast(centroids))
               .select(id_col, "cell", vec_col,
@@ -164,7 +166,7 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame,
     # pairs of primitives only — the vector rides along unsorted.
     w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cell"))
     return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .filter(F.col("rn") <= n_probe)
             .select(id_col, "cell", vec_col))
 
 
@@ -229,17 +231,35 @@ def kmeans_centroids(u: DataFrame, n_cells: int, iters: int,
 
 def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int, n_cells: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int | None = None, train_iters: int = 0) -> DataFrame:
+             dim: int | None = None, train_iters: int = 0,
+             nprobe: int = 1) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
-    `n_cells` cells, search only the query's own cell (nprobe=1).
+    `n_cells` cells, search the query's `nprobe` nearest cells.
 
     The coarse quantizer is deterministic: with ``train_iters=0`` the
     `n_cells` lowest-id vectors serve as centroids directly; with
     ``train_iters>0`` those seeds are refined by that many Lloyd's
     iterations (``kmeans_centroids``) — same dataflow either way. At
     100 TB: assignment is a narrow broadcast-join pass, the corpus
-    shuffles ONCE on cell id, and each query probes one cell — the
-    classic IVF trade of recall for a 1/n_cells search fan-in.
+    shuffles ONCE on cell id, and each query probes ``nprobe`` cells —
+    the classic IVF trade of recall vs a nprobe/n_cells search fan-in.
+    ``nprobe>1`` reuses the same assignment window with ``rn <=
+    nprobe`` (the per-cell scores are already computed), so extra
+    probes cost only the wider candidate join, not a second pass.
+    """
+    return topk_ivf_probes(queries, corpus, k, n_cells, [nprobe], id_col,
+                           vec_col, dim, train_iters)[nprobe]
+
+
+def topk_ivf_probes(queries: DataFrame, corpus: DataFrame, k: int,
+                    n_cells: int, nprobes: list[int],
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int | None = None,
+                    train_iters: int = 0) -> dict[int, DataFrame]:
+    """Shared-codebook IVF: train the coarse quantizer and place the
+    corpus ONCE, then emit one top-k result per requested ``nprobe`` —
+    the shape a recall sweep needs (training dominates; extra probe
+    widths only widen the candidate join).
     """
     u = unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
     if train_iters:
@@ -254,15 +274,30 @@ def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int, n_cells: int,
         centroids = seed_centroids(u, n_cells, id_col, "uv")
     assigned = ivf_assign(u, centroids, id_col, "uv", dim=dim)
     qset = queries.select(F.col(id_col).alias("query_id")).distinct()
-    q = (assigned.join(F.broadcast(qset), assigned[id_col] == F.col("query_id"))
-         .select("query_id", "cell", F.col("uv").alias("qv")))
     c = assigned.select(F.col(id_col).alias("neighbor_id"), "cell",
                         F.col("uv").alias("cv"))
-    scored = (F.broadcast(q).join(c, "cell")
-              .filter(F.col("query_id") != F.col("neighbor_id"))
-              .select("query_id", "neighbor_id",
-                      _dot(F.col("qv"), F.col("cv"), dim).alias("cos_sim")))
-    return _rank_topk(scored, k)
+    out: dict[int, DataFrame] = {}
+    for nprobe in nprobes:
+        if nprobe == 1:
+            # the query's nearest cell is its own placement row — reuse it
+            q = (assigned.join(F.broadcast(qset),
+                               assigned[id_col] == F.col("query_id"))
+                 .select("query_id", "cell", F.col("uv").alias("qv")))
+        else:
+            # query-side top-nprobe cells: same broadcast scoring pass,
+            # restricted to the (small) query subset before the window
+            qu = (u.join(F.broadcast(qset), u[id_col] == F.col("query_id"))
+                  .select(F.col("query_id").alias(id_col), "uv"))
+            q = (ivf_assign(qu, centroids, id_col, "uv", dim=dim,
+                            n_probe=nprobe)
+                 .select(F.col(id_col).alias("query_id"), "cell",
+                         F.col("uv").alias("qv")))
+        scored = (F.broadcast(q).join(c, "cell")
+                  .filter(F.col("query_id") != F.col("neighbor_id"))
+                  .select("query_id", "neighbor_id",
+                          _dot(F.col("qv"), F.col("cv"), dim).alias("cos_sim")))
+        out[nprobe] = _rank_topk(scored, k)
+    return out
 
 
 def cosine_near_dup_blocked(vecs: DataFrame, threshold: float,

@@ -32,6 +32,7 @@ FP_SHINGLE_N = 5
 SIMHASH_BITS = 16
 N_CELLS = 16            # IVF coarse cells
 KMEANS_ITERS = 2        # Lloyd's refinement passes for the trained codebook
+IVF_NPROBE = 2          # cells searched per query in the probe2 variant
 WINNOW_N, WINNOW_W = 3, 4
 BM25_TERMS = ("spark", "stream", "window")   # query bag for text_bm25
 BM25_K1, BM25_B, BM25_TOPN = 1.2, 0.75, 50
@@ -168,30 +169,44 @@ def corpus_clean(spark, sf_dir):
 
 
 def sim_recall_ann(spark, sf_dir):
-    """Recall@k of the LSH ANN against the brute-force baseline, per
-    query — the engine measuring its own approximation quality.
+    """Recall@k per ANN method — LSH, trained IVF nprobe=1, trained IVF
+    nprobe=2 — against the brute-force baseline, per query: the engine
+    measuring its own approximation quality and the nprobe recall knob.
 
-    Pure counting on top of the two existing top-k pipelines (hit =
-    same (query, neighbor) pair in both). Integer outputs only, so the
-    oracle is a join of the two existing oracle CTEs with no float
-    arithmetic at all.
+    Pure counting on top of the existing top-k pipelines (hit = same
+    (query, neighbor) pair in exact and approximate). The two IVF legs
+    share one trained codebook and corpus placement
+    (``topk_ivf_probes``), so the sweep pays k-means once. Integer
+    outputs only, so the oracle is a join of the existing oracle CTEs
+    with no float arithmetic at all.
     """
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
     exact = (similarity.topk_bruteforce(queries, embs, TOPK, dim=DIM)
              .select("query_id", "neighbor_id"))
-    ann = (similarity.topk_lsh(queries, embs, TOPK,
-                               num_planes=NUM_PLANES, dim=DIM)
-           .select("query_id", "neighbor_id"))
-    hits = (exact.join(ann, ["query_id", "neighbor_id"])
-            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    ivf = similarity.topk_ivf_probes(queries, embs, TOPK, n_cells=N_CELLS,
+                                     nprobes=[1, IVF_NPROBE], dim=DIM,
+                                     train_iters=KMEANS_ITERS)
+    methods = {
+        "lsh": similarity.topk_lsh(queries, embs, TOPK,
+                                   num_planes=NUM_PLANES, dim=DIM),
+        "ivf1": ivf[1],
+        f"ivf{IVF_NPROBE}": ivf[IVF_NPROBE],
+    }
     n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    n_ann = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
-    return (n_exact.join(n_ann, "query_id", "left")
-            .join(hits, "query_id", "left")
-            .select("query_id", "n_exact",
-                    F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
-                    F.coalesce("n_hits", F.lit(0)).alias("n_hits")))
+    out = None
+    for m, df in methods.items():
+        ann = df.select("query_id", "neighbor_id")
+        hits = (exact.join(ann, ["query_id", "neighbor_id"])
+                .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+        n_ann = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
+        leg = (n_exact.join(n_ann, "query_id", "left")
+               .join(hits, "query_id", "left")
+               .select(F.lit(m).alias("method"), "query_id", "n_exact",
+                       F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
+                       F.coalesce("n_hits", F.lit(0)).alias("n_hits")))
+        out = leg if out is None else out.unionByName(leg)
+    return out
 
 
 def dedup_cosine_lsh(spark, sf_dir):
@@ -216,6 +231,18 @@ def sim_topk_ivf_trained(spark, sf_dir):
     queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
     return similarity.topk_ivf(queries, embs, TOPK, n_cells=N_CELLS, dim=DIM,
                                train_iters=KMEANS_ITERS)
+
+
+def sim_topk_ivf_probe2(spark, sf_dir):
+    """Trained IVF with nprobe=2 (VERDICT r3 item 6): each query
+    searches its two nearest cells instead of one — the standard IVF
+    recall knob. The assignment window already scores every cell, so
+    probing two costs only the wider candidate join.
+    """
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.topk_ivf(queries, embs, TOPK, n_cells=N_CELLS, dim=DIM,
+                               train_iters=KMEANS_ITERS, nprobe=IVF_NPROBE)
 
 
 def text_bpe_stats(spark, sf_dir):
@@ -344,6 +371,20 @@ def mm_decode_wav(spark, sf_dir):
     return multimodal.wav_decode_features(media)
 
 
+def mm_decode_image(spark, sf_dir):
+    """REAL image decode: stdlib ``struct`` BMP container round-trip.
+
+    The payload is containerized as an 8-bit grayscale BMP (64-px rows,
+    zero-padded last row, bottom-up storage) and decoded back by
+    walking the actual container structure (operators.multimodal.
+    bmp_decode_features). The pixels are the payload bytes plus
+    deterministic padding, so the decoded dims and pixel stats are
+    reproduced by the oracle over the text's byte values.
+    """
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return multimodal.bmp_decode_features(media)
+
+
 def mm_resize(spark, sf_dir):
     """Resize/transcode kernel (1 row in -> 1 row out mapInPandas shape).
 
@@ -427,12 +468,15 @@ _EMB_D = (
     f"  n0 AS (SELECT vec_id, v, nullif(sqrt({_DOT.format(a='v', b='v')}), 0) AS nrm FROM e0),\n"
     "  e AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS uv FROM n0)")
 
-def _ivf_trained_oracle(train_iters: int) -> str:
+def _ivf_trained_oracle(train_iters: int, nprobe: int = 1) -> str:
     """Iterative Lloyd's-k-means oracle: one (assign, dims, cent) CTE
     trio per iteration, then the standard IVF probe with the trained
     centroids. Mirrors ``similarity.kmeans_centroids`` bit-for-bit:
     means are in-id-order left folds (list(... ORDER BY vec_id) then
     list_aggregate 'sum'), zero-norm vectors excluded from training.
+    ``nprobe`` widens the query-side probe to the ``rn <= nprobe``
+    nearest cells (corpus placement stays rn = 1), exactly like
+    ``similarity.topk_ivf(nprobe=...)``.
     """
     ctes = [f"""
         eg AS (SELECT vec_id, uv FROM e WHERE uv[1] IS NOT NULL),
@@ -469,12 +513,19 @@ def _ivf_trained_oracle(train_iters: int) -> str:
                        ORDER BY {_DOT.format(a='e.uv', b='c.cv')} DESC,
                                 c.cell ASC) AS rn
             FROM e, {cent} c) WHERE rn = 1),
+        qprobe AS (
+          SELECT vec_id, cell, uv FROM (
+            SELECT e.vec_id, c.cell, e.uv,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_DOT.format(a='e.uv', b='c.cv')} DESC,
+                                c.cell ASC) AS rn
+            FROM e, {cent} c
+            WHERE e.vec_id % {QUERY_MOD} = 0) WHERE rn <= {nprobe}),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  {_cos('q.uv', 'c.uv')} AS cos_sim
-          FROM assigned q JOIN assigned c
-            ON q.cell = c.cell AND q.vec_id <> c.vec_id
-          WHERE q.vec_id % {QUERY_MOD} = 0),
+          FROM qprobe q JOIN assigned c
+            ON q.cell = c.cell AND q.vec_id <> c.vec_id),
         ranked AS (
           SELECT query_id, neighbor_id, cos_sim,
                  ROW_NUMBER() OVER (PARTITION BY query_id
@@ -771,12 +822,17 @@ ORACLES = {
                {', '.join(f'CAST((n >> {s}) & 255 AS DOUBLE) AS f{s + 4}'
                           for s in range(MM_DIM - 4))}
         FROM h""",
+    # byte list derives from hex(encode(text)) pairs — actual UTF-8
+    # octets, NOT codepoints — so it agrees with the kernel's view of
+    # the payload even for non-ASCII text
     "mm_decode_wav": f"""
         WITH b AS (
           SELECT doc_id,
                  octet_length(encode(text)) AS n,
-                 list_transform(range(1, len(text) + 1),
-                                i -> ord(substr(text, i, 1))) AS bytes
+                 list_transform(range(0, octet_length(encode(text))),
+                                i -> ('0x' || substr(hex(encode(text)),
+                                                     2*i + 1, 2))::BIGINT)
+                   AS bytes
           FROM documents)
         SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
                {multimodal.WAV_RATE} AS sample_rate,
@@ -786,6 +842,29 @@ ORACLES = {
                     THEN list_aggregate(bytes, 'sum')::DOUBLE / n
                     ELSE 0.0 END AS mean_amp
         FROM b""",
+    # pixels are the UTF-8 payload bytes + zero padding to a full last
+    # 64-px row; dims and stats are exact byte math over that layout
+    "mm_decode_image": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 list_transform(range(0, octet_length(encode(text))),
+                                i -> ('0x' || substr(hex(encode(text)),
+                                                     2*i + 1, 2))::BIGINT)
+                   AS bytes
+          FROM documents),
+        d AS (SELECT doc_id, n, bytes,
+                     CAST(ceil(n / {float(multimodal.BMP_WIDTH)}) AS BIGINT)
+                       AS h
+              FROM b)
+        SELECT doc_id, {multimodal.BMP_WIDTH} AS width, CAST(h AS INT) AS height,
+               8 AS bpp, h * {multimodal.BMP_WIDTH} AS n_px,
+               CAST(COALESCE(list_max(bytes), 0) AS INT) AS max_px,
+               CASE WHEN h > 0
+                    THEN list_aggregate(bytes, 'sum')::DOUBLE
+                         / (h * {multimodal.BMP_WIDTH})
+                    ELSE 0.0 END AS mean_px
+        FROM d""",
     "mm_resize": f"""
         WITH h AS (
           SELECT doc_id, hex(encode(text)) AS hx,
@@ -820,6 +899,8 @@ ORACLES = {
 }
 
 ORACLES["sim_topk_ivf_trained"] = _ivf_trained_oracle(KMEANS_ITERS)
+ORACLES["sim_topk_ivf_probe2"] = _ivf_trained_oracle(KMEANS_ITERS,
+                                                     nprobe=IVF_NPROBE)
 
 
 def _bm25_oracle() -> str:
@@ -883,24 +964,36 @@ ORACLES["text_langid"] = f"""
     SELECT doc_id, CASE {' '.join(_cases)} ELSE '{_langs[-1]}' END AS pred_lang
     FROM s"""
 
-# recall report composes the two top-k oracles as subquery CTEs —
-# integer counting only, no float arithmetic to keep portable
+# recall report composes the per-method top-k oracles as subquery
+# CTEs (brute force, LSH, trained IVF at nprobe 1 and 2) — integer
+# counting only, no float arithmetic to keep portable. Every
+# (method, query) pair is emitted (cross join vs ne), matching the
+# Spark side's per-method left joins from n_exact.
 ORACLES["sim_recall_ann"] = f"""
     WITH exact AS (SELECT query_id, neighbor_id
                    FROM ({ORACLES['sim_topk_bruteforce']})),
-    ann AS (SELECT query_id, neighbor_id FROM ({ORACLES['sim_ann_lsh']})),
-    hits AS (SELECT e.query_id, COUNT(*) AS n_hits
+    ann AS (
+      SELECT 'lsh' AS method, query_id, neighbor_id
+      FROM ({ORACLES['sim_ann_lsh']})
+      UNION ALL
+      SELECT 'ivf1' AS method, query_id, neighbor_id
+      FROM ({_ivf_trained_oracle(KMEANS_ITERS, nprobe=1)})
+      UNION ALL
+      SELECT 'ivf{IVF_NPROBE}' AS method, query_id, neighbor_id
+      FROM ({_ivf_trained_oracle(KMEANS_ITERS, nprobe=IVF_NPROBE)})),
+    m AS (SELECT DISTINCT method FROM ann),
+    hits AS (SELECT a.method, e.query_id, COUNT(*) AS n_hits
              FROM exact e JOIN ann a
                ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-             GROUP BY 1),
+             GROUP BY 1, 2),
     ne AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
-    na AS (SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY 1)
-    SELECT ne.query_id, ne.n_exact,
+    na AS (SELECT method, query_id, COUNT(*) AS n_ann FROM ann GROUP BY 1, 2)
+    SELECT m.method, ne.query_id, ne.n_exact,
            COALESCE(na.n_ann, 0) AS n_ann,
            COALESCE(hits.n_hits, 0) AS n_hits
-    FROM ne
-    LEFT JOIN na  USING (query_id)
-    LEFT JOIN hits USING (query_id)"""
+    FROM ne CROSS JOIN m
+    LEFT JOIN na   ON na.method = m.method AND na.query_id = ne.query_id
+    LEFT JOIN hits ON hits.method = m.method AND hits.query_id = ne.query_id"""
 
 ORACLES["dedup_jaccard_report"] = f"""
     WITH {_MINHASH_CTES},
@@ -970,6 +1063,9 @@ QUERIES = [
     Query("sim_topk_ivf_trained", sim_topk_ivf_trained,
           ORACLES["sim_topk_ivf_trained"],
           "IVF top-k with k-means-trained codebook (Lloyd's as DataFrame aggs)"),
+    Query("sim_topk_ivf_probe2", sim_topk_ivf_probe2,
+          ORACLES["sim_topk_ivf_probe2"],
+          "trained IVF searching the query's 2 nearest cells (nprobe=2)"),
     Query("text_bpe_stats", text_bpe_stats, ORACLES["text_bpe_stats"],
           "BPE-style regex pre-tokenization counts"),
     Query("text_winnow", text_winnow, ORACLES["text_winnow"],
@@ -1006,8 +1102,10 @@ QUERIES = [
           "frame sampling kernel, 1->N mapInPandas shape (deterministic fake codec)"),
     Query("mm_decode_wav", mm_decode_wav, ORACLES["mm_decode_wav"],
           "REAL audio decode: stdlib wave RIFF round-trip via mapInPandas"),
+    Query("mm_decode_image", mm_decode_image, ORACLES["mm_decode_image"],
+          "REAL image decode: stdlib struct BMP round-trip via mapInPandas"),
     Query("sim_recall_ann", sim_recall_ann, ORACLES["sim_recall_ann"],
-          "recall@k of LSH ANN vs the brute-force baseline (per query)"),
+          "recall@k per method (LSH / IVF nprobe=1 / nprobe=2) vs brute force"),
     Query("corpus_clean", corpus_clean, ORACLES["corpus_clean"],
           "end-to-end curation decision per doc (benchmark/exact/near/"
           "contaminated/keep)"),
