@@ -178,16 +178,23 @@ def duplicate_chunks(chunks: DataFrame) -> DataFrame:
     whose text hash recurs, with the keeper occurrence (lowest doc,
     then lowest chunk id). Shuffles 16-byte hashes, not chunk text.
 
-    The keeper argmin is packed into one BIGINT (doc_id << 21 | chunk)
+    The keeper argmin is packed into one BIGINT (doc_id << 32 | chunk)
     instead of min(struct(...)) — struct aggregation buffers knock the
     groupBy out of HashAggregate into SortAggregate (see the plan guard
-    in tests/test_plans.py); a long min keeps the hash path."""
-    packed = F.min(F.shiftleft(F.col("doc_id"), 21) + F.col("chunk_id"))
+    in tests/test_plans.py); a long min keeps the hash path.
+
+    Packing bounds: doc_id < 2^31 and chunk_id < 2^32 (a single doc
+    would need ~69 G tokens at the default divisor to overflow the
+    chunk half; the doc half is a standard 31-bit id domain). Outside
+    those bounds the packed argmin would silently corrupt — re-key
+    docs or chunk coarser before this operator rather than widening
+    past 63 bits."""
+    packed = F.min(F.shiftleft(F.col("doc_id"), 32) + F.col("chunk_id"))
     return (chunks.groupBy("chunk_hash")
             .agg(F.count("*").alias("n_copies"),
                  F.countDistinct("doc_id").alias("n_docs"),
                  packed.alias("keep_key"))
             .filter(F.col("n_copies") > 1)
             .select("chunk_hash", "n_copies", "n_docs",
-                    F.shiftright(F.col("keep_key"), 21).alias("keep_doc_id"),
-                    (F.col("keep_key") % (1 << 21)).alias("keep_chunk_id")))
+                    F.shiftright(F.col("keep_key"), 32).alias("keep_doc_id"),
+                    (F.col("keep_key") % F.lit(1 << 32)).alias("keep_chunk_id")))

@@ -145,13 +145,35 @@ def events_value_quantiles(spark, sf_dir):
     (n-1)*p linear-interpolation definition and match bit-for-bit on
     doubles (verified at sf0.01). Exact percentile state is O(group
     size) — fine for a bounded type dimension; the 100 TB path for
-    high-cardinality keys is approx_percentile (t-digest), which is
-    deliberately NOT oracled because sketch internals aren't
-    cross-engine-reproducible.
+    high-cardinality keys is ``events_value_quantiles_approx`` below.
     """
     ev = load_table(spark, sf_dir, "events")
     return (ev.groupBy("event_type")
             .agg(F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("p"))
+            .select("event_type",
+                    F.col("p")[0].alias("p50"),
+                    F.col("p")[1].alias("p95"),
+                    F.col("p")[2].alias("p99")))
+
+
+APPROX_PCT_ACCURACY = 10_000  # 1/accuracy relative-rank error bound
+
+
+def events_value_quantiles_approx(spark, sf_dir):
+    """Sketched p50/p95/p99 per type — the high-cardinality path.
+
+    ``approx_percentile`` keeps bounded per-group state (a
+    KLL/GK-style summary of ~accuracy entries) regardless of group
+    size, so it scales to key domains where exact percentile's
+    O(group) buffer cannot. Deliberately NOT hash-oracled: sketch
+    internals aren't cross-engine-reproducible. Instead
+    tests/test_scale_ops.py asserts every approx value lands within
+    the sketch's rank-error band of the exact oracle values.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.expr(f"approx_percentile(value, array(0.5, 0.95, 0.99), "
+                        f"{APPROX_PCT_ACCURACY})").alias("p"))
             .select("event_type",
                     F.col("p")[0].alias("p50"),
                     F.col("p")[1].alias("p95"),
@@ -279,9 +301,9 @@ ORACLES: dict[str, str] = {
         WITH {_CDC_CTES}
         SELECT chunk_hash, COUNT(*) AS n_copies,
                COUNT(DISTINCT doc_id) AS n_docs,
-               (MIN((doc_id << 21) + chunk_id) // 2097152)::BIGINT
+               (MIN((doc_id << 32) + chunk_id) // 4294967296)::BIGINT
                    AS keep_doc_id,
-               (MIN((doc_id << 21) + chunk_id) % 2097152)::BIGINT
+               (MIN((doc_id << 32) + chunk_id) % 4294967296)::BIGINT
                    AS keep_chunk_id
         FROM chunks GROUP BY 1 HAVING COUNT(*) > 1""",
 }
@@ -316,6 +338,9 @@ QUERIES = [
     Query("events_value_quantiles", events_value_quantiles,
           ORACLES["events_value_quantiles"],
           "exact p50/p95/p99 per event type (interpolation parity)"),
+    Query("events_value_quantiles_approx", events_value_quantiles_approx,
+          None,  # sketch internals aren't cross-engine; banded pytest instead
+          "approx_percentile p50/p95/p99 (bounded state, high-cardinality path)"),
     Query("sketch_hll_windowed", sketch_hll_windowed,
           ORACLES["sketch_hll_windowed"],
           "tumbling-window HLL distinct users (streaming-safe registers)"),

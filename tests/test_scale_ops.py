@@ -379,3 +379,38 @@ def test_tfidf_equal_scores_tie_break_by_term(spark):
     out = [(r["rank"], r["term"])
            for r in tfidf_top_terms(docs, top_per_doc=2).collect()]
     assert sorted(out) == [(1, "alpha"), (2, "zebra")]
+
+
+def test_approx_quantiles_within_band_of_exact(spark, sf_dir):
+    """events_value_quantiles_approx lands within the sketch's rank
+    error of the exact per-group quantiles.
+
+    approx_percentile guarantees rank error <= n/accuracy, so instead
+    of comparing values directly (value error is unbounded for spread
+    distributions) we check the RANK of each approx value: the number
+    of group values <= approx answer must sit within accuracy-band of
+    the target rank. This is the property the sketch actually promises.
+    """
+    from demo_apache_flink_streaming_mode_spark.plans.queries_scale import (
+        APPROX_PCT_ACCURACY, events_value_quantiles_approx)
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+    approx = {r["event_type"]: (r["p50"], r["p95"], r["p99"])
+              for r in events_value_quantiles_approx(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    rows = ev.collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert set(approx) == set(by_type) and len(approx) > 0
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        band = max(1, n // APPROX_PCT_ACCURACY + 1)
+        import bisect
+        for q, got in zip((0.5, 0.95, 0.99), approx[et]):
+            target_rank = q * n
+            rank = bisect.bisect_right(vals, got)
+            assert abs(rank - target_rank) <= band + 1, (
+                f"{et} p{int(q*100)}: approx {got} has rank {rank}, "
+                f"target {target_rank:.1f}, band {band}")
