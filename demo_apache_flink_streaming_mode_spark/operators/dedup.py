@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+from demo_apache_flink_streaming_mode_spark.operators.scale import cut_lineage
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -182,8 +183,9 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     round is two shuffle equi-joins + a HashAggregate min — no
     all-pairs work, state linear in |V| + |E|. The driver only steers
     the loop (a converged? boolean per round); the data never leaves
-    the cluster, and ``localCheckpoint`` cuts the growing lineage so
-    round N's plan does not replay rounds 1..N-1.
+    the cluster, and ``cut_lineage`` (executor-local or reliable
+    checkpoint, per ``spark.graft.reliableCheckpoint``) cuts the
+    growing lineage so round N's plan does not replay rounds 1..N-1.
 
     Deterministic: min-labels are monotone non-increasing and converge
     to the component minimum regardless of partitioning or iteration
@@ -196,10 +198,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
              .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
              .distinct()
-             .localCheckpoint())
+             .transform(cut_lineage))
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("label", F.col("id"))
-              .localCheckpoint())
+              .transform(cut_lineage))
     for _ in range(max_iters):
         nbr_min = (edges.join(labels.select(F.col("id").alias("b"),
                                             F.col("label").alias("nl")), "b")
@@ -213,7 +215,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                                        F.col("label").alias("_l2")).alias("y"),
                         "label")
                   .select("id", F.col("_l2").alias("label")))
-        new_labels = jumped.localCheckpoint()
+        new_labels = jumped.transform(cut_lineage)
         converged = (new_labels.join(labels.withColumnRenamed("label", "old"), "id")
                      .filter(F.col("label") != F.col("old")).isEmpty())
         labels = new_labels

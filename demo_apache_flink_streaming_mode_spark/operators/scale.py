@@ -15,7 +15,38 @@ re-routes rows; multiplicity and values are untouched.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, functions as F
+
+RELIABLE_CHECKPOINT_CONF = "spark.graft.reliableCheckpoint"
+
+
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """Materialize an iterative-op intermediate and cut its lineage.
+
+    Iterative operators (connected components, Lloyd's k-means)
+    re-reference their round-N result; without a checkpoint the plan
+    replays rounds 1..N-1 per reference. Two modes, chosen by the
+    session conf ``spark.graft.reliableCheckpoint`` (default false):
+
+    - false: ``localCheckpoint`` — blocks cached on executors. Fast
+      (no FS round-trip) and right for local mode or static clusters,
+      but the lineage is GONE: losing an executor (dynamic allocation,
+      spot kill) makes the blocks unrecoverable mid-job.
+    - true: reliable ``checkpoint()`` — writes to the SparkContext
+      checkpoint dir (set ``sc.setCheckpointDir`` to durable shared
+      storage on a real cluster; a local temp dir is auto-provisioned
+      here if unset so the switch is testable). Survives executor
+      loss; the cluster-safe choice for long jobs at 100 TB.
+    """
+    spark = df.sparkSession
+    if spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false").lower() != "true":
+        return df.localCheckpoint()
+    sc = spark.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="graft_ckpt_"))
+    return df.checkpoint()
 
 
 def salted_join(left: DataFrame, right: DataFrame, on: str, buckets: int = 16,

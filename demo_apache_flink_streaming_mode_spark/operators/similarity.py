@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from demo_apache_flink_streaming_mode_spark.functions.scalars import (
     dot, dot_literal, dot_unrolled, norm)
+from demo_apache_flink_streaming_mode_spark.operators.scale import cut_lineage
 
 
 def _dot(a: Column, b: Column, dim: int | None) -> Column:
@@ -226,7 +227,7 @@ def kmeans_centroids(u: DataFrame, n_cells: int, iters: int,
     # iterative job, and downstream plans reference the centroids more
     # than once — without this the whole training lineage re-executes
     # per reference (measured ~2x on the probe query)
-    return cent.localCheckpoint()
+    return cent.transform(cut_lineage)
 
 
 def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int, n_cells: int,
@@ -268,7 +269,7 @@ def topk_ivf_probes(queries: DataFrame, corpus: DataFrame, k: int,
         # normalization lineage per iteration plus the final assignment
         # (~2+train_iters rescans). The standard iterative-algorithm
         # tradeoff; measured ~10-20% at sf0.1 and grows with scan cost.
-        u = u.localCheckpoint()
+        u = u.transform(cut_lineage)
         centroids = kmeans_centroids(u, n_cells, train_iters, id_col, "uv", dim=dim)
     else:
         centroids = seed_centroids(u, n_cells, id_col, "uv")

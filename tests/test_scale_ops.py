@@ -414,3 +414,49 @@ def test_approx_quantiles_within_band_of_exact(spark, sf_dir):
             assert abs(rank - target_rank) <= band + 1, (
                 f"{et} p{int(q*100)}: approx {got} has rank {rank}, "
                 f"target {target_rank:.1f}, band {band}")
+
+
+def test_cut_lineage_both_modes(spark):
+    """cut_lineage: localCheckpoint by default, reliable checkpoint()
+    when spark.graft.reliableCheckpoint=true — identical results, and
+    the reliable mode survives without a pre-set checkpoint dir."""
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        RELIABLE_CHECKPOINT_CONF, cut_lineage)
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    want = [(r["id"], r["v"]) for r in df.orderBy("id").collect()]
+    try:
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
+        local = cut_lineage(df)
+        assert [(r["id"], r["v"]) for r in local.orderBy("id").collect()] == want
+
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+        reliable = cut_lineage(df)
+        assert [(r["id"], r["v"])
+                for r in reliable.orderBy("id").collect()] == want
+        # reliable mode really used the checkpoint machinery: a dir was
+        # provisioned and holds the materialized rdd files
+        import glob
+        jdir = spark.sparkContext._jsc.sc().getCheckpointDir()
+        assert not jdir.isEmpty()
+        ckpt_root = jdir.get().replace("file:", "")
+        assert glob.glob(f"{ckpt_root}/**/part-*", recursive=True)
+    finally:
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
+
+
+def test_dedup_clusters_reliable_checkpoint_parity(spark, sf_dir):
+    """The iterative CC operator returns identical clusters under the
+    cluster-safe reliable-checkpoint mode."""
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        RELIABLE_CHECKPOINT_CONF)
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        dedup_clusters)
+
+    want = sorted(map(tuple, dedup_clusters(spark, sf_dir).collect()))
+    try:
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+        got = sorted(map(tuple, dedup_clusters(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
+    assert got == want and len(got) > 0
