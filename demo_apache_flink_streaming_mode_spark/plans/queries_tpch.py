@@ -260,6 +260,134 @@ def q18_large_orders(spark, sf_dir):
                     F.col("o_totalprice"), F.col("total_qty")))
 
 
+def q4_late_shipments(spark, sf_dir):
+    """TPC-H Q4 shape: correlated-EXISTS semi join with a cross-table
+    predicate — orders (one quarter) having at least one lineitem
+    shipped more than 60 days after the order date, counted by
+    priority.
+
+    The semi join carries a non-equi component (l_shipdate >
+    o_orderdate + 60 days), so the dedup happens in the join itself —
+    no distinct/exists materialization; priority counts aggregate one
+    row per qualifying order.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = ((F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")
+               + F.expr("INTERVAL 60 DAYS")))
+    return (orders.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+def q12_priority_by_returnflag(spark, sf_dir):
+    """TPC-H Q12 shape: join + two-bucket conditional counts per
+    category (urgent vs non-urgent orders per lineitem return flag,
+    one ship year)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01"))
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.when(urgent, 1)).alias("high_line_count"),
+                 F.count(F.when(~urgent, 1)).alias("low_line_count")))
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue per supplier, then a scalar-subquery
+    max filter (the 'view + where revenue = (select max)' form).
+
+    The max side is a 1-row aggregate of the already-aggregated
+    per-supplier revenue -> broadcast; equality on the decimal-sum
+    double is engine-portable because both sides compute the identical
+    value.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (li.groupBy("l_suppkey")
+           .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("total_revenue")))
+    top = rev.agg(F.max("total_revenue").alias("mr"))
+    return (rev.join(F.broadcast(top), F.col("total_revenue") == F.col("mr"))
+            .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: per-part average-quantity subquery joined back
+    to the detail rows (lineitems below half their part's average
+    quantity, for one brand), then a single-scalar revenue sum.
+
+    The avg subquery aggregates lineitem once per part and is bounded
+    by |part| -> broadcast to the detail join; the threshold compare
+    (0.5 * decimal-sum avg) is the same double op chain on both
+    engines.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_q = (li.join(F.broadcast(part),
+                     F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("l_partkey")
+             .agg((decimal_sum("l_quantity") / F.count("*")).alias("avg_qty")))
+    return (li.join(F.broadcast(avg_q.withColumnRenamed("l_partkey", "ap")),
+                    (F.col("l_partkey") == F.col("ap"))
+                    & (F.col("l_quantity") < 0.5 * F.col("avg_qty")))
+            .agg((_dsum(F.col("l_extendedprice")) / F.lit(7.0))
+                 .alias("avg_yearly")))
+
+
+def q19_disjunctive_pricing(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs join predicate (three brand/size/
+    quantity bands) — the disjunct-pushdown stress: each AND-clause
+    constrains both sides, and the common l_partkey = p_partkey
+    equi-component must still drive the join strategy.
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(5, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 35)))
+    return j.filter(band).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("revenue"))
+
+
+def q22_idle_balance(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-subquery threshold (global average
+    positive balance) + anti join (customers with no orders), grouped
+    by market segment.
+
+    The global-average side is a 1-row broadcast; the anti join is the
+    same LeftAnti the q_customers_without_orders query proves, here
+    composed under a cross-filter.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg((decimal_sum("c_acctbal") / F.count("*")).alias("ab")))
+    rich = (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("ab")))
+    idle = rich.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                     "left_anti")
+    return (idle.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("numcust"),
+                 decimal_sum("c_acctbal").alias("totacctbal")))
+
+
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
 
 ORACLES = {
@@ -379,6 +507,66 @@ ORACLES = {
         FROM orders
         JOIN big      ON o_orderkey = l_orderkey
         JOIN customer ON o_custkey = c_custkey""",
+    "q4_late_shipments": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1""",
+    "q12_priority_by_returnflag": """
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                 AS high_line_count,
+               COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                 AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1""",
+    "q15_top_supplier": f"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 {_DSUM.format(x='l_extendedprice * (1 - l_discount)')}
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
+    "q17_small_quantity_revenue": f"""
+        WITH avg_q AS (
+          SELECT l_partkey,
+                 {_DSUM.format(x='l_quantity')} / COUNT(*) AS avg_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#3'
+          GROUP BY 1)
+        SELECT {_DSUM.format(x='l_extendedprice')} / 7.0 AS avg_yearly
+        FROM lineitem JOIN avg_q ON lineitem.l_partkey = avg_q.l_partkey
+        WHERE l_quantity < 0.5 * avg_qty""",
+    "q19_disjunctive_pricing": f"""
+        SELECT {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 5 AND 15)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 25)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 35)""",
+    "q22_idle_balance": f"""
+        WITH ab AS (
+          SELECT {_DSUM.format(x='c_acctbal')} / COUNT(*) AS ab
+          FROM customer WHERE c_acctbal > 0.0)
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               {_DSUM.format(x='c_acctbal')} AS totacctbal
+        FROM customer, ab
+        WHERE c_acctbal > ab
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY 1""",
 }
 
 QUERIES = [
@@ -415,4 +603,19 @@ QUERIES = [
           "TPC-H Q13 shape: left outer join + two-level aggregation"),
     Query("q18_large_orders", q18_large_orders, ORACLES["q18_large_orders"],
           "TPC-H Q18 shape: HAVING-subquery semi-filter joined to detail"),
+    Query("q4_late_shipments", q4_late_shipments, ORACLES["q4_late_shipments"],
+          "TPC-H Q4 shape: correlated-EXISTS semi join, non-equi component"),
+    Query("q12_priority_by_returnflag", q12_priority_by_returnflag,
+          ORACLES["q12_priority_by_returnflag"],
+          "TPC-H Q12 shape: join + two-bucket conditional counts"),
+    Query("q15_top_supplier", q15_top_supplier, ORACLES["q15_top_supplier"],
+          "TPC-H Q15 shape: scalar-subquery max over an aggregated view"),
+    Query("q17_small_quantity_revenue", q17_small_quantity_revenue,
+          ORACLES["q17_small_quantity_revenue"],
+          "TPC-H Q17 shape: per-part avg subquery joined back to detail"),
+    Query("q19_disjunctive_pricing", q19_disjunctive_pricing,
+          ORACLES["q19_disjunctive_pricing"],
+          "TPC-H Q19 shape: OR-of-ANDs predicate bands over a join"),
+    Query("q22_idle_balance", q22_idle_balance, ORACLES["q22_idle_balance"],
+          "TPC-H Q22 shape: scalar-subquery threshold + anti join"),
 ]
