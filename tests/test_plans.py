@@ -26,10 +26,14 @@ SF = "/root/testdata/sf0.001"
 # global-stats (N, avgdl, df) attach — both bounded broadcast sides,
 # O(N) passes, intended.
 BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
-                "sim_topk_ivf_trained", "text_bm25", "text_tfidf",
+                "sim_topk_ivf_trained", "sim_topk_ivf_probe2", "text_bm25",
+                "text_tfidf",
                 # embeds the brute-force baseline by definition (it is
                 # the recall reference being measured against)
-                "sim_recall_ann"}
+                "sim_recall_ann",
+                # scalar-subquery threshold: a 1-row broadcast average
+                # attached to every customer row (TPC-H Q22 shape)
+                "q22_idle_balance"}
 
 
 def _plan(spark, name: str) -> str:
