@@ -7,16 +7,19 @@ large blobs and inlines small ones; either way the Spark-side plumbing
 (schema, partitioning, Arrow batch shape through mapInPandas) is the
 same and is what this module implements and tests.
 
-Codec status: audio has a REAL decode path (``wav_decode_features`` —
-stdlib ``wave`` RIFF parsing) and uncompressed images have one too
-(``bmp_decode_features`` — stdlib ``struct`` BMP/DIB parsing: file
-header, BITMAPINFOHEADER, palette, bottom-up padded rows). Compressed
-image formats and video need codec libraries not present in this
-container, so those kernels stay STUBBED: ``decode_features(...,
-codec="fake")`` produces deterministic pseudo-features from the bytes;
-``codec="real"`` raises NotImplementedError at the first batch.
-Everything around the kernels — binary ingest, chunk manifest, Arrow
-batching, output schema — is real.
+Codec status: every modality has a REAL decode path for at least one
+uncompressed container, all pure stdlib — audio via ``wave`` RIFF
+parsing (``wav_decode_features``), images via ``struct`` BMP/DIB
+parsing (``bmp_decode_features``: file header, BITMAPINFOHEADER,
+palette, bottom-up padded rows), video via ``struct`` RIFF/AVI chunk
+walking (``avi_decode_frames``: hdrl/avih header, movi '00db' frame
+chunks, even-byte padding). COMPRESSED formats (JPEG/PNG/H.264/MP3)
+need codec libraries not present in this container, so the generic
+``decode_features``/``resize_media``/``sample_frames`` kernels keep
+their ``codec="fake"`` deterministic byte-math path and raise
+NotImplementedError for ``codec="real"``. Everything around the
+kernels — binary ingest, chunk manifest, Arrow batching, output
+schemas — is real.
 """
 
 from __future__ import annotations
@@ -206,6 +209,108 @@ def bmp_decode_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, schema=BMP_SCHEMA)
+
+
+AVI_W, AVI_H = 8, 8            # frame dims: 64 pixels = 64 payload bytes
+AVI_FPS_US = 40_000            # 25 fps in avih units (us per frame)
+AVI_EVERY_N = 4                # emit every 4th frame, like sample_frames
+AVI_SCHEMA = ("doc_id bigint, frame_idx int, n_frames int, width int, "
+              "height int, us_per_frame int, max_px int, mean_px double")
+
+
+def _encode_avi(payload: bytes) -> bytes:
+    """Containerize payload bytes as a minimal uncompressed 8-bit AVI:
+    RIFF('AVI ') > LIST(hdrl){avih, LIST(strl){strh, strf}} >
+    LIST(movi){'00db' frame chunks}. Each frame is AVI_W*AVI_H raw
+    pixels (one payload byte per pixel, last frame zero-padded)."""
+    fs = AVI_W * AVI_H
+    n_frames = max(1, (len(payload) + fs - 1) // fs) if payload else 0
+    frames = [payload[i * fs:(i + 1) * fs].ljust(fs, b"\x00")
+              for i in range(n_frames)]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack("<14I", AVI_FPS_US, fs * 25, 0, 0, n_frames, 0, 1,
+                       fs, AVI_W, AVI_H, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<I", 0)
+            + struct.pack("<2H10I", 0, 0, 0, 1, 25, 0, n_frames, fs, 0, 0,
+                          fs, 0))
+    strf = struct.pack("<IiiHHIIiiII", 40, AVI_W, AVI_H, 1, 8, 0, fs,
+                       0, 0, 256, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode_frames(media: DataFrame,
+                      every_n: int = AVI_EVERY_N) -> DataFrame:
+    """REAL video decode via stdlib ``struct`` RIFF/AVI parsing.
+
+    Completes the wave/BMP trilogy for the frame-fan-out shape: each
+    payload is containerized as an uncompressed 8-bit AVI
+    (``_encode_avi``) and decoded back by walking the actual RIFF
+    chunk tree — RIFF magic + 'AVI ' form type, LIST(hdrl) > avih for
+    frame count/dims/rate, LIST(movi) > '00db' chunks (even-byte
+    padding honored) for the frames — inside the same Arrow-batched
+    mapInPandas shape as the other kernels, emitting one row per
+    every_n-th frame (1 row in -> N rows out).
+
+    Oracle-able because each frame's pixels are a fixed 64-byte slice
+    of the payload (last frame zero-padded): per-frame max/mean are
+    exact byte math over that slice.
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "n_frames",
+                                    "width", "height", "us_per_frame",
+                                    "max_px", "mean_px")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                blob = _encode_avi(bytes(payload))
+                if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+                    raise ValueError("not a RIFF/AVI stream")
+                pos, end = 12, 8 + struct.unpack_from("<I", blob, 4)[0]
+                n_frames = w = h = uspf = None
+                frames = []
+                while pos + 8 <= end:
+                    fourcc = blob[pos:pos + 4]
+                    size = struct.unpack_from("<I", blob, pos + 4)[0]
+                    body_at = pos + 8
+                    if fourcc == b"LIST":
+                        kind = blob[body_at:body_at + 4]
+                        if kind in (b"hdrl", b"movi"):
+                            pos = body_at + 4  # descend into this list
+                            continue
+                        pos = body_at + size + (size % 2)  # skip (e.g. strl)
+                        continue
+                    if fourcc == b"avih":
+                        fields = struct.unpack_from("<14I", blob, body_at)
+                        uspf, n_frames = fields[0], fields[4]
+                        w, h = fields[8], fields[9]
+                    elif fourcc == b"00db":
+                        frames.append(blob[body_at:body_at + size])
+                    pos = body_at + size + (size % 2)
+                if n_frames is None or len(frames) != n_frames:
+                    raise ValueError("AVI header/frame-count mismatch")
+                for i in range(0, n_frames, every_n):
+                    px = frames[i]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["n_frames"].append(n_frames)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["us_per_frame"].append(uspf)
+                    rows["max_px"].append(max(px) if px else 0)
+                    rows["mean_px"].append(sum(px) / len(px) if px else 0.0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=AVI_SCHEMA)
 
 
 RESIZED_SCHEMA = "doc_id bigint, media_type string, media binary, n_bytes bigint"

@@ -385,6 +385,21 @@ def mm_decode_image(spark, sf_dir):
     return multimodal.bmp_decode_features(media)
 
 
+def mm_decode_video(spark, sf_dir):
+    """REAL video decode: stdlib ``struct`` RIFF/AVI container round-trip.
+
+    The payload is containerized as a minimal uncompressed 8-bit AVI
+    (8x8 frames, one payload byte per pixel, zero-padded last frame)
+    and decoded back by walking the actual RIFF chunk tree
+    (operators.multimodal.avi_decode_frames), emitting every 4th frame
+    — the 1->N fan-out of sample_frames with a real container. Frame
+    pixels are fixed 64-byte payload slices, so per-frame stats are
+    reproduced by the oracle over the text's byte values.
+    """
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return multimodal.avi_decode_frames(media)
+
+
 def mm_resize(spark, sf_dir):
     """Resize/transcode kernel (1 row in -> 1 row out mapInPandas shape).
 
@@ -842,6 +857,32 @@ ORACLES = {
                     THEN list_aggregate(bytes, 'sum')::DOUBLE / n
                     ELSE 0.0 END AS mean_amp
         FROM b""",
+    # each frame is a fixed 64-byte payload slice (last frame
+    # zero-padded to 64, so the mean divides by the constant frame
+    # size); every 4th frame is emitted, like the fake frame sampler
+    "mm_decode_video": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 list_transform(range(0, octet_length(encode(text))),
+                                i -> ('0x' || substr(hex(encode(text)),
+                                                     2*i + 1, 2))::BIGINT)
+                   AS bytes
+          FROM documents),
+        f AS (SELECT doc_id, bytes,
+                     CASE WHEN n = 0 THEN 0
+                          ELSE greatest(1, CAST(ceil(n / {float(multimodal.AVI_W * multimodal.AVI_H)}) AS BIGINT))
+                     END AS nf
+              FROM b)
+        SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+               {multimodal.AVI_W} AS width, {multimodal.AVI_H} AS height,
+               {multimodal.AVI_FPS_US} AS us_per_frame,
+               CAST(COALESCE(list_max(list_slice(bytes, 64*i + 1, 64*i + 64)), 0)
+                    AS INT) AS max_px,
+               COALESCE(list_aggregate(list_slice(bytes, 64*i + 1, 64*i + 64),
+                                       'sum'), 0)::DOUBLE / 64 AS mean_px
+        FROM (SELECT doc_id, bytes, nf, unnest(range(0, nf, {multimodal.AVI_EVERY_N})) AS i
+              FROM f)""",
     # pixels are the UTF-8 payload bytes + zero padding to a full last
     # 64-px row; dims and stats are exact byte math over that layout
     "mm_decode_image": f"""
@@ -1104,6 +1145,8 @@ QUERIES = [
           "REAL audio decode: stdlib wave RIFF round-trip via mapInPandas"),
     Query("mm_decode_image", mm_decode_image, ORACLES["mm_decode_image"],
           "REAL image decode: stdlib struct BMP round-trip via mapInPandas"),
+    Query("mm_decode_video", mm_decode_video, ORACLES["mm_decode_video"],
+          "REAL video decode: stdlib struct RIFF/AVI round-trip, 1->N frames"),
     Query("sim_recall_ann", sim_recall_ann, ORACLES["sim_recall_ann"],
           "recall@k per method (LSH / IVF nprobe=1 / nprobe=2) vs brute force"),
     Query("corpus_clean", corpus_clean, ORACLES["corpus_clean"],
