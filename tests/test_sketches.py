@@ -102,3 +102,27 @@ def test_cdc_boundaries_stable_under_prefix_edit(spark):
     assert len(h_orig) > 4  # doc long enough for the property to bite
     # all but the first few chunks realign exactly
     assert len(h_orig & h_edit) >= len(h_orig) - 2
+
+
+def test_builtin_hll_within_rsd_band_of_exact(spark, sf_dir):
+    """Spark's approx_count_distinct (HLL++) complements the
+    expression-level HLL sketch: per-event-type distinct users must
+    land within a few relative standard deviations of the exact count.
+    Sketch internals aren't cross-engine, so this is a banded property
+    test, not a hash oracle — the same policy as the approx
+    percentiles."""
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+    rsd = 0.05
+    ev = load_table(spark, sf_dir, "events")
+    approx = {r["event_type"]: r["n"]
+              for r in ev.groupBy("event_type")
+              .agg(F.approx_count_distinct("user_id", rsd).alias("n"))
+              .collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(approx) == set(exact) and len(exact) > 0
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(4 * rsd * n, 4), (
+            f"{et}: approx {approx[et]} vs exact {n}")

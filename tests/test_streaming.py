@@ -567,3 +567,25 @@ def test_st1_in_horizon_state_survives(spark, tmp_path):
     got = _st1_eviction_run(spark, tmp_path, "ctrl",
                             ttl_ms=3_600_000, sleep_s=0)
     assert len(got) == 1 and got[0][1] == 4  # event_id 4 alerted
+
+
+def test_text_quality_pipeline_streaming_parity(spark, sf_dir, tmp_path):
+    """§2.10 ops run in streaming mode too: the quality-score pipeline
+    is a stateless projection, so feeding the documents table through a
+    monitored-directory stream must reproduce the batch result row for
+    row (the reference's streaming-first posture applied to the LLM
+    pipeline)."""
+    from demo_apache_flink_streaming_mode_spark.operators import text
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+    from pyspark.sql.types import StructType
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = str(tmp_path / "docs_json")
+    docs.coalesce(2).write.mode("overwrite").json(d)
+
+    schema = StructType([docs.schema["doc_id"], docs.schema["text"]])
+    stream = sources.file_stream(spark, d + "/part-*", schema, fmt="json")
+    _drain(text.quality_score(stream), "t_docq")
+    got = _rows(spark.table("t_docq"), "doc_id")
+    want = _rows(text.quality_score(docs), "doc_id")
+    assert got == want and len(got) > 0
