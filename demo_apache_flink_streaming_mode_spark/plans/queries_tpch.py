@@ -388,6 +388,149 @@ def q22_idle_balance(spark, sf_dir):
                  decimal_sum("c_acctbal").alias("totacctbal")))
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations per
+    ship year — the nation dim joins twice (supplier side + customer
+    side) under a symmetric OR pair predicate.
+
+    Both nation legs broadcast (25 rows at any scale); the OR pair
+    filter runs after the name attach, so the big joins stay pure
+    equi-joins on their keys.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nkey"),
+                                   F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nkey"),
+                                   F.col("n_name").alias("cust_nation")))
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01"))
+    pair = (((F.col("supp_nation") == "NATION_12")
+             & (F.col("cust_nation") == "NATION_10"))
+            | ((F.col("supp_nation") == "NATION_10")
+               & (F.col("cust_nation") == "NATION_12")))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+            .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue")))
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's market share of a region's imports
+    of one part type, per order year — a conditional-aggregate ratio
+    over an 8-way join.
+
+    part (type filter) bounds the detail early; region/nation legs are
+    broadcast; the share is two decimal sums (conditional numerator /
+    total) divided once — engine-portable.
+    """
+    region = F.broadcast(load_table(spark, sf_dir, "region")
+                         .filter(F.col("r_name") == "AMERICA"))
+    nation = load_table(spark, sf_dir, "nation")
+    n_cust = F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"),
+                                       F.col("n_regionkey").alias("cn_rkey")))
+    n_supp = F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                       F.col("n_name").alias("supp_nation")))
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY").select("p_partkey")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("supp_nation") == "NATION_12", vol).otherwise(
+        F.lit(0.0))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+            .join(region, F.col("cn_rkey") == F.col("r_regionkey"))
+            .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg((_dsum(national) / _dsum(vol)).alias("mkt_share")))
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted): profit per supplier nation per order
+    year over parts matching a name substring.
+
+    Adaptation: the synthetic schema has no partsupp table, so profit
+    is l_extendedprice*(1-l_discount) without the ps_supplycost
+    subtraction — the join/agg shape (part name filter -> detail ->
+    supplier nation x order year rollup) is what's exercised.
+    """
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("gear")).select("p_partkey")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("sum_profit")))
+
+
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted): suppliers who were the SOLE late
+    shipper on a finished multi-supplier order — the double-correlated
+    EXISTS + NOT EXISTS pattern.
+
+    Adaptation: the synthetic lineitem has no commit/receipt dates, so
+    "late" is l_shipdate > o_orderdate + 90 days. Both correlated legs
+    are equi-joins on l_orderkey with a suppkey-inequality residual
+    (semi for "another supplier exists", anti for "no other late
+    supplier") — no distinct materialization, no cross product.
+    """
+    nation = F.broadcast(load_table(spark, sf_dir, "nation")
+                         .filter(F.col("n_name") == "NATION_3"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    late = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    others = li.select(F.col("l_orderkey").alias("o2_okey"),
+                       F.col("l_suppkey").alias("o2_skey"))
+    late_others = late.select(F.col("l_orderkey").alias("o3_okey"),
+                              F.col("l_suppkey").alias("o3_skey"))
+    l1 = (late
+          .join(others, (F.col("o2_okey") == F.col("l_orderkey"))
+                & (F.col("o2_skey") != F.col("l_suppkey")), "left_semi")
+          .join(late_others, (F.col("o3_okey") == F.col("l_orderkey"))
+                & (F.col("o3_skey") != F.col("l_suppkey")), "left_anti"))
+    return (l1.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(20))
+
+
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
 
 ORACLES = {
@@ -567,6 +710,70 @@ ORACLES = {
         WHERE c_acctbal > ab
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY 1""",
+    "q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+            OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+        GROUP BY 1, 2, 3""",
+    "q8_market_share": f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               {_DSUM.format(
+                   x="CASE WHEN n2.n_name = 'NATION_12'"
+                     " THEN l_extendedprice * (1 - l_discount)"
+                     " ELSE 0.0 END")}
+             / {_DSUM.format(x='l_extendedprice * (1 - l_discount)')}
+               AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1""",
+    "q9_product_profit": f"""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               {_DSUM.format(x='l_extendedprice * (1 - l_discount)')}
+                 AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2""",
+    "q21_waiting_supplier": """
+        SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders   ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20""",
 }
 
 QUERIES = [
@@ -618,4 +825,15 @@ QUERIES = [
           "TPC-H Q19 shape: OR-of-ANDs predicate bands over a join"),
     Query("q22_idle_balance", q22_idle_balance, ORACLES["q22_idle_balance"],
           "TPC-H Q22 shape: scalar-subquery threshold + anti join"),
+    Query("q7_volume_shipping", q7_volume_shipping,
+          ORACLES["q7_volume_shipping"],
+          "TPC-H Q7 shape: dual-nation join under symmetric OR pair"),
+    Query("q8_market_share", q8_market_share, ORACLES["q8_market_share"],
+          "TPC-H Q8 shape: conditional-ratio market share over 8-way join"),
+    Query("q9_product_profit", q9_product_profit,
+          ORACLES["q9_product_profit"],
+          "TPC-H Q9 shape (adapted): profit by supplier nation x year"),
+    Query("q21_waiting_supplier", q21_waiting_supplier,
+          ORACLES["q21_waiting_supplier"],
+          "TPC-H Q21 shape (adapted): sole-late-shipper EXISTS + NOT EXISTS"),
 ]
