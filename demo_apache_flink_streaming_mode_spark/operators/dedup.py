@@ -338,3 +338,95 @@ def benchmark_contamination(docs: DataFrame, bench_filter: Column,
                     .alias("contamination"),
                     (F.col("n_overlap") / F.col("n_grams") >= threshold)
                     .alias("is_contaminated")))
+
+
+# --- Bloom-prefiltered decontamination -----------------------------------
+
+BLOOM_M_BITS = 1 << 20   # bitmap width; power of two so modulo is a mask
+BLOOM_K = 5              # hash functions per element
+
+
+def _bloom_positions(gh1: Column, gh2: Column, k: int, m_bits: int) -> Column:
+    """k bit positions via Kirsch-Mitzenmacher double hashing:
+    pos_j = (h1 + j*h2) & (m-1). Both hashes are 60-bit md5 halves, so
+    h1 + (k-1)*h2 stays far below 2^63 for k <= 7."""
+    assert k <= 7 and m_bits & (m_bits - 1) == 0
+    return F.array(*[
+        (gh1 + F.lit(j) * gh2).bitwiseAND(F.lit(m_bits - 1)).cast("long")
+        for j in range(k)])
+
+
+def bloom_prefiltered_contamination(
+        docs: DataFrame, bench_filter: Column, shingle_n: int = 5,
+        threshold: float = 0.2, m_bits: int = BLOOM_M_BITS,
+        k: int = BLOOM_K, text_col: str = "text") -> DataFrame:
+    """``benchmark_contamination`` with a Bloom-filter first pass.
+
+    Output is IDENTICAL to the exact operator (a Bloom filter has no
+    false negatives, and every Bloom survivor is re-verified against
+    the exact benchmark gram set), which is why the registered query
+    shares the exact operator's oracle. What changes is the probe
+    economics at 100 TB: the first membership test every candidate gram
+    meets is an ``m_bits``-wide bitmap (128 KiB at the default) instead
+    of the multi-MB benchmark hash set, and the exact verify join's
+    probe input shrinks to true positives + the Bloom false-positive
+    residue.
+
+    Build: benchmark grams explode to ``k`` bit positions; positions
+    aggregate by 64-bit word index with ``bit_or`` -> at most
+    ``m_bits/64`` rows, broadcast everywhere. Probe: candidate gram
+    positions broadcast-join the word table; a gram *might* be
+    contaminated iff all ``k`` bits are set. Everything is flat bit
+    arithmetic inside whole-stage codegen — no UDFs, no driver state.
+    """
+    grams = spread(docs, "doc_id").select(
+        "doc_id", bench_filter.alias("_isb"),
+        F.explode(F.array_distinct(
+            word_shingles(word_tokens(F.col(text_col)), shingle_n))).alias("g"))
+    h = F.md5(F.col("g"))
+    hashed = grams.select("doc_id", "_isb",
+                          hex_to_long(h).alias("gh"),
+                          hex_to_long(h, 16, 15).alias("gh2"))
+    bench = hashed.filter(F.col("_isb")).select("gh", "gh2").distinct()
+    words = (bench
+             .select(F.explode(_bloom_positions(
+                 F.col("gh"), F.col("gh2"), k, m_bits)).alias("pos"))
+             .select((F.col("pos") / 64).cast("int").alias("w_idx"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT),"
+                            " CAST(pos % 64 AS INT))").alias("bit"))
+             .groupBy("w_idx").agg(F.bit_or("bit").alias("word")))
+    cand = hashed.filter(~F.col("_isb"))
+    totals = cand.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    cpos = (cand
+            .select("doc_id", "gh",
+                    F.explode(_bloom_positions(
+                        F.col("gh"), F.col("gh2"), k, m_bits)).alias("pos"))
+            .select("doc_id", "gh",
+                    (F.col("pos") / 64).cast("int").alias("w_idx"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT),"
+                           " CAST(pos % 64 AS INT))").alias("bit")))
+    # min(hit) over the k positions == "all bits set"; n_dup restores
+    # the multiplicity of 60-bit-hash-colliding grams within a doc so
+    # the overlap count matches the exact operator's row semantics.
+    probe = (cpos.join(F.broadcast(words), "w_idx", "left")
+             .select("doc_id", "gh",
+                     (F.col("word").isNotNull()
+                      & (F.col("word").bitwiseAND(F.col("bit")) != 0))
+                     .alias("hit"))
+             .groupBy("doc_id", "gh")
+             .agg(F.min("hit").alias("might"),
+                  (F.count("*") / k).cast("long").alias("n_dup")))
+    survivors = (probe.filter(F.col("might"))
+                 .join(F.broadcast(bench.select("gh").distinct()),
+                       "gh", "left_semi"))
+    overlaps = survivors.groupBy("doc_id").agg(
+        F.sum("n_dup").cast("long").alias("n_overlap"))
+    return (totals.join(overlaps, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+                    .alias("n_overlap"))
+            .select("doc_id", "n_grams", "n_overlap",
+                    (F.col("n_overlap") / F.col("n_grams"))
+                    .alias("contamination"),
+                    (F.col("n_overlap") / F.col("n_grams") >= threshold)
+                    .alias("is_contaminated")))

@@ -289,6 +289,25 @@ def text_decontam(spark, sf_dir):
         threshold=DECON_THRESHOLD)
 
 
+def text_decontam_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination — same benchmark set, same
+    output as text_decontam (a Bloom filter has no false negatives and
+    survivors are exactly re-verified), so it SHARES the exact
+    operator's oracle: the green row proves the bitmap prefilter
+    changes the plan economics, never the answer."""
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+    bench = (hex_to_long(F.md5(F.concat(F.lit("bench:"),
+                                        F.col("doc_id").cast("string"))))
+             % DECON_MOD == 0)
+    return dedup.bloom_prefiltered_contamination(
+        _docs(spark, sf_dir), bench, shingle_n=DECON_SHINGLE_N,
+        threshold=DECON_THRESHOLD)
+
+
+def sim_quantize_int8(spark, sf_dir):
+    return similarity.quantize_int8_report(_embs(spark, sf_dir))
+
+
 def text_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(_docs(spark, sf_dir), top_per_doc=TFIDF_TOPN)
 
@@ -998,6 +1017,34 @@ for _i, _lang in enumerate(_langs[:-1]):
     conds = " AND ".join(
         f"s_{_lang} >= s_{other}" for other in _langs if other != _lang)
     _cases.append(f"WHEN {conds} THEN '{_lang}'")
+# Bloom prefilter never changes the answer (no false negatives + exact
+# verify of survivors) — the bloom query is graded against the exact
+# operator's oracle on purpose.
+ORACLES["text_decontam_bloom"] = ORACLES["text_decontam"]
+
+# mirrors similarity.quantize_int8_report: round-half-up via
+# floor(x+0.5), in-index-order IEEE folds for sse, exact integer
+# position-weighted checksum, nullif guard for all-zero vectors
+ORACLES["sim_quantize_int8"] = """
+    WITH e0 AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 nullif(list_max(list_transform(v, x -> abs(x))) / 127.0, 0)
+                   AS scale
+          FROM e0),
+    q AS (SELECT vec_id, v, scale,
+                 list_transform(v, x -> floor(x / scale + 0.5)) AS qv
+          FROM m)
+    SELECT vec_id, CAST(len(v) AS INT) AS n_dims, scale,
+           CAST(list_aggregate(list_transform(range(1, len(v)+1),
+                    i -> CAST(i AS BIGINT) * CAST(qv[i] AS BIGINT)), 'sum')
+                AS BIGINT) AS q_checksum,
+           list_aggregate(list_transform(range(1, len(v)+1),
+                    i -> (v[i] - qv[i]*scale) * (v[i] - qv[i]*scale)), 'sum')
+             AS sse
+    FROM q"""
+
 ORACLES["text_langid"] = f"""
     WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
     s AS (SELECT doc_id, {', '.join(f'{_scores[lang]} AS s_{lang}' for lang in _langs)}
@@ -1155,4 +1202,10 @@ QUERIES = [
     Query("dedup_jaccard_report", dedup_jaccard_report,
           ORACLES["dedup_jaccard_report"],
           "MinHash-estimate vs exact Jaccard per candidate pair"),
+    Query("text_decontam_bloom", text_decontam_bloom,
+          ORACLES["text_decontam_bloom"],
+          "Bloom-bitmap prefiltered decontamination (oracle = exact op)"),
+    Query("sim_quantize_int8", sim_quantize_int8,
+          ORACLES["sim_quantize_int8"],
+          "per-vector symmetric int8 quantization + reconstruction report"),
 ]
