@@ -1,0 +1,61 @@
+"""Bucketed-table co-located join: the declare-the-layout-once scale
+path (operators.scale.write_bucketed).
+
+Writes lineitem + orders bucketed by orderkey into the session
+warehouse, then asserts the bucket-to-bucket join plan contains NO
+Exchange on either side (with broadcast disabled so the assertion is
+meaningful) and returns exactly the unbucketed join's rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from demo_apache_flink_streaming_mode_spark.operators.scale import write_bucketed
+from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.fixture()
+def bucketed_tables(spark):
+    from pyspark.sql import functions as F
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    write_bucketed(li, "b_lineitem", "l_orderkey", buckets=8)
+    write_bucketed(orders, "b_orders", "l_orderkey", buckets=8)
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bucketed_join_no_shuffle(spark, no_broadcast, bucketed_tables):
+    j = spark.table("b_lineitem").join(spark.table("b_orders"), "l_orderkey")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "bucketed join still shuffles:\n" + plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_bucketed_join_matches_plain_join(spark, no_broadcast, bucketed_tables):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders")
+    plain = li.join(orders,
+                    li.l_orderkey == orders.o_orderkey).count()
+    assert spark.table("b_lineitem").join(
+        spark.table("b_orders"), "l_orderkey").count() == plain
+
+
+def test_bucketed_agg_no_shuffle(spark, no_broadcast, bucketed_tables):
+    """groupBy on the bucket key also exploits the layout: the partial/
+    final aggregate pair collapses to one stage, no exchange."""
+    agg = spark.table("b_lineitem").groupBy("l_orderkey").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "bucketed groupBy still shuffles:\n" + plan
