@@ -531,6 +531,141 @@ def q21_waiting_supplier(spark, sf_dir):
             .limit(20))
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted): minimum-cost supplier per part — the
+    correlated-MIN-subquery pattern, resolved as aggregate + self-join.
+
+    Adaptation: the synthetic schema has no partsupp, so supply cost of
+    a (part, supplier) pair is the minimum observed unit price
+    min(l_extendedprice / l_quantity) in lineitem — exact IEEE double
+    division + MIN, identical on both engines.  The correlated
+    "= (SELECT MIN(cost) ... WHERE same part)" becomes a per-part MIN
+    aggregate joined back on (partkey, cost): one shuffle keyed by
+    partkey for the aggregate, the join reuses the same key.  The dim
+    chain (supplier -> nation -> region, EUROPE only) broadcasts the
+    fixed-size nation/region; supplier stays an equi-join.  The size
+    filter prunes part before anything wide happens.
+    """
+    region = F.broadcast(load_table(spark, sf_dir, "region")
+                         .filter(F.col("r_name") == "EUROPE"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") == 15).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("cost")))
+    pc = (cost.join(part, F.col("l_partkey") == F.col("p_partkey"))
+          .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+          .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(region, F.col("n_regionkey") == F.col("r_regionkey")))
+    min_cost = (pc.groupBy(F.col("p_partkey").alias("mc_pkey"))
+                .agg(F.min("cost").alias("min_cost")))
+    return (pc.join(min_cost, (F.col("p_partkey") == F.col("mc_pkey"))
+                    & (F.col("cost") == F.col("min_cost")))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "cost")
+            .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+                     F.asc("p_partkey"))
+            .limit(100))
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (adapted): per-part inventory value filtered by a
+    scalar-subquery threshold over the whole filtered set.
+
+    Adaptation: no partsupp, so value(part) = sum(l_extendedprice *
+    l_quantity) over lineitems shipped by suppliers of one nation; and
+    because TPC-H's fixed FRACTION is itself spec'd to scale as
+    0.0001/SF, the threshold here is the scale-free above-mean form:
+    total / count(distinct part).  Both sides of the comparison are
+    exact DECIMAL(38,6) sums cast to double, so the HAVING is
+    engine-portable.  The 1-row threshold broadcasts; the only wide
+    shuffle is the per-part aggregate.
+    """
+    nation = F.broadcast(load_table(spark, sf_dir, "nation")
+                         .filter(F.col("n_name") == "NATION_3"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+          .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+          .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("l_partkey",
+                  (F.col("l_extendedprice") * F.col("l_quantity")).alias("v")))
+    val = li.groupBy("l_partkey").agg(_dsum(F.col("v")).alias("value"))
+    thresh = li.agg((_dsum(F.col("v")) / F.countDistinct("l_partkey"))
+                    .alias("thresh"))
+    return (val.crossJoin(F.broadcast(thresh))
+            .filter(F.col("value") > F.col("thresh"))
+            .select("l_partkey", "value")
+            .orderBy(F.desc("value"), F.asc("l_partkey")))
+
+
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier count per (brand, type, size)
+    for an attribute band, minus a NOT-IN excluded-supplier set.
+
+    Adaptation: the synthetic supplier has no comment column, so the
+    Q16 '%Customer%Complaints%' exclusion becomes the low-balance set
+    s_acctbal < 1200 — same NOT IN -> LeftAnti plan.  The excluded set
+    is supplier-bounded (tiny vs lineitem) and hits the anti join
+    before the wide distinct aggregate, so excluded rows never shuffle.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1200).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    return (li.join(excluded, F.col("l_suppkey") == F.col("s_suppkey"),
+                    "left_anti")
+            .join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"),
+                     F.asc("p_type"), F.asc("p_size")))
+
+
+def q20_promotion_candidates(spark, sf_dir):
+    """TPC-H Q20 shape (adapted): suppliers qualified through a nested
+    IN chain — part-name prefix -> per-(part, supplier) quantity
+    exceeding half the part's single-year total -> supplier semi-join,
+    nation-filtered.
+
+    Adaptation: no partsupp availqty, so the correlated "availqty >
+    0.5 * qty shipped that year" becomes "supplier's all-time shipped
+    qty for the part > 0.5 * the part's 1996 total".  Both quantity
+    sums are exact decimal sums; the candidate join is keyed on
+    partkey on both sides (no broadcast of part-scaled sets — at
+    100 TB part scales with SF, so AQE decides), and the final
+    supplier qualification is a LeftSemi.
+    """
+    nation = F.broadcast(load_table(spark, sf_dir, "nation")
+                         .filter(F.col("n_name") == "NATION_3"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    li_p = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    sp = (li_p.groupBy("l_partkey", "l_suppkey")
+          .agg(decimal_sum("l_quantity").alias("sqty")))
+    q96 = (li_p.filter((F.col("l_shipdate") >= "1996-01-01")
+                       & (F.col("l_shipdate") < "1997-01-01"))
+           .groupBy(F.col("l_partkey").alias("q_pkey"))
+           .agg(decimal_sum("l_quantity").alias("qty96")))
+    cand = (sp.join(q96, (F.col("l_partkey") == F.col("q_pkey"))
+                    & (F.col("sqty") > 0.5 * F.col("qty96")))
+            .select(F.col("l_suppkey").alias("c_skey")))
+    return (supplier
+            .join(cand, F.col("s_suppkey") == F.col("c_skey"), "left_semi")
+            .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_name", "s_acctbal")
+            .orderBy(F.asc("s_name")))
+
+
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
 
 ORACLES = {
@@ -774,6 +909,66 @@ ORACLES = {
         GROUP BY 1, 2
         ORDER BY numwait DESC, s_name ASC
         LIMIT 20""",
+    "q2_min_cost_supplier": """
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(l_extendedprice / l_quantity) AS cost
+          FROM lineitem GROUP BY 1, 2),
+        pc AS (
+          SELECT p_partkey, s_acctbal, s_name, n_name, cost
+          FROM cost
+          JOIN part     ON l_partkey = p_partkey AND p_size = 15
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        FROM pc
+        WHERE cost = (SELECT MIN(cost) FROM pc p2
+                      WHERE p2.p_partkey = pc.p_partkey)
+        ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        LIMIT 100""",
+    "q11_important_stock": f"""
+        WITH li AS (
+          SELECT l_partkey, l_extendedprice * l_quantity AS v
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3')
+        SELECT l_partkey, {_DSUM.format(x='v')} AS value
+        FROM li GROUP BY 1
+        HAVING {_DSUM.format(x='v')} >
+               (SELECT {_DSUM.format(x='v')} / COUNT(DISTINCT l_partkey)
+                FROM li)
+        ORDER BY value DESC, l_partkey ASC""",
+    "q16_supplier_count": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+          AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 1200)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""",
+    "q20_promotion_candidates": f"""
+        WITH sp AS (
+          SELECT l_partkey AS pk, l_suppkey AS sk,
+                 {_DSUM.format(x='l_quantity')} AS sqty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small%' GROUP BY 1, 2),
+        q96 AS (
+          SELECT l_partkey AS pk, {_DSUM.format(x='l_quantity')} AS qty96
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY 1)
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (SELECT sk FROM sp JOIN q96 USING (pk)
+                            WHERE sqty > 0.5 * qty96)
+        ORDER BY s_name ASC""",
 }
 
 QUERIES = [
@@ -836,4 +1031,16 @@ QUERIES = [
     Query("q21_waiting_supplier", q21_waiting_supplier,
           ORACLES["q21_waiting_supplier"],
           "TPC-H Q21 shape (adapted): sole-late-shipper EXISTS + NOT EXISTS"),
+    Query("q2_min_cost_supplier", q2_min_cost_supplier,
+          ORACLES["q2_min_cost_supplier"],
+          "TPC-H Q2 shape (adapted): correlated-MIN cheapest supplier"),
+    Query("q11_important_stock", q11_important_stock,
+          ORACLES["q11_important_stock"],
+          "TPC-H Q11 shape (adapted): value share above scalar threshold"),
+    Query("q16_supplier_count", q16_supplier_count,
+          ORACLES["q16_supplier_count"],
+          "TPC-H Q16 shape: distinct suppliers per attrs minus NOT IN set"),
+    Query("q20_promotion_candidates", q20_promotion_candidates,
+          ORACLES["q20_promotion_candidates"],
+          "TPC-H Q20 shape (adapted): nested-IN supplier qualification"),
 ]

@@ -32,8 +32,9 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
                 # the recall reference being measured against)
                 "sim_recall_ann",
                 # scalar-subquery threshold: a 1-row broadcast average
-                # attached to every customer row (TPC-H Q22 shape)
-                "q22_idle_balance"}
+                # attached to every customer row (TPC-H Q22 shape) /
+                # per-part value row (Q11 shape)
+                "q22_idle_balance", "q11_important_stock"}
 
 
 def _plan(spark, name: str) -> str:
