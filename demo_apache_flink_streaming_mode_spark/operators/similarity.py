@@ -373,6 +373,132 @@ def cosine_near_dup_pairs(vecs: DataFrame, threshold: float,
             .filter(F.col("cos_sim") >= threshold))
 
 
+# --- product quantization (PQ) -------------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """||a-b||^2 as an in-order left fold of squared differences —
+    bit-identical to the SQL oracle's list_aggregate over the same
+    element order (cf. scalars.dot)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_subvectors(u: DataFrame, m_sub: int, sub_dim: int,
+                  id_col: str = "vec_id",
+                  vec_col: str = "uv") -> DataFrame:
+    """Split each vector into `m_sub` contiguous `sub_dim`-dim
+    subvectors: one row per (vector, subspace m). A narrow explode —
+    no shuffle."""
+    return (u.select(id_col, F.col(vec_col).alias("_v"))
+            .select(id_col,
+                    F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+                    "_v")
+            .select(id_col, "m",
+                    F.slice("_v", F.col("m") * sub_dim + 1, sub_dim).alias("sv")))
+
+
+def pq_assign(sub: DataFrame, codebooks: DataFrame,
+              id_col: str = "vec_id") -> DataFrame:
+    """Nearest-code assignment per (vector, subspace): argmin
+    ||sv - cv||^2, ties to the smallest code. The codebook side is
+    m_sub * n_codes rows -> broadcast; the argmin window sorts
+    (double, int) primitives only."""
+    scored = (sub.join(F.broadcast(codebooks), "m")
+              .select(id_col, "m", "sv", "code",
+                      _l2sq(F.col("sv"), F.col("cv")).alias("d")))
+    w = W.partitionBy(id_col, "m").orderBy(F.asc("d"), F.asc("code"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "m", "code", "sv"))
+
+
+def pq_train_codebooks(u: DataFrame, m_sub: int, sub_dim: int,
+                       n_codes: int, iters: int,
+                       id_col: str = "vec_id",
+                       vec_col: str = "uv") -> DataFrame:
+    """Per-subspace Lloyd's k-means codebooks: (m, code, cv).
+
+    Same determinism contract as ``kmeans_centroids``: seeds are the
+    `n_codes` lowest-id subvectors of each subspace, means are explicit
+    in-id-order left folds, empty codes drop out. Scale shape per
+    iteration: assignment is one broadcast pass over N*m_sub subvector
+    rows; the update shuffles N*dim (m, code, pos, val) rows once —
+    linear, map-side combinable. Train offline, reuse the codebook.
+    """
+    sub = pq_subvectors(u, m_sub, sub_dim, id_col, vec_col)
+    w_seed = W.partitionBy("m").orderBy(id_col)
+    cb = (sub.withColumn("code", F.row_number().over(w_seed))
+          .filter(F.col("code") <= n_codes)
+          .select("m", "code", F.col("sv").alias("cv")))
+    for _ in range(iters):
+        asg = pq_assign(sub, cb, id_col)
+        expl = asg.select(F.col(id_col).alias("_vid"), "m", "code",
+                          F.posexplode("sv").alias("pos", "val"))
+        dims = (expl.groupBy("m", "code", "pos")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("_vid", "val"))).alias("vals"))
+                .select("m", "code", "pos",
+                        (F.aggregate("vals", F.lit(0.0),
+                                     lambda acc, s: acc + s["val"])
+                         / F.size("vals")).alias("mu")))
+        cb = (dims.groupBy("m", "code")
+              .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("ms"))
+              .select("m", "code", F.transform("ms", lambda s: s["mu"]).alias("cv")))
+    # <= m_sub*n_codes rows, referenced by every downstream branch
+    return cb.transform(cut_lineage)
+
+
+def topk_pq(queries: DataFrame, corpus: DataFrame, k: int, m_sub: int,
+            sub_dim: int, n_codes: int, iters: int = 1,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """PQ-compressed ANN top-k via asymmetric distance computation.
+
+    The memory-bound ANN scale path: the corpus is stored as m_sub
+    code bytes per vector (vs m_sub*sub_dim floats — 64x smaller at
+    8-bit codes), and per query the distance to EVERY corpus vector is
+    a table lookup + m_sub-term sum, never a dot product:
+
+    1. train per-subspace codebooks (``pq_train_codebooks``);
+    2. encode the corpus: (neighbor, m, code) — one broadcast pass;
+    3. per query, build the ADC table d(query, m, code) =
+       ||q_sub - cv||^2 over all m_sub * n_codes codebook entries;
+    4. approximate distance = sum over m of the table entries selected
+       by the neighbor's codes — a broadcast hash join on (m, code) +
+       an in-m-order fold, no per-pair vector math.
+
+    Smaller adc_dist = nearer; ties break to the smaller neighbor id.
+    Zero-norm degenerate vectors are excluded up front (their NULL
+    components would rank NULLS FIRST on Spark but NULLS LAST on
+    DuckDB). Approximate — recall is bounded by quantization error;
+    raise n_codes / m_sub for recall at scale.
+    """
+    u = (unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
+         .filter(F.col("uv").getItem(0).isNotNull())
+         .transform(cut_lineage))
+    cb = pq_train_codebooks(u, m_sub, sub_dim, n_codes, iters, id_col, "uv")
+    sub = pq_subvectors(u, m_sub, sub_dim, id_col, "uv")
+    codes = (pq_assign(sub, cb, id_col)
+             .select(F.col(id_col).alias("neighbor_id"), "m", "code"))
+    qset = queries.select(F.col(id_col).alias("query_id")).distinct()
+    qsub = (sub.join(F.broadcast(qset), sub[id_col] == F.col("query_id"))
+            .select("query_id", "m", "sv"))
+    dtab = (qsub.join(F.broadcast(cb), "m")
+            .select("query_id", "m", "code",
+                    _l2sq(F.col("sv"), F.col("cv")).alias("d")))
+    scored = (codes.join(F.broadcast(dtab), ["m", "code"])
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list(F.struct("m", "d"))),
+                  F.lit(0.0), lambda acc, s: acc + s["d"]).alias("adc_dist")))
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "adc_dist"))
+
+
 # --- embedding quantization ----------------------------------------------
 
 

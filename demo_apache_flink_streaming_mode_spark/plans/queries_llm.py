@@ -33,6 +33,10 @@ SIMHASH_BITS = 16
 N_CELLS = 16            # IVF coarse cells
 KMEANS_ITERS = 2        # Lloyd's refinement passes for the trained codebook
 IVF_NPROBE = 2          # cells searched per query in the probe2 variant
+PQ_M = 4                # PQ subspaces (DIM/PQ_M dims each)
+PQ_SUB_DIM = DIM // PQ_M
+PQ_CODES = 16           # codes per subspace codebook
+PQ_ITERS = 1            # Lloyd's refinement passes per subspace
 WINNOW_N, WINNOW_W = 3, 4
 BM25_TERMS = ("spark", "stream", "window")   # query bag for text_bm25
 BM25_K1, BM25_B, BM25_TOPN = 1.2, 0.75, 50
@@ -243,6 +247,20 @@ def sim_topk_ivf_probe2(spark, sf_dir):
     queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
     return similarity.topk_ivf(queries, embs, TOPK, n_cells=N_CELLS, dim=DIM,
                                train_iters=KMEANS_ITERS, nprobe=IVF_NPROBE)
+
+
+def sim_topk_pq(spark, sf_dir):
+    """Product-quantization ANN top-k (ADC search): per-subspace
+    codebooks trained with deterministic Lloyd's, corpus stored as
+    PQ_M code ids, per-query distance = table lookup + in-order sum.
+    The memory-bound scale path: the compressed corpus is
+    DIM/PQ_M * 32x smaller than float32 at 100 TB.
+    """
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.topk_pq(queries, embs, TOPK, m_sub=PQ_M,
+                              sub_dim=PQ_SUB_DIM, n_codes=PQ_CODES,
+                              iters=PQ_ITERS)
 
 
 def text_bpe_stats(spark, sf_dir):
@@ -566,6 +584,79 @@ def _ivf_trained_oracle(train_iters: int, nprobe: int = 1) -> str:
                                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
           FROM scored)
         SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
+        FROM ranked WHERE rn <= {TOPK}"""
+
+
+_L2SQ = ("list_aggregate(list_transform(range(1, len({a})+1), "
+         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')")
+
+
+def _pq_oracle(iters: int) -> str:
+    """Product-quantization ADC oracle. Mirrors ``similarity.topk_pq``
+    bit-for-bit: per-subspace seeds are the PQ_CODES lowest-id
+    subvectors, Lloyd's means are in-id-order left folds, assignment
+    ties to the smallest code, the final ADC sum folds in subspace
+    order, zero-norm vectors excluded up front.
+    """
+    ctes = [f"""
+        eg AS (SELECT vec_id, uv FROM e WHERE uv[1] IS NOT NULL),
+        sub AS (
+          SELECT vec_id, m,
+                 list_transform(range(1, {PQ_SUB_DIM} + 1),
+                                i -> uv[m * {PQ_SUB_DIM} + i]) AS sv
+          FROM eg, range(0, {PQ_M}) t(m)),
+        cb0 AS (
+          SELECT m, code, sv AS cv FROM (
+            SELECT m, sv,
+                   ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) AS code
+            FROM sub) WHERE code <= {PQ_CODES})"""]
+    cb = "cb0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""
+        asg{it} AS (
+          SELECT vec_id, m, code, sv FROM (
+            SELECT s.vec_id, s.m, c.code, s.sv,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {_L2SQ.format(a='s.sv', b='c.cv')} ASC,
+                                c.code ASC) AS rn
+            FROM sub s JOIN {cb} c ON s.m = c.m) WHERE rn = 1),
+        dims{it} AS (
+          SELECT m, code, pos,
+                 list_aggregate(list(val ORDER BY vec_id), 'sum')
+                   / COUNT(*) AS mu
+          FROM (SELECT vec_id, m, code, i AS pos, sv[i] AS val
+                FROM asg{it}, range(1, {PQ_SUB_DIM} + 1) t(i))
+          GROUP BY m, code, pos),
+        cb{it} AS (
+          SELECT m, code, list(mu ORDER BY pos) AS cv
+          FROM dims{it} GROUP BY m, code)""")
+        cb = f"cb{it}"
+    return f"""
+        WITH {_EMB_D},{','.join(ctes)},
+        codes AS (
+          SELECT vec_id AS neighbor_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {_L2SQ.format(a='s.sv', b='c.cv')} ASC,
+                                c.code ASC) AS rn
+            FROM sub s JOIN {cb} c ON s.m = c.m) WHERE rn = 1),
+        dtab AS (
+          SELECT s.vec_id AS query_id, s.m, c.code,
+                 {_L2SQ.format(a='s.sv', b='c.cv')} AS d
+          FROM sub s JOIN {cb} c ON s.m = c.m
+          WHERE s.vec_id % {QUERY_MOD} = 0),
+        scored AS (
+          SELECT q.query_id, n.neighbor_id,
+                 list_aggregate(list(q.d ORDER BY q.m), 'sum') AS adc_dist
+          FROM dtab q JOIN codes n ON q.m = n.m AND q.code = n.code
+          WHERE q.query_id <> n.neighbor_id
+          GROUP BY q.query_id, n.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, adc_dist
         FROM ranked WHERE rn <= {TOPK}"""
 
 
@@ -961,6 +1052,7 @@ ORACLES = {
 ORACLES["sim_topk_ivf_trained"] = _ivf_trained_oracle(KMEANS_ITERS)
 ORACLES["sim_topk_ivf_probe2"] = _ivf_trained_oracle(KMEANS_ITERS,
                                                      nprobe=IVF_NPROBE)
+ORACLES["sim_topk_pq"] = _pq_oracle(PQ_ITERS)
 
 
 def _bm25_oracle() -> str:
@@ -1154,6 +1246,8 @@ QUERIES = [
     Query("sim_topk_ivf_probe2", sim_topk_ivf_probe2,
           ORACLES["sim_topk_ivf_probe2"],
           "trained IVF searching the query's 2 nearest cells (nprobe=2)"),
+    Query("sim_topk_pq", sim_topk_pq, ORACLES["sim_topk_pq"],
+          "product-quantization ANN: per-subspace codebooks + ADC lookup"),
     Query("text_bpe_stats", text_bpe_stats, ORACLES["text_bpe_stats"],
           "BPE-style regex pre-tokenization counts"),
     Query("text_winnow", text_winnow, ORACLES["text_winnow"],
