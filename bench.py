@@ -70,7 +70,14 @@ def main() -> None:
     for p in range(2, 6):
         if time.monotonic() > deadline:
             break
-        for q in ALL_QUERIES:
+        # least-measured first, slowest-so-far next: when the budget
+        # dies mid-pass, the extra samples went to the queries whose
+        # current min is most noise-prone (a single JIT-cold timing),
+        # not to whatever happened to sit early in registry order
+        order = sorted(ALL_QUERIES,
+                       key=lambda q: (len(passes[q.name]),
+                                      -min(passes[q.name])))
+        for q in order:
             if time.monotonic() > deadline:
                 log(f"pass-{p} budget exhausted at {q.name}")
                 break
