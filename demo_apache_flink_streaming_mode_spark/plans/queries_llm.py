@@ -174,8 +174,9 @@ def corpus_clean(spark, sf_dir):
 
 def sim_recall_ann(spark, sf_dir):
     """Recall@k per ANN method — LSH, trained IVF nprobe=1, trained IVF
-    nprobe=2 — against the brute-force baseline, per query: the engine
-    measuring its own approximation quality and the nprobe recall knob.
+    nprobe=2, PQ — against the brute-force baseline, per query: the
+    engine measuring its own approximation quality and the nprobe /
+    quantization recall knobs.
 
     Pure counting on top of the existing top-k pipelines (hit = same
     (query, neighbor) pair in exact and approximate). The two IVF legs
@@ -196,6 +197,9 @@ def sim_recall_ann(spark, sf_dir):
                                    num_planes=NUM_PLANES, dim=DIM),
         "ivf1": ivf[1],
         f"ivf{IVF_NPROBE}": ivf[IVF_NPROBE],
+        "pq": similarity.topk_pq(queries, embs, TOPK, m_sub=PQ_M,
+                                 sub_dim=PQ_SUB_DIM, n_codes=PQ_CODES,
+                                 iters=PQ_ITERS),
     }
     n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
     out = None
@@ -1160,7 +1164,10 @@ ORACLES["sim_recall_ann"] = f"""
       FROM ({_ivf_trained_oracle(KMEANS_ITERS, nprobe=1)})
       UNION ALL
       SELECT 'ivf{IVF_NPROBE}' AS method, query_id, neighbor_id
-      FROM ({_ivf_trained_oracle(KMEANS_ITERS, nprobe=IVF_NPROBE)})),
+      FROM ({_ivf_trained_oracle(KMEANS_ITERS, nprobe=IVF_NPROBE)})
+      UNION ALL
+      SELECT 'pq' AS method, query_id, neighbor_id
+      FROM ({_pq_oracle(PQ_ITERS)})),
     m AS (SELECT DISTINCT method FROM ann),
     hits AS (SELECT a.method, e.query_id, COUNT(*) AS n_hits
              FROM exact e JOIN ann a
@@ -1289,7 +1296,7 @@ QUERIES = [
     Query("mm_decode_video", mm_decode_video, ORACLES["mm_decode_video"],
           "REAL video decode: stdlib struct RIFF/AVI round-trip, 1->N frames"),
     Query("sim_recall_ann", sim_recall_ann, ORACLES["sim_recall_ann"],
-          "recall@k per method (LSH / IVF nprobe=1 / nprobe=2) vs brute force"),
+          "recall@k per method (LSH / IVF nprobe=1/2 / PQ) vs brute force"),
     Query("corpus_clean", corpus_clean, ORACLES["corpus_clean"],
           "end-to-end curation decision per doc (benchmark/exact/near/"
           "contaminated/keep)"),
