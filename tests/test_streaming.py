@@ -181,6 +181,33 @@ def test_file_sink_roundtrip(spark, batch_events, stream_events, tmp_path):
     assert back.count() == expected
 
 
+def test_rocksdb_state_store_parity(spark, batch_events, stream_events):
+    """The documented 100 TB state-store config actually runs: the
+    keyed tumbling aggregate under RocksDBStateStoreProvider (state
+    off-heap + on-disk, the large-key-space provider) produces exactly
+    the default-provider/batch answer."""
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        _drain(pipelines.tumbling_count(stream_events, "ts", "1 day",
+                                        keys=["user_id"]),
+               "t_rocks", mode="complete")
+        got = _rows(spark.table("t_rocks"), "user_id", "window_start")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+    want = _rows(windows.tumbling_count(batch_events, "ts", "1 day",
+                                        keys=["user_id"]),
+                 "user_id", "window_start")
+    assert got == want and len(got) > 0
+
+
 def test_idempotent_foreach_batch_sink(spark, batch_events, stream_events,
                                        tmp_path):
     """K2 delta: the epoch-keyed foreachBatch sink is exactly-once
