@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from demo_apache_flink_streaming_mode_spark.operators import cep, eventtime, joins, stateful, transforms, windows
+from demo_apache_flink_streaming_mode_spark.operators import (
+    cep, eventtime, joins, stateful, timeseries, transforms, windows)
 from demo_apache_flink_streaming_mode_spark.plans.base import Query
 from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
 
@@ -138,6 +139,24 @@ def j2_asof_click_view(spark, sf_dir):
     j = joins.asof_join(clicks, views, "user_id", "click_ms", "view_ms")
     return j.select("user_id", "click_id", "click_ms", "view_id",
                     (F.col("click_ms") - F.col("view_ms")).alias("gap_ms"))
+
+
+def j4_resample_1h(spark, sf_dir):
+    """Hourly forward-filled resample of each user's `value` series —
+    regular-grid alignment (operators.timeseries.resample_ffill):
+    bounds agg -> sequence/explode grid -> one-shuffle as-of carry.
+    Collisions on (user, ts) resolve to the greatest event_id; the
+    oracle mirrors with an explicit argmax row_number.
+    """
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_millis("ts").alias("obs_ms"),
+        F.col("value").alias("obs_value"),
+        F.col("event_id").alias("obs_event_id"))
+    r = timeseries.resample_ffill(ev, "user_id", "obs_ms", HOUR_MS,
+                                  tiebreak=["obs_event_id"])
+    return r.select("user_id", "grid_ms", "obs_ms", "obs_value",
+                    "obs_event_id",
+                    (F.col("grid_ms") - F.col("obs_ms")).alias("staleness_ms"))
 
 
 def j3_interval_join(spark, sf_dir):
@@ -294,6 +313,25 @@ ORACLES = {
                c.click_ms - v.view_ms AS gap_ms
         FROM c ASOF LEFT JOIN v
           ON c.user_id = v.user_id AND v.view_ms <= c.click_ms""",
+    "j4_resample_1h": f"""
+        WITH ev AS (SELECT user_id, epoch_ms(ts) AS obs_ms,
+                           value AS obs_value, event_id AS obs_event_id
+                    FROM events),
+        b AS (SELECT user_id,
+                     ((MIN(obs_ms) + {HOUR_MS - 1}) // {HOUR_MS}) * {HOUR_MS} AS gs,
+                     (MAX(obs_ms) // {HOUR_MS}) * {HOUR_MS} AS ge
+              FROM ev GROUP BY 1),
+        grid AS (SELECT user_id, unnest(range(gs, ge + 1, {HOUR_MS})) AS grid_ms
+                 FROM b WHERE gs <= ge),
+        j AS (SELECT g.user_id, g.grid_ms, e.obs_ms, e.obs_value,
+                     e.obs_event_id,
+                     ROW_NUMBER() OVER (PARTITION BY g.user_id, g.grid_ms
+                         ORDER BY e.obs_ms DESC, e.obs_event_id DESC) AS rn
+              FROM grid g JOIN ev e
+                ON e.user_id = g.user_id AND e.obs_ms <= g.grid_ms)
+        SELECT user_id, grid_ms, obs_ms, obs_value, obs_event_id,
+               grid_ms - obs_ms AS staleness_ms
+        FROM j WHERE rn = 1""",
     "j3_interval_join": """
         WITH e AS (SELECT event_id AS error_id, epoch_ms(ts) AS err_ms
                    FROM events WHERE event_type = 'error'),
@@ -393,6 +431,8 @@ QUERIES = [
           "J1 tumbling-window inner equi-join (WindowJoin.java:119-158)"),
     Query("j2_asof_click_view", j2_asof_click_view, ORACLES["j2_asof_click_view"],
           "J2 backward as-of join via union + window carry-forward"),
+    Query("j4_resample_1h", j4_resample_1h, ORACLES["j4_resample_1h"],
+          "hourly forward-filled resample per user (grid + as-of carry)"),
     Query("j3_interval_join", j3_interval_join, ORACLES["j3_interval_join"],
           "J3 keyless interval join via grid binning (Flink intervalJoin analog)"),
     Query("st1_repeat_action_alert", st1_repeat_action_alert,

@@ -254,6 +254,51 @@ def test_kmeans_excludes_zero_norm_vectors(spark):
     assert cents and all(c is not None for r in cents for c in r["cv"])
 
 
+# --- time-series resample ------------------------------------------------
+
+def test_resample_ffill_grid_and_carry(spark):
+    """Grid spans [ceil(min/step), floor(max/step)]; every point carries
+    the latest observation at or before it — never null."""
+    from demo_apache_flink_streaming_mode_spark.operators.timeseries import (
+        resample_ffill)
+    ev = spark.createDataFrame(
+        [(1, 150, 10.0), (1, 420, 20.0), (1, 990, 30.0)],
+        "k long, ms long, v double")
+    got = {r["grid_ms"]: (r["ms"], r["v"])
+           for r in resample_ffill(ev, "k", "ms", 100).collect()}
+    assert set(got) == {200, 300, 400, 500, 600, 700, 800, 900}
+    assert got[200] == (150, 10.0)          # first boundary >= first obs
+    assert got[400] == (150, 10.0)          # 420 not yet visible at 400
+    assert got[500] == (420, 20.0)
+    assert got[900] == (420, 20.0)          # 990 lands after the last point
+
+
+def test_resample_ffill_key_without_boundary_emits_nothing(spark):
+    """A key whose [min, max] span contains no step boundary produces no
+    grid rows (and no nulls elsewhere)."""
+    from demo_apache_flink_streaming_mode_spark.operators.timeseries import (
+        resample_ffill)
+    ev = spark.createDataFrame(
+        [(1, 110, 1.0), (1, 190, 2.0),      # span (110,190): no multiple of 100
+         (2, 90, 3.0), (2, 210, 4.0)],
+        "k long, ms long, v double")
+    rows = resample_ffill(ev, "k", "ms", 100).collect()
+    assert {r["k"] for r in rows} == {2}
+    assert sorted(r["grid_ms"] for r in rows) == [100, 200]
+
+
+def test_resample_ffill_collision_tiebreak(spark):
+    """Observations colliding on (key, ts) resolve to the greatest
+    tiebreak value, deterministically."""
+    from demo_apache_flink_streaming_mode_spark.operators.timeseries import (
+        resample_ffill)
+    ev = spark.createDataFrame(
+        [(1, 100, 1.0, 7), (1, 100, 2.0, 9), (1, 100, 3.0, 8)],
+        "k long, ms long, v double, eid long")
+    rows = resample_ffill(ev, "k", "ms", 100, tiebreak=["eid"]).collect()
+    assert [(r["grid_ms"], r["v"], r["eid"]) for r in rows] == [(100, 2.0, 9)]
+
+
 # --- product quantization ------------------------------------------------
 
 def test_pq_codebooks_partitioning_invariant(spark, unit_vecs):
