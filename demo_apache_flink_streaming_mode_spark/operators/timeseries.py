@@ -37,9 +37,15 @@ def resample_ffill(events: DataFrame, key: str, ts_ms: str,
     (asof_join semantics). Integer-only boundary math (``div``), so
     the grid is engine-portable at any epoch magnitude.
     """
+    grid = _grid(events, key, ts_ms, step_ms)
+    return asof_join(grid, events, key, "grid_ms", ts_ms, tiebreak=tiebreak)
+
+
+def _grid(events: DataFrame, key: str, ts_ms: str,
+          step_ms: int) -> DataFrame:
     b = events.groupBy(key).agg(F.min(ts_ms).alias("_mn"),
                                 F.max(ts_ms).alias("_mx"))
-    grid = (b.select(
+    return (b.select(
                 key,
                 F.expr(f"(_mn + {step_ms - 1}) div {step_ms} * {step_ms}")
                 .alias("_gs"),
@@ -48,4 +54,40 @@ def resample_ffill(events: DataFrame, key: str, ts_ms: str,
             .select(key,
                     F.explode(F.sequence("_gs", "_ge", F.lit(step_ms)))
                     .alias("grid_ms")))
-    return asof_join(grid, events, key, "grid_ms", ts_ms, tiebreak=tiebreak)
+
+
+def resample_interp(events: DataFrame, key: str, ts_ms: str, value: str,
+                    step_ms: int) -> DataFrame:
+    """Linear-interpolation resample: per grid point, ``interp_value``
+    lerps between the latest observation at-or-before and the earliest
+    at-or-after; a grid point past the last observation carries the
+    last value (degenerating to forward fill), and an exact-hit grid
+    point returns the observation itself (both as-of legs agree).
+
+    The forward leg reuses the SAME backward as-of operator on negated
+    timestamps (latest ``-ts <= -grid`` == earliest ``ts >= grid``),
+    so both directions are the one-shuffle carry — still no range
+    join. Collisions on (key, ts) resolve to the greatest value on
+    both legs (ORDER-BY-payload asof tiebreak), mirrored in the
+    oracle. The lerp ``v0 + (v1 - v0) * (g - t0) / (t1 - t0)`` is a
+    fixed IEEE chain, engine-portable.
+    """
+    grid = _grid(events, key, ts_ms, step_ms)
+    back = events.select(key, F.col(ts_ms).alias("t0"),
+                         F.col(value).alias("v0"))
+    fwd = events.select(key, (-F.col(ts_ms)).alias("_nt"),
+                        F.col(ts_ms).alias("t1"), F.col(value).alias("v1"))
+    g0 = asof_join(grid, back, key, "grid_ms", "t0", tiebreak=["v0"])
+    g0 = g0.withColumn("_ng", -F.col("grid_ms"))
+    # forward as-of: tiebreak must make (t1, v1) resolve to the
+    # greatest v1 among equal ts — _nt equal => t1 equal, order by v1
+    g01 = asof_join(g0, fwd, key, "_ng", "_nt", tiebreak=["v1"])
+    interp = (F.when(F.col("t1").isNull(), F.col("v0"))
+              .when(F.col("t1") == F.col("t0"), F.col("v0"))
+              .otherwise(
+                  F.col("v0")
+                  + (F.col("v1") - F.col("v0"))
+                  * (F.col("grid_ms") - F.col("t0")).cast("double")
+                  / (F.col("t1") - F.col("t0")).cast("double")))
+    return g01.select(key, "grid_ms", "t0", "v0", "t1", "v1",
+                      interp.alias("interp_value"))

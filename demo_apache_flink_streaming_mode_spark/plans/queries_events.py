@@ -159,6 +159,18 @@ def j4_resample_1h(spark, sf_dir):
                     (F.col("grid_ms") - F.col("obs_ms")).alias("staleness_ms"))
 
 
+def j5_resample_interp_1h(spark, sf_dir):
+    """Hourly linear-interpolation resample of each user's `value`
+    series: both as-of legs (backward + forward-via-negated-ts) are the
+    one-shuffle carry; the lerp is a fixed IEEE chain mirrored by the
+    oracle. Past the last observation the value degenerates to forward
+    fill.
+    """
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_millis("ts").alias("ms"), "value")
+    return timeseries.resample_interp(ev, "user_id", "ms", "value", HOUR_MS)
+
+
 def j3_interval_join(spark, sf_dir):
     """Interval join: clicks within +/-10 min of each error event.
 
@@ -332,6 +344,38 @@ ORACLES = {
         SELECT user_id, grid_ms, obs_ms, obs_value, obs_event_id,
                grid_ms - obs_ms AS staleness_ms
         FROM j WHERE rn = 1""",
+    "j5_resample_interp_1h": f"""
+        WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, value AS v
+                    FROM events),
+        b AS (SELECT user_id,
+                     ((MIN(ms) + {HOUR_MS - 1}) // {HOUR_MS}) * {HOUR_MS} AS gs,
+                     (MAX(ms) // {HOUR_MS}) * {HOUR_MS} AS ge
+              FROM ev GROUP BY 1),
+        grid AS (SELECT user_id, unnest(range(gs, ge + 1, {HOUR_MS})) AS grid_ms
+                 FROM b WHERE gs <= ge),
+        g0 AS (SELECT * FROM (
+                 SELECT g.user_id, g.grid_ms, e.ms AS t0, e.v AS v0,
+                        ROW_NUMBER() OVER (PARTITION BY g.user_id, g.grid_ms
+                            ORDER BY e.ms DESC, e.v DESC) AS rn
+                 FROM grid g JOIN ev e
+                   ON e.user_id = g.user_id AND e.ms <= g.grid_ms)
+               WHERE rn = 1),
+        g1 AS (SELECT * FROM (
+                 SELECT g.user_id, g.grid_ms, e.ms AS t1, e.v AS v1,
+                        ROW_NUMBER() OVER (PARTITION BY g.user_id, g.grid_ms
+                            ORDER BY e.ms ASC, e.v DESC) AS rn
+                 FROM grid g JOIN ev e
+                   ON e.user_id = g.user_id AND e.ms >= g.grid_ms)
+               WHERE rn = 1)
+        SELECT g0.user_id, g0.grid_ms, g0.t0, g0.v0, g1.t1, g1.v1,
+               CASE WHEN g1.t1 IS NULL THEN g0.v0
+                    WHEN g1.t1 = g0.t0 THEN g0.v0
+                    ELSE g0.v0 + (g1.v1 - g0.v0)
+                         * CAST(g0.grid_ms - g0.t0 AS DOUBLE)
+                         / CAST(g1.t1 - g0.t0 AS DOUBLE)
+               END AS interp_value
+        FROM g0 LEFT JOIN g1
+          ON g1.user_id = g0.user_id AND g1.grid_ms = g0.grid_ms""",
     "j3_interval_join": """
         WITH e AS (SELECT event_id AS error_id, epoch_ms(ts) AS err_ms
                    FROM events WHERE event_type = 'error'),
@@ -433,6 +477,9 @@ QUERIES = [
           "J2 backward as-of join via union + window carry-forward"),
     Query("j4_resample_1h", j4_resample_1h, ORACLES["j4_resample_1h"],
           "hourly forward-filled resample per user (grid + as-of carry)"),
+    Query("j5_resample_interp_1h", j5_resample_interp_1h,
+          ORACLES["j5_resample_interp_1h"],
+          "hourly linear-interpolation resample (dual as-of legs + lerp)"),
     Query("j3_interval_join", j3_interval_join, ORACLES["j3_interval_join"],
           "J3 keyless interval join via grid binning (Flink intervalJoin analog)"),
     Query("st1_repeat_action_alert", st1_repeat_action_alert,

@@ -287,6 +287,25 @@ def test_resample_ffill_key_without_boundary_emits_nothing(spark):
     assert sorted(r["grid_ms"] for r in rows) == [100, 200]
 
 
+def test_resample_interp_lerp_and_tail_ffill(spark):
+    """Between observations the value lerps; past the last observation
+    it carries the last value; an exact hit returns the observation."""
+    from demo_apache_flink_streaming_mode_spark.operators.timeseries import (
+        resample_interp)
+    ev = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 400, 40.0), (1, 650, 100.0)],
+        "k long, ms long, v double")
+    got = {r["grid_ms"]: r["interp_value"]
+           for r in resample_interp(ev, "k", "ms", "v", 100).collect()}
+    assert got[100] == 10.0                          # exact hit
+    assert got[200] == pytest.approx(20.0)           # lerp 100->400
+    assert got[300] == pytest.approx(30.0)
+    assert got[400] == 40.0                          # exact hit
+    assert got[500] == pytest.approx(40.0 + 60.0 * 100 / 250)
+    assert got[600] == pytest.approx(40.0 + 60.0 * 200 / 250)
+    assert 700 not in got                            # grid ends at 600
+
+
 def test_resample_ffill_collision_tiebreak(spark):
     """Observations colliding on (key, ts) resolve to the greatest
     tiebreak value, deterministically."""
