@@ -164,6 +164,71 @@ def action_durations(df: DataFrame, key: str, ts: str, action_col: str,
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
 
 
+def repeat_action_alert_tws(df: DataFrame, key: str, ts: str,
+                            action_col: str, action: str, threshold_ms: int,
+                            tiebreak: str = "event_id",
+                            state_ttl_ms: int | None = None) -> DataFrame:
+    """ST1 on the ``transformWithStateInPandas`` API (Spark 4.x) —
+    bit-identical outputs to ``repeat_action_alert``.
+
+    Same per-key fold, but state lifecycle moves to the modern
+    processor model: ``getValueState(..., ttlDurationMs)`` gives
+    NATIVE state-store TTL (the store expires idle keys itself — no
+    hand-registered processing-time timeout, no timed-out-key callback
+    in the handler), which is the forward path for arbitrary keyed
+    state now that ``applyInPandasWithState`` is the legacy API.
+    Eviction semantics match the legacy form: an expired key simply
+    reads as absent, exactly like ``state.remove()`` on timeout.
+
+    Runtime dependency: the transformWithState driver worker speaks
+    protobuf to the JVM (``google.protobuf``); in environments without
+    it the plan builds and analyzes but the query crashes at start —
+    the parity test skips there and the legacy operator remains the
+    executable path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    ttl_ms = state_ttl_ms if state_ttl_ms is not None else 10 * threshold_ms
+    out_schema = (f"{key} {_sql_type(df, key)}, "
+                  f"event_id {_sql_type(df, tiebreak)}, time_diff_ms long")
+
+    class _Alert(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_ms", "last_ms long",
+                                              ttl_ms)
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            got = self._last.get()
+            last_ms = got[0] if got is not None else None
+            out_ids, out_diffs = [], []
+            for pdf in rows:
+                pdf = pdf[pdf[action_col] == action]
+                if pdf.empty:
+                    continue
+                pdf = pdf.sort_values([ts, tiebreak])
+                ms = _to_ms(pdf[ts])
+                for eid, m in zip(pdf[tiebreak], ms):
+                    if last_ms is not None and m - last_ms < threshold_ms:
+                        out_ids.append(eid)
+                        out_diffs.append(m - last_ms)
+                    last_ms = int(m)
+            if last_ms is not None:
+                self._last.update((last_ms,))
+            if out_ids:
+                yield pd.DataFrame({key: key_tuple[0], "event_id": out_ids,
+                                    "time_diff_ms": out_diffs})
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=_Alert(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="ProcessingTime")
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
               state_ttl_ms: int = _DEFAULT_IDLE_TTL_MS) -> DataFrame:
