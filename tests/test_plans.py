@@ -51,6 +51,33 @@ def test_no_plan_antipatterns(spark, query):
             f"{query.name}: unexpected BroadcastNestedLoopJoin")
 
 
+@pytest.mark.parametrize("name,table_col,filter_col,absent_col", [
+    ("q6_forecast_revenue", "l_quantity", "l_shipdate", "l_orderkey"),
+    ("q14_promo_revenue", "l_extendedprice", "l_shipdate", "l_linenumber"),
+    ("q19_disjunctive_pricing", "l_quantity", "p_brand", "l_tax"),
+    ("t2_filter", "event_id", "event_type", "props"),
+])
+def test_scan_pushdown_and_pruning(spark, name, table_col, filter_col,
+                                   absent_col):
+    """Filters reach the parquet scan and the scan reads only needed
+    columns — the two properties that make a 100 TB scan cheap. Each
+    FileScan node must (a) carry the query's filter column in its
+    pushed DataFilters and (b) not read columns the query never
+    touches."""
+    plan = _plan(spark, name)
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\][^\n]*", plan)
+    assert scans, f"{name}: no FileScan in plan"
+    cols = ",".join(scans)
+    assert table_col in cols
+    assert absent_col not in cols, (
+        f"{name}: scan reads {absent_col}, projection not pruned")
+    filtered_scans = [s for s in re.findall(r"FileScan parquet [^\n]*", plan)
+                      if filter_col in s]
+    assert any("DataFilters: [" in s and filter_col in
+               s.split("DataFilters:")[1] for s in filtered_scans), (
+        f"{name}: {filter_col} filter not pushed to the scan")
+
+
 def test_w3_watermark_is_two_phase(spark):
     """The classify_late running max must NOT funnel the full stream
     through one task: the per-row window is hash-partitioned by the
