@@ -141,6 +141,27 @@ def j2_asof_click_view(spark, sf_dir):
                     (F.col("click_ms") - F.col("view_ms")).alias("gap_ms"))
 
 
+def t5_json_props_stats(spark, sf_dir):
+    """Semi-structured projection: parse the JSON ``props`` payload with
+    a declared schema (``from_json`` — typed, whole-stage codegen, no
+    schema inference pass) and aggregate the extracted field per event
+    type. The scan still prunes to (event_type, props); at 100 TB the
+    parse is a narrow per-row expression fused into the scan stage.
+    """
+    from pyspark.sql import types as T
+    ev = _events(spark, sf_dir)
+    k = F.from_json("props", T.StructType(
+        [T.StructField("k", T.LongType())]))["k"]
+    return (ev.select("event_type", k.alias("k"))
+            .filter(F.col("k").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.count(F.when(F.col("k") > 50, 1)).alias("n_gt50")))
+
+
 def j4_resample_1h(spark, sf_dir):
     """Hourly forward-filled resample of each user's `value` series —
     regular-grid alignment (operators.timeseries.resample_ffill):
@@ -325,6 +346,15 @@ ORACLES = {
                c.click_ms - v.view_ms AS gap_ms
         FROM c ASOF LEFT JOIN v
           ON c.user_id = v.user_id AND v.view_ms <= c.click_ms""",
+    "t5_json_props_stats": """
+        WITH e AS (SELECT event_type,
+                          CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                   FROM events)
+        SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+               MIN(k) AS min_k, MAX(k) AS max_k,
+               COUNT(CASE WHEN k > 50 THEN 1 END) AS n_gt50
+        FROM e WHERE k IS NOT NULL
+        GROUP BY 1""",
     "j4_resample_1h": f"""
         WITH ev AS (SELECT user_id, epoch_ms(ts) AS obs_ms,
                            value AS obs_value, event_id AS obs_event_id
@@ -475,6 +505,9 @@ QUERIES = [
           "J1 tumbling-window inner equi-join (WindowJoin.java:119-158)"),
     Query("j2_asof_click_view", j2_asof_click_view, ORACLES["j2_asof_click_view"],
           "J2 backward as-of join via union + window carry-forward"),
+    Query("t5_json_props_stats", t5_json_props_stats,
+          ORACLES["t5_json_props_stats"],
+          "typed JSON payload extraction + per-type aggregate"),
     Query("j4_resample_1h", j4_resample_1h, ORACLES["j4_resample_1h"],
           "hourly forward-filled resample per user (grid + as-of carry)"),
     Query("j5_resample_interp_1h", j5_resample_interp_1h,
