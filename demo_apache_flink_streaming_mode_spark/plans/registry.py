@@ -66,18 +66,21 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "q_top3_parts_per_brand",
     "q_customers_with_big_order",
-    # -- dedup family --------------------------------------------------
+    # -- dedup family (jaccard_report demoted r4: MinHash family proven
+    # by dedup_minhash_lsh, report quality pytest-green in the tail) ---
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_cosine_lsh",
-    "dedup_jaccard_report",
     "dedup_cdc_chunks",
-    # -- similarity / ANN family --------------------------------------
+    # -- similarity / ANN family (ivf_probe2 demoted r4: probe widening
+    # proven by sim_topk_ivf_trained + the recall report's ivf2 leg) ---
     "sim_ann_lsh",
     "sim_topk_ivf_trained",
-    "sim_topk_ivf_probe2",
+    "sim_topk_pq",
     "sim_recall_ann",
+    # -- time-series resampling (new family, r4) ----------------------
+    "j4_resample_1h",
     # -- text analysis family (bpe/tfidf demoted: tokenization proven
     # by text_token_stats, corpus-stats ranking by text_bm25) ---------
     "text_token_stats",
