@@ -141,6 +141,34 @@ def j2_asof_click_view(spark, sf_dir):
                     (F.col("click_ms") - F.col("view_ms")).alias("gap_ms"))
 
 
+def a8_state_intervals(spark, sf_dir):
+    """SCD2-style history build: each event opens a validity interval
+    that closes at the user's next event (NULL while current) — the
+    standard latest-state/history warehouse pattern, one ``lead``
+    window pass keyed by user. Ties on ts resolve by event_id.
+    """
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_millis("ts").alias("valid_from_ms"))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("valid_from_ms", "event_id")
+    return ev.select(
+        "user_id", "event_id", "event_type", "valid_from_ms",
+        F.lead("valid_from_ms").over(w).alias("valid_to_ms"))
+
+
+def a9_value_histogram(spark, sf_dir):
+    """Fixed-width numeric binning: value histogram per event type
+    (bin width 10). A shuffle on (type, bin) with map-side partials —
+    the numeric twin of the time-bucket windows.
+    """
+    ev = _events(spark, sf_dir)
+    return (ev.select("event_type",
+                      F.floor(F.col("value") / 10).cast("long").alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("n")))
+
+
 def t5_json_props_stats(spark, sf_dir):
     """Semi-structured projection: parse the JSON ``props`` payload with
     a declared schema (``from_json`` — typed, whole-stage codegen, no
@@ -346,6 +374,16 @@ ORACLES = {
                c.click_ms - v.view_ms AS gap_ms
         FROM c ASOF LEFT JOIN v
           ON c.user_id = v.user_id AND v.view_ms <= c.click_ms""",
+    "a8_state_intervals": """
+        SELECT user_id, event_id, event_type,
+               epoch_ms(ts) AS valid_from_ms,
+               LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS valid_to_ms
+        FROM events""",
+    "a9_value_histogram": """
+        SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2""",
     "t5_json_props_stats": """
         WITH e AS (SELECT event_type,
                           CAST(json_extract(props, '$.k') AS BIGINT) AS k
@@ -508,6 +546,12 @@ QUERIES = [
     Query("t5_json_props_stats", t5_json_props_stats,
           ORACLES["t5_json_props_stats"],
           "typed JSON payload extraction + per-type aggregate"),
+    Query("a8_state_intervals", a8_state_intervals,
+          ORACLES["a8_state_intervals"],
+          "SCD2-style validity intervals per user (lead window)"),
+    Query("a9_value_histogram", a9_value_histogram,
+          ORACLES["a9_value_histogram"],
+          "fixed-width value histogram per event type"),
     Query("j4_resample_1h", j4_resample_1h, ORACLES["j4_resample_1h"],
           "hourly forward-filled resample per user (grid + as-of carry)"),
     Query("j5_resample_interp_1h", j5_resample_interp_1h,

@@ -180,6 +180,26 @@ def events_value_quantiles_approx(spark, sf_dir):
                     F.col("p")[2].alias("p99")))
 
 
+def orders_fingerprint(spark, sf_dir):
+    """Order-insensitive table fingerprint — the migration-validation
+    utility for exactly this engine's situation: prove two systems hold
+    the SAME rows without moving them. Per row, md5 of a canonical
+    '|'-joined rendering of the integer/string columns (doubles are
+    excluded — float formatting is not portable across engines), folded
+    to a 60-bit value and combined with ``bit_xor``: commutative, so
+    no sort, no overflow, one map-side-combinable aggregate regardless
+    of table size. Any single-row difference flips the checksum.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    s = F.concat_ws("|", F.col("o_orderkey"), F.col("o_custkey"),
+                    F.col("o_orderstatus"), F.col("o_orderpriority"),
+                    F.unix_millis("o_orderdate"))
+    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    return (o.select(h.alias("h"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.expr("bit_xor(h)").alias("checksum")))
+
+
 # --- DuckDB oracles ------------------------------------------------------
 
 # shared chunking CTEs: boundary flags per position, then chunk id as
@@ -285,6 +305,13 @@ ORACLES: dict[str, str] = {
                    '{text.PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash
         FROM seeded""",
     "corpus_report": None,  # assigned below (composes queries_llm oracles)
+    "orders_fingerprint": """
+        WITH h AS (
+          SELECT ('0x' || substr(md5(concat_ws('|',
+                     o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                     epoch_ms(o_orderdate))), 1, 15))::BIGINT AS h
+          FROM orders)
+        SELECT COUNT(*) AS n_rows, bit_xor(h) AS checksum FROM h""",
     "events_value_quantiles": """
         SELECT event_type,
                quantile_cont(value, 0.5)  AS p50,
@@ -348,4 +375,7 @@ QUERIES = [
           "PII count + redaction (self-seeded fixture, shuffle-free map)"),
     Query("corpus_report", corpus_report, ORACLES["corpus_report"],
           "per-(source, lang) curation dashboard: docs, kept, mean quality"),
+    Query("orders_fingerprint", orders_fingerprint,
+          ORACLES["orders_fingerprint"],
+          "order-insensitive bit_xor table checksum (migration validation)"),
 ]
