@@ -184,6 +184,12 @@ def sim_recall_ann(spark, sf_dir):
     (``topk_ivf_probes``), so the sweep pays k-means once. Integer
     outputs only, so the oracle is a join of the existing oracle CTEs
     with no float arithmetic at all.
+
+    Plan note (measured, r4): do NOT pre-materialize one shared
+    normalized corpus for all legs — an eager localCheckpoint feeding
+    every leg ran ~40% SLOWER (19.5s -> 26-31s at sf0.1) than this
+    composed plan, where Spark's ReuseExchange already dedupes the
+    identical normalization subplans and keeps them fused in codegen.
     """
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
