@@ -69,20 +69,11 @@ def hll_bucket_rho(value_col: str, m: int = HLL_M) -> tuple[Column, Column]:
     return bucket, rho
 
 
-def hll_distinct(df: DataFrame, key_cols: list[str], value_col: str,
+def hll_estimate(regs: DataFrame, key_cols: list[str],
                  m: int = HLL_M) -> DataFrame:
-    """Per-key HyperLogLog distinct estimate (raw estimator, m registers).
-
-    Dataflow: one narrow projection computes (bucket, rho) per row, a
-    groupBy(keys, bucket) max collapses to <= m register rows per key
-    (map-side combinable — the shuffle carries registers, not values),
-    then a per-key fold over the dense register vector produces the
-    estimate. At 100 TB the state per key is m small ints regardless of
-    cardinality — the entire point of the sketch.
-
-    Emits (keys..., hll_est double). Estimate error ~ 1.04/sqrt(m).
-    """
-    regs = hll_registers(df, key_cols, value_col, m)
+    """Estimate fold over a (keys..., bucket, reg) register table — the
+    shared tail of the direct and merged sketch paths. Emits
+    (keys..., hll_est double)."""
     # densify to all m buckets (missing register == 0) so the sum has a
     # fixed term count; the per-key bucket list is tiny (m rows)
     keys = regs.select(*key_cols).distinct()
@@ -97,6 +88,32 @@ def hll_distinct(df: DataFrame, key_cols: list[str], value_col: str,
     est = (F.lit(HLL_ALPHA * m * m) * F.lit(_POW2_61)
            / F.col("s_int").cast("double")).alias("hll_est")
     return dense.groupBy(*key_cols).agg(s_int).select(*key_cols, est)
+
+
+def hll_merge(regs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Merge sub-sketch register tables by register-wise MAX — the
+    associative/commutative union that makes HLL map-side-combinable
+    and cross-partition mergeable at 100 TB. Input may carry extra
+    partition columns beyond ``key_cols``; they fold away here."""
+    return (regs.groupBy(*key_cols, "bucket")
+            .agg(F.max("reg").alias("reg")))
+
+
+def hll_distinct(df: DataFrame, key_cols: list[str], value_col: str,
+                 m: int = HLL_M) -> DataFrame:
+    """Per-key HyperLogLog distinct estimate (raw estimator, m registers).
+
+    Dataflow: one narrow projection computes (bucket, rho) per row, a
+    groupBy(keys, bucket) max collapses to <= m register rows per key
+    (map-side combinable — the shuffle carries registers, not values),
+    then a per-key fold over the dense register vector produces the
+    estimate. At 100 TB the state per key is m small ints regardless of
+    cardinality — the entire point of the sketch.
+
+    Emits (keys..., hll_est double). Estimate error ~ 1.04/sqrt(m).
+    """
+    return hll_estimate(hll_registers(df, key_cols, value_col, m),
+                        key_cols, m)
 
 
 def cms_buckets(term: Column, row: int, w: int) -> Column:

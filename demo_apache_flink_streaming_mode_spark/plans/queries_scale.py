@@ -43,6 +43,29 @@ def sketch_hll_users(spark, sf_dir):
     return exact.join(est, "event_type").select("event_type", "n_exact", "hll_est")
 
 
+def sketch_hll_merge(spark, sf_dir):
+    """HLL union semantics, proven end-to-end: registers built per
+    (event_type, half-of-data) and max-merged across halves must give
+    EXACTLY the direct whole-data estimate — the associative property
+    that makes the sketch map-side-combinable and lets sub-sketches
+    from different partitions/days/workers union without re-reading
+    rows. The halves are an md5(event_id) split so both engines
+    partition identically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    half = (hex_to_long(F.md5(F.col("event_id").cast("string")), 1, 2)
+            % 2).alias("half")
+    part = sketches.hll_registers(
+        ev.select("event_type", half, "user_id"),
+        ["event_type", "half"], "user_id", m=HLL_M)
+    merged_est = (sketches.hll_estimate(
+        sketches.hll_merge(part, ["event_type"]), ["event_type"], m=HLL_M)
+        .withColumnRenamed("hll_est", "hll_est_merged"))
+    direct_est = sketches.hll_distinct(ev, ["event_type"], "user_id", m=HLL_M)
+    return (direct_est.join(merged_est, "event_type")
+            .select("event_type", "hll_est", "hll_est_merged"))
+
+
 def sketch_cms_terms(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return sketches.cms_term_estimates(docs, d=CMS_D, w=CMS_W)
@@ -258,8 +281,54 @@ def _hll_oracle(key_exprs: str, key_names: list[str]) -> str:
         FROM e JOIN s USING ({names})"""
 
 
+def _hll_est_ctes(reg_cte: str, sfx: str) -> str:
+    """Densify + exact-decimal-sum + estimate CTE chain over a
+    (event_type, bucket, reg) register CTE, suffixed to allow two
+    independent estimate folds in one query."""
+    return f"""
+        dense{sfx} AS (SELECT k.event_type, g.bucket,
+                              coalesce(r.reg, 0) AS reg
+                       FROM (SELECT DISTINCT event_type FROM {reg_cte}) k
+                       CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS bucket) g
+                       LEFT JOIN {reg_cte} r
+                         ON r.event_type = k.event_type
+                        AND r.bucket = g.bucket),
+        s{sfx} AS (SELECT event_type,
+                          SUM(((1::BIGINT << (61 - reg)))::DECIMAL(38,0))
+                              AS s_int
+                   FROM dense{sfx} GROUP BY 1),
+        est{sfx} AS (SELECT event_type,
+                            ({_HLL_SCALE!r} * {_POW2_61!r}) / s_int::DOUBLE
+                                AS est
+                     FROM s{sfx})"""
+
+
+_HLL_MERGE_ORACLE = f"""
+    WITH h AS (SELECT event_type,
+                      ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2)
+                      )::BIGINT % 2 AS half,
+                      md5(CAST(user_id AS VARCHAR)) AS hu
+               FROM events),
+    br AS (SELECT event_type, half,
+                  ('0x' || substr(hu, 1, 2))::BIGINT % {HLL_M} AS bucket,
+                  ('0x' || substr(hu, 3, 15))::BIGINT AS v60
+           FROM h),
+    rp AS (SELECT event_type, half, bucket,
+                  MAX(CASE WHEN v60 = 0 THEN 61
+                      ELSE 61 - length(bin(v60)) END) AS reg
+           FROM br GROUP BY ALL),
+    rm AS (SELECT event_type, bucket, MAX(reg) AS reg FROM rp GROUP BY ALL),
+    rd AS (SELECT event_type, bucket,
+                  MAX(CASE WHEN v60 = 0 THEN 61
+                      ELSE 61 - length(bin(v60)) END) AS reg
+           FROM br GROUP BY ALL),{_hll_est_ctes('rd', '_d')},{_hll_est_ctes('rm', '_m')}
+    SELECT d.event_type, d.est AS hll_est, m.est AS hll_est_merged
+    FROM est_d d JOIN est_m m USING (event_type)"""
+
+
 ORACLES: dict[str, str] = {
     "sketch_hll_users": _hll_oracle("event_type", ["event_type"]),
+    "sketch_hll_merge": _HLL_MERGE_ORACLE,
     "sketch_hll_windowed": _hll_oracle(
         "event_type, (epoch_ms(ts) // 3600000) * 3600000 AS window_start",
         ["event_type", "window_start"]),
@@ -358,6 +427,8 @@ QUERIES = [
           "decimal register sum) vs exact count"),
     Query("sketch_cms_terms", sketch_cms_terms, ORACLES["sketch_cms_terms"],
           "count-min sketch term frequencies (d=3, w=256) vs true counts"),
+    Query("sketch_hll_merge", sketch_hll_merge, ORACLES["sketch_hll_merge"],
+          "HLL register-max union across data halves == direct estimate"),
     Query("text_cdc_chunks", text_cdc_chunks, ORACLES["text_cdc_chunks"],
           "content-defined chunking (rolling-hash boundaries) per-doc stats"),
     Query("dedup_cdc_chunks", dedup_cdc_chunks, ORACLES["dedup_cdc_chunks"],
