@@ -69,15 +69,38 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
-def read_audit_trail_csv(spark: SparkSession, path: str) -> DataFrame:
+def read_audit_trail_csv(spark: SparkSession, path: str,
+                         on_malformed: str = "permissive") -> DataFrame:
     """Batch read of the reference's quoted-CSV audit-trail wire format.
 
     Replaces the hand-rolled quote-strip/split/cast parse
     (``chapter2/AuditTrail.java:17-28``) with Spark's native CSV reader +
     declared schema; epoch-ms longs become a proper event_time timestamp
     once, at ingest (SURVEY.md §1.2).
+
+    Malformed-row policy (the reference's hand parse would throw
+    ``NumberFormatException`` and kill the whole job — untenable when
+    one bad line hides in 100 TB):
+
+    - ``"permissive"`` (default): bad rows surface with NULL fields
+      and the raw line in ``_corrupt_record`` — quantifiable and
+      quarantinable downstream, never fatal;
+    - ``"drop"``: DROPMALFORMED, silently skip;
+    - ``"fail"``: FAILFAST, reproduce the reference's behavior.
     """
+    modes = {"permissive": "PERMISSIVE", "drop": "DROPMALFORMED",
+             "fail": "FAILFAST"}
+    if on_malformed not in modes:
+        raise ValueError(f"on_malformed must be one of {sorted(modes)}")
+    schema = AUDIT_TRAIL_CSV
+    if on_malformed == "permissive":
+        schema = T.StructType(
+            list(AUDIT_TRAIL_CSV.fields)
+            + [T.StructField("_corrupt_record", T.StringType())])
     return (
-        spark.read.schema(AUDIT_TRAIL_CSV).option("quote", '"').csv(path)
+        spark.read.schema(schema).option("quote", '"')
+        .option("mode", modes[on_malformed])
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
         .withColumn("event_time", F.timestamp_millis(F.col("epoch_ms")))
     )

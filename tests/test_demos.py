@@ -107,3 +107,31 @@ def test_browser_sessions_dwell_times(spark, browser_dir):
     assert rows[6] == ("Tom", "None", 0)
     assert rows[7] == ("Tom", "None", 0)          # current == Login -> None
     assert rows[8] == ("Tom", "Login", 1500)
+
+
+def test_audit_trail_malformed_rows_quarantined(spark, tmp_path):
+    """One bad line must never kill the job (the reference's hand parse
+    throws): PERMISSIVE quarantines it in _corrupt_record, drop skips
+    it, fail reproduces the reference's behavior."""
+    from demo_apache_flink_streaming_mode_spark.sources import batch as bsrc
+    d = tmp_path / "csv"
+    d.mkdir()
+    good = '"0","Tom","Customer","Create","1712637000000","5","3"'
+    bad = '"1","Harry","SalesRep","Modify","not_a_number","x","y"'
+    (d / "a.csv").write_text(good + "\n" + bad + "\n")
+
+    rows = bsrc.read_audit_trail_csv(spark, str(d)).collect()
+    assert len(rows) == 2
+    ok = [r for r in rows if r["_corrupt_record"] is None]
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(ok) == 1 and ok[0]["user"] == "Tom"
+    assert ok[0]["event_time"] is not None
+    assert len(corrupt) == 1 and "not_a_number" in corrupt[0]["_corrupt_record"]
+
+    # collect, not count: CSV column pruning means a bare count() never
+    # parses the typed fields, so malformedness goes undetected
+    assert len(bsrc.read_audit_trail_csv(spark, str(d),
+                                         on_malformed="drop").collect()) == 1
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        bsrc.read_audit_trail_csv(spark, str(d),
+                                  on_malformed="fail").collect()
