@@ -1,0 +1,99 @@
+"""Property test: the grid/as-of resample operators equal a direct
+sequential reference on random keyed series.
+
+The DataFrame forms compose integer boundary math, an explode grid,
+and as-of carries — subtle enough (boundary-at-observation hits, keys
+whose span holds no boundary, timestamp collisions, past-last-obs
+interpolation fallback) that hypothesis drives both forms over random
+inputs including shapes the fixture data never produces.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from demo_apache_flink_streaming_mode_spark.operators.timeseries import (
+    resample_ffill, resample_interp)
+
+STEP = 10
+
+
+def _grid_bounds(ts_list):
+    lo, hi = min(ts_list), max(ts_list)
+    gs = -(-lo // STEP) * STEP
+    ge = (hi // STEP) * STEP
+    return gs, ge
+
+
+def _ref_ffill(rows):
+    """rows: (key, ts, value, eid). Carry = latest ts <= g, ties ->
+    greatest eid. Independent of the DataFrame form."""
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r[0], []).append(r)
+    out = []
+    for key, obs in by_key.items():
+        gs, ge = _grid_bounds([o[1] for o in obs])
+        for g in range(gs, ge + 1, STEP):
+            eligible = [o for o in obs if o[1] <= g]
+            if not eligible:
+                continue
+            pick = max(eligible, key=lambda o: (o[1], o[3]))
+            out.append((key, g, pick[1], pick[2], pick[3]))
+    return sorted(out)
+
+
+def _ref_interp(rows):
+    """rows: (key, ts, value). Lerp between argmax(v) of the latest
+    at-or-before ts and argmax(v) of the earliest at-or-after ts."""
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r[0], []).append(r)
+    out = []
+    for key, obs in by_key.items():
+        gs, ge = _grid_bounds([o[1] for o in obs])
+        for g in range(gs, ge + 1, STEP):
+            before = [o for o in obs if o[1] <= g]
+            after = [o for o in obs if o[1] >= g]
+            t0, v0 = max(((o[1], o[2]) for o in before))
+            if not after:
+                iv = v0
+                t1 = v1 = None
+            else:
+                t1 = min(o[1] for o in after)
+                v1 = max(o[2] for o in after if o[1] == t1)
+                iv = v0 if t1 == t0 else (
+                    v0 + (v1 - v0) * float(g - t0) / float(t1 - t0))
+            out.append((key, g, t0, v0, t1, v1, iv))
+    return sorted(out)
+
+
+series_strategy = st.lists(
+    st.tuples(st.integers(0, 2),        # key
+              st.integers(0, 59),       # ts (boundary hits + collisions)
+              st.integers(-5, 5)),      # value (exact in double)
+    min_size=1, max_size=16)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(series_strategy)
+def test_resample_ffill_matches_reference(spark, raw):
+    rows = [(k, ts, float(v), eid) for eid, (k, ts, v) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "k int, ms long, v double, eid long")
+    got = sorted((r["k"], r["grid_ms"], r["ms"], r["v"], r["eid"])
+                 for r in resample_ffill(df, "k", "ms", STEP,
+                                         tiebreak=["eid"]).collect())
+    assert got == _ref_ffill(rows)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(series_strategy)
+def test_resample_interp_matches_reference(spark, raw):
+    rows = [(k, ts, float(v)) for k, ts, v in raw]
+    df = spark.createDataFrame(rows, "k int, ms long, v double")
+    got = sorted((r["k"], r["grid_ms"], r["t0"], r["v0"], r["t1"], r["v1"],
+                  r["interp_value"])
+                 for r in resample_interp(df, "k", "ms", "v", STEP).collect())
+    assert got == _ref_interp(rows)
