@@ -59,3 +59,21 @@ def test_bucketed_agg_no_shuffle(spark, no_broadcast, bucketed_tables):
     agg = spark.table("b_lineitem").groupBy("l_orderkey").count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "bucketed groupBy still shuffles:\n" + plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitionBy layout: a filter on the partition column
+    must surface as a PartitionFilter (directories skipped at planning
+    time — the 100 TB table-layout counterpart to predicate pushdown,
+    which only prunes row groups WITHIN files)."""
+    from pyspark.sql import functions as F
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+    ev = load_table(spark, SF, "events").select("event_id", "event_type", "value")
+    out = str(tmp_path / "by_type")
+    ev.write.partitionBy("event_type").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "event_type" in seg, f"partition filter not applied: {seg}"
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
