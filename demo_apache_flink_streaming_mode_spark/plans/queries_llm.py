@@ -273,6 +273,31 @@ def sim_topk_pq(spark, sf_dir):
                               iters=PQ_ITERS)
 
 
+def dedup_quality_keeper(spark, sf_dir):
+    """Quality-aware dedup keeper: within each exact-duplicate group,
+    keep the HIGHEST-quality copy (tie -> smallest doc_id) — the
+    curation-grade rule (dedup_exact's min-id keeper is arbitrary;
+    real corpus pipelines keep the best-scoring duplicate). One window
+    over (hash, quality, id) primitives after the quality join; the
+    double comparison is engine-portable because the quality chain is
+    bit-identical on both sides (see text.quality_score).
+    """
+    from pyspark.sql import Window as W
+    docs = _docs(spark, sf_dir)
+    q = text.quality_score(docs)
+    g = (docs.select(F.md5("text").alias("text_hash"), "doc_id")
+         .join(q, "doc_id"))
+    w = W.partitionBy("text_hash").orderBy(F.desc("quality"),
+                                           F.asc("doc_id"))
+    wc = W.partitionBy("text_hash")
+    return (g.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_copies", F.count("*").over(wc))
+            .filter((F.col("rn") == 1) & (F.col("n_copies") > 1))
+            .select("text_hash", "n_copies",
+                    F.col("doc_id").alias("keep_doc_id"),
+                    F.col("quality").alias("keep_quality")))
+
+
 def text_bpe_stats(spark, sf_dir):
     return text.bpe_token_stats(_docs(spark, sf_dir))
 
@@ -681,6 +706,7 @@ _PLANES_CTE = f"""
     GROUP BY j)"""
 
 ORACLES = {
+    "dedup_quality_keeper": None,  # assigned below (composes text_quality)
     "dedup_exact": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
                COUNT(*) AS n_copies
@@ -1063,6 +1089,18 @@ ORACLES["sim_topk_ivf_trained"] = _ivf_trained_oracle(KMEANS_ITERS)
 ORACLES["sim_topk_ivf_probe2"] = _ivf_trained_oracle(KMEANS_ITERS,
                                                      nprobe=IVF_NPROBE)
 ORACLES["sim_topk_pq"] = _pq_oracle(PQ_ITERS)
+ORACLES["dedup_quality_keeper"] = f"""
+    WITH q AS ({ORACLES['text_quality']}),
+    g AS (SELECT md5(text) AS text_hash, d.doc_id, q.quality
+          FROM documents d JOIN q ON q.doc_id = d.doc_id),
+    ranked AS (SELECT text_hash, doc_id, quality,
+                      ROW_NUMBER() OVER (PARTITION BY text_hash
+                          ORDER BY quality DESC, doc_id ASC) AS rn,
+                      COUNT(*) OVER (PARTITION BY text_hash) AS n_copies
+               FROM g)
+    SELECT text_hash, n_copies, doc_id AS keep_doc_id,
+           quality AS keep_quality
+    FROM ranked WHERE rn = 1 AND n_copies > 1"""
 
 
 def _bm25_oracle() -> str:
@@ -1232,6 +1270,9 @@ ORACLES["corpus_clean"] = f"""
     LEFT JOIN decon dc ON dc.doc_id = d.doc_id"""
 
 QUERIES = [
+    Query("dedup_quality_keeper", dedup_quality_keeper,
+          ORACLES["dedup_quality_keeper"],
+          "quality-aware dedup: keep the best-scoring duplicate"),
     Query("dedup_exact", dedup_exact, ORACLES["dedup_exact"],
           "exact dedup via hash-groupBy (keeper + group size)"),
     Query("dedup_minhash_lsh", dedup_minhash_lsh, ORACLES["dedup_minhash_lsh"],

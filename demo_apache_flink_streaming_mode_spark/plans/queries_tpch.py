@@ -156,6 +156,26 @@ def q6_forecast_revenue(spark, sf_dir):
                   .alias("revenue"))
 
 
+def q_sql_text_interface(spark, sf_dir):
+    """SURVEY §2.9 claims the SQL-text surface comes at zero marginal
+    cost because the DataFrame API is the engine's substrate — this
+    query PROVES it: a grouped revenue aggregate written as SQL TEXT
+    over registered temp views, hitting the same Catalyst pipeline
+    (pushdown, pruning, partial aggregation) as every DataFrame query.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sql_li")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("sql_part")
+    return spark.sql("""
+        SELECT p_brand,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM sql_li JOIN sql_part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        GROUP BY p_brand
+    """)
+
+
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape: join + conditional aggregate ratio.
 
@@ -909,6 +929,14 @@ ORACLES = {
         GROUP BY 1, 2
         ORDER BY numwait DESC, s_name ASC
         LIMIT 20""",
+    "q_sql_text_interface": f"""
+        SELECT p_brand,
+               {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY p_brand""",
     "q2_min_cost_supplier": """
         WITH cost AS (
           SELECT l_partkey, l_suppkey,
@@ -1031,6 +1059,9 @@ QUERIES = [
     Query("q21_waiting_supplier", q21_waiting_supplier,
           ORACLES["q21_waiting_supplier"],
           "TPC-H Q21 shape (adapted): sole-late-shipper EXISTS + NOT EXISTS"),
+    Query("q_sql_text_interface", q_sql_text_interface,
+          ORACLES["q_sql_text_interface"],
+          "the same engine via SQL TEXT over temp views (§2.9 proof)"),
     Query("q2_min_cost_supplier", q2_min_cost_supplier,
           ORACLES["q2_min_cost_supplier"],
           "TPC-H Q2 shape (adapted): correlated-MIN cheapest supplier"),
