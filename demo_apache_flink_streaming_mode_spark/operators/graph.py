@@ -1,0 +1,66 @@
+"""Iterative graph algorithms as pure DataFrame aggregations.
+
+Companion to the connected-components operator (``operators.dedup``):
+PageRank with a FIXED iteration count, built for cross-engine
+determinism the same way the k-means trainer is — every floating-point
+reduction is an explicit in-neighbor-id-order left fold, never a
+parallel SUM whose partition order would wiggle the last ulp.
+
+Scale shape per iteration: one join of the edge list against the
+(vertex, rank) table on src (both keyed by vertex id — AQE picks the
+strategy), then one groupBy(dst) whose per-vertex state is the sorted
+contribution list (bounded by in-degree). Rank state is 2 columns per
+vertex. ``iters`` linear rounds, same as any Pregel superstep loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from demo_apache_flink_streaming_mode_spark.operators.scale import cut_lineage
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """PageRank over a directed edge list, ``iters`` exact rounds.
+
+    pr_{t+1}(v) = (1-d)/N + d * sum_{(u,v) in E} pr_t(u) / outdeg(u),
+    with the sum folded in ascending-u order (bit-stable across
+    partitionings and engines). Vertices with no in-edges keep the
+    base term. Dangling mass is NOT redistributed — callers whose
+    edge lists are symmetric (every edge has a reverse) have no
+    dangling vertices, and that is the documented contract here.
+
+    Returns (vertex, pagerank) for every vertex appearing in the edge
+    list.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    verts = (e.select(F.col("u").alias("vertex"))
+             .unionByName(e.select(F.col("v").alias("vertex")))
+             .distinct())
+    n1 = verts.agg(F.count("*").alias("n"))
+    outdeg = e.groupBy("u").agg(F.count("*").alias("odeg"))
+    # rank state rides with N so the per-iteration expressions stay
+    # driver-free; the 1-row N attaches once via broadcast
+    pr = (verts.crossJoin(F.broadcast(n1))
+          .select("vertex", "n",
+                  (F.lit(1.0) / F.col("n").cast("double")).alias("pr"))
+          .transform(cut_lineage))
+    for _ in range(iters):
+        contribs = (e.join(outdeg, "u")
+                    .join(pr.select(F.col("vertex").alias("u"),
+                                    F.col("pr").alias("pr_u")), "u")
+                    .select(F.col("v").alias("vertex"), "u",
+                            (F.col("pr_u") / F.col("odeg").cast("double"))
+                            .alias("c")))
+        summed = (contribs.groupBy("vertex")
+                  .agg(F.aggregate(
+                      F.array_sort(F.collect_list(F.struct("u", "c"))),
+                      F.lit(0.0), lambda acc, s: acc + s["c"]).alias("s")))
+        pr = (pr.select("vertex", "n").join(summed, "vertex", "left")
+              .select("vertex", "n",
+                      ((F.lit(1.0 - damping) / F.col("n").cast("double"))
+                       + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
+                      .alias("pr"))
+              .transform(cut_lineage))
+    return pr.select("vertex", F.col("pr").alias("pagerank"))

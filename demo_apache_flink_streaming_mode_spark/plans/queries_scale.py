@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
-from demo_apache_flink_streaming_mode_spark.operators import sketches, text
+from demo_apache_flink_streaming_mode_spark.operators import graph, sketches, text
 from demo_apache_flink_streaming_mode_spark.plans.base import Query
 from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
 
@@ -203,6 +203,70 @@ def events_value_quantiles_approx(spark, sf_dir):
                     F.col("p")[2].alias("p99")))
 
 
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the user co-occurrence graph — users are connected
+    when they share an (event_type, hour) activity bucket, which makes
+    the edge set symmetric (both directions present), satisfying the
+    operator's no-dangling contract. 3 deterministic rounds with
+    in-neighbor-id-order contribution folds (see operators.graph).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = (ev.select("user_id", "event_type",
+                   F.expr("unix_millis(ts) div 3600000").alias("h"))
+         .distinct())
+    e = (b.alias("a").join(b.alias("b"), ["event_type", "h"])
+         .filter(F.col("a.user_id") != F.col("b.user_id"))
+         .select(F.col("a.user_id").alias("src"),
+                 F.col("b.user_id").alias("dst"))
+         .distinct())
+    return graph.pagerank(e, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
+
+
+def _pagerank_oracle(iters: int, damping: float) -> str:
+    """Unrolled-iteration DuckDB twin of ``operators.graph.pagerank``
+    over the co-occurrence edges: in-u-order contribution folds, all
+    float arithmetic explicitly DOUBLE (DuckDB's bare numeric literals
+    are DECIMAL), base term written with the exact Python double of
+    (1 - damping)."""
+    base = repr(1.0 - damping)
+    ctes = [f"""
+        b AS (SELECT DISTINCT user_id, event_type,
+                              epoch_ms(ts) // 3600000 AS h
+              FROM events),
+        e AS (SELECT DISTINCT a.user_id AS u, bb.user_id AS v
+              FROM b a JOIN b bb
+                ON a.event_type = bb.event_type AND a.h = bb.h
+               AND a.user_id <> bb.user_id),
+        verts AS (SELECT DISTINCT vertex FROM
+                  (SELECT u AS vertex FROM e
+                   UNION ALL SELECT v AS vertex FROM e)),
+        nn AS (SELECT COUNT(*) AS n FROM verts),
+        od AS (SELECT u, COUNT(*) AS odeg FROM e GROUP BY 1),
+        pr0 AS (SELECT vertex, 1.0::DOUBLE / n::DOUBLE AS pr
+                FROM verts CROSS JOIN nn)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+        c{i} AS (SELECT e.v AS vertex, e.u, p.pr / od.odeg::DOUBLE AS c
+                 FROM e JOIN od ON e.u = od.u
+                 JOIN pr{i - 1} p ON p.vertex = e.u),
+        s{i} AS (SELECT vertex, list_aggregate(list(c ORDER BY u), 'sum')
+                     AS s
+                 FROM c{i} GROUP BY 1),
+        pr{i} AS (SELECT v.vertex,
+                         {base}::DOUBLE / nn.n::DOUBLE
+                         + {damping!r}::DOUBLE * coalesce(s.s, 0.0::DOUBLE)
+                             AS pr
+                  FROM verts v CROSS JOIN nn
+                  LEFT JOIN s{i} s ON s.vertex = v.vertex)""")
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT vertex, pr AS pagerank FROM pr{iters}"""
+
+
 def orders_fingerprint(spark, sf_dir):
     """Order-insensitive table fingerprint — the migration-validation
     utility for exactly this engine's situation: prove two systems hold
@@ -374,6 +438,7 @@ ORACLES: dict[str, str] = {
                    '{text.PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash
         FROM seeded""",
     "corpus_report": None,  # assigned below (composes queries_llm oracles)
+    "graph_pagerank": _pagerank_oracle(PAGERANK_ITERS, PAGERANK_DAMPING),
     "orders_fingerprint": """
         WITH h AS (
           SELECT ('0x' || substr(md5(concat_ws('|',
@@ -449,4 +514,6 @@ QUERIES = [
     Query("orders_fingerprint", orders_fingerprint,
           ORACLES["orders_fingerprint"],
           "order-insensitive bit_xor table checksum (migration validation)"),
+    Query("graph_pagerank", graph_pagerank, ORACLES["graph_pagerank"],
+          "PageRank over the user co-occurrence graph (3 exact rounds)"),
 ]

@@ -254,6 +254,26 @@ def test_kmeans_excludes_zero_norm_vectors(spark):
     assert cents and all(c is not None for r in cents for c in r["cv"])
 
 
+# --- pagerank -------------------------------------------------------------
+
+def test_pagerank_star_graph(spark):
+    """On a symmetric star (hub 0 <-> spokes 1..4): ranks sum to 1
+    (no dangling mass), the hub outranks every spoke, spokes are
+    symmetric, and the result is partitioning-invariant."""
+    from demo_apache_flink_streaming_mode_spark.operators.graph import pagerank
+    edges = [(0, s) for s in range(1, 5)] + [(s, 0) for s in range(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["vertex"]: r["pagerank"]
+           for r in pagerank(df, iters=5).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert all(got[0] > got[s] for s in range(1, 5))
+    assert len({got[s] for s in range(1, 5)}) == 1
+    got2 = {r["vertex"]: r["pagerank"]
+            for r in pagerank(df.repartition(7), iters=5).collect()}
+    assert got == got2
+
+
 # --- time-series resample ------------------------------------------------
 
 def test_resample_ffill_grid_and_carry(spark):
