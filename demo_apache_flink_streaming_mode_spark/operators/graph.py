@@ -64,3 +64,35 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                       .alias("pr"))
               .transform(cut_lineage))
     return pr.select("vertex", F.col("pr").alias("pagerank"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Count triangles in an undirected graph given as a (possibly
+    symmetric/duplicated) directed edge list. Classic two-join shape:
+
+    1. orient every edge low-id -> high-id and dedupe — each triangle
+       {a<b<c} then exists exactly once as the path a->b->c plus the
+       closing edge a->c, so nothing is double-counted;
+    2. self-join oriented edges on the middle vertex (wedge build),
+       then semi-close each wedge against the edge list.
+
+    Integer-only — no float portability concerns. At scale the wedge
+    join is the quadratic-in-degree step; id-orientation already halves
+    it, and the standard refinement (orient by degree, then id) bounds
+    wedge fan-out by the lower degree endpoint — noted here because the
+    testdata graph is degree-uniform enough that id-orientation is the
+    same plan. Returns a single row (n_triangles).
+    """
+    und = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    wedge = (und.alias("e1")
+             .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+             .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                     F.col("e2.b").alias("z")))
+    closed = wedge.join(und.alias("e3"),
+                        (F.col("x") == F.col("e3.a"))
+                        & (F.col("z") == F.col("e3.b")), "left_semi")
+    return closed.agg(F.count("*").alias("n_triangles"))

@@ -226,6 +226,23 @@ def graph_pagerank(spark, sf_dir):
     return graph.pagerank(e, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
 
 
+def graph_triangles(spark, sf_dir):
+    """Triangle count of the same user co-occurrence graph: orient
+    low->high, wedge self-join on the middle vertex, semi-close — each
+    triangle counted exactly once (see operators.graph.triangle_count).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = (ev.select("user_id", "event_type",
+                   F.expr("unix_millis(ts) div 3600000").alias("h"))
+         .distinct())
+    e = (b.alias("a").join(b.alias("b"), ["event_type", "h"])
+         .filter(F.col("a.user_id") != F.col("b.user_id"))
+         .select(F.col("a.user_id").alias("src"),
+                 F.col("b.user_id").alias("dst"))
+         .distinct())
+    return graph.triangle_count(e)
+
+
 def _pagerank_oracle(iters: int, damping: float) -> str:
     """Unrolled-iteration DuckDB twin of ``operators.graph.pagerank``
     over the co-occurrence edges: in-u-order contribution folds, all
@@ -439,6 +456,20 @@ ORACLES: dict[str, str] = {
         FROM seeded""",
     "corpus_report": None,  # assigned below (composes queries_llm oracles)
     "graph_pagerank": _pagerank_oracle(PAGERANK_ITERS, PAGERANK_DAMPING),
+    "graph_triangles": """
+        WITH b AS (SELECT DISTINCT user_id, event_type,
+                                   epoch_ms(ts) // 3600000 AS h
+                   FROM events),
+        e0 AS (SELECT DISTINCT a.user_id AS u, bb.user_id AS v
+               FROM b a JOIN b bb
+                 ON a.event_type = bb.event_type AND a.h = bb.h
+                AND a.user_id <> bb.user_id),
+        und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS bb
+                FROM e0)
+        SELECT COUNT(*) AS n_triangles
+        FROM und e1 JOIN und e2 ON e1.bb = e2.a
+        WHERE EXISTS (SELECT 1 FROM und e3
+                      WHERE e3.a = e1.a AND e3.bb = e2.bb)""",
     "orders_fingerprint": """
         WITH h AS (
           SELECT ('0x' || substr(md5(concat_ws('|',
@@ -516,4 +547,6 @@ QUERIES = [
           "order-insensitive bit_xor table checksum (migration validation)"),
     Query("graph_pagerank", graph_pagerank, ORACLES["graph_pagerank"],
           "PageRank over the user co-occurrence graph (3 exact rounds)"),
+    Query("graph_triangles", graph_triangles, ORACLES["graph_triangles"],
+          "triangle count (oriented wedge join + semi-close)"),
 ]

@@ -274,6 +274,17 @@ def test_pagerank_star_graph(spark):
     assert got == got2
 
 
+def test_triangle_count_known_graph(spark):
+    """K4 has exactly 4 triangles; adding a pendant edge adds none;
+    duplicate/symmetric input edges must not inflate the count."""
+    from demo_apache_flink_streaming_mode_spark.operators.graph import (
+        triangle_count)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # symmetric
+    edges = k4 + [(3, 9), (9, 3), (0, 1)]  # pendant + duplicate
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+
 # --- time-series resample ------------------------------------------------
 
 def test_resample_ffill_grid_and_carry(spark):
