@@ -91,7 +91,10 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     "text_bm25",
     "text_split_assign",
     "text_pii_redact",
-    "text_cdc_chunks",
+    # (text_cdc_chunks demoted r4: the CDC family keeps its window rep
+    # via dedup_cdc_chunks; slot goes to the new graph family)
+    # -- graph analytics (new family, r4) -----------------------------
+    "graph_pagerank",
     # -- sketches ------------------------------------------------------
     "sketch_hll_users",
     "sketch_hll_windowed",
