@@ -169,6 +169,50 @@ def a9_value_histogram(spark, sf_dir):
             .agg(F.count("*").alias("n")))
 
 
+def a10_moving_avg(spark, sf_dir):
+    """Row-frame window aggregate: per user, 3-row moving average of
+    `value` ordered by (ts, event_id). The frame sum goes through
+    DECIMAL(38,6) so both engines add the same bits in any frame
+    order; the divisor is the frame's own row count (1 or 2 at the
+    series head).
+    """
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ms"), "value")
+    w = (W.partitionBy("user_id").orderBy("ms", "event_id")
+         .rowsBetween(-2, 0))
+    avg3 = (F.sum(F.col("value").cast("decimal(38,6)")).over(w)
+            .cast("double") / F.count("*").over(w))
+    return ev.select("user_id", "event_id", "ms", "value",
+                     avg3.alias("avg3"))
+
+
+def events_anomalies(spark, sf_dir):
+    """Z-score anomaly detection: flag events whose value sits more
+    than 2 standard deviations from their type's mean. Mean and
+    variance come from exact decimal sums (S, S2) so the derived
+    doubles — mean = S/n, var = S2/n - mean^2, z = (v-mean)/sqrt(var)
+    — are the identical IEEE chain on both engines.
+    """
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", "value")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double").alias("s2"))
+    stats = s.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(F.col("s2") / F.col("n")
+               - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")))
+        .alias("std"))
+    return (ev.join(F.broadcast(stats), "event_type")
+            .withColumn("z", (F.col("value") - F.col("mean")) / F.col("std"))
+            .filter(F.abs("z") > 2.0)
+            .select("event_type", "event_id", "value", "z"))
+
+
 def t5_json_props_stats(spark, sf_dir):
     """Semi-structured projection: parse the JSON ``props`` payload with
     a declared schema (``from_json`` — typed, whole-stage codegen, no
@@ -384,6 +428,28 @@ ORACLES = {
         SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bin,
                COUNT(*) AS n
         FROM events GROUP BY 1, 2""",
+    "a10_moving_avg": """
+        SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w AS avg3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_ms(ts), event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "events_anomalies": """
+        WITH s AS (SELECT event_type, COUNT(*) AS n,
+                          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                              AS s1,
+                          CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+                               AS DOUBLE) AS s2
+                   FROM events GROUP BY 1),
+        st AS (SELECT event_type, s1 / n AS mean,
+                      sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+               FROM s)
+        SELECT e.event_type, e.event_id, e.value,
+               (e.value - st.mean) / st.std AS z
+        FROM events e JOIN st ON e.event_type = st.event_type
+        WHERE abs((e.value - st.mean) / st.std) > 2.0""",
     "t5_json_props_stats": """
         WITH e AS (SELECT event_type,
                           CAST(json_extract(props, '$.k') AS BIGINT) AS k
@@ -549,6 +615,10 @@ QUERIES = [
     Query("a8_state_intervals", a8_state_intervals,
           ORACLES["a8_state_intervals"],
           "SCD2-style validity intervals per user (lead window)"),
+    Query("a10_moving_avg", a10_moving_avg, ORACLES["a10_moving_avg"],
+          "3-row moving average per user (decimal frame sum)"),
+    Query("events_anomalies", events_anomalies, ORACLES["events_anomalies"],
+          "z-score anomaly detection per event type (|z| > 2)"),
     Query("a9_value_histogram", a9_value_histogram,
           ORACLES["a9_value_histogram"],
           "fixed-width value histogram per event type"),
