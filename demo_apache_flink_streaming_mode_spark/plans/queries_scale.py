@@ -216,7 +216,7 @@ def graph_pagerank(spark, sf_dir):
     """
     ev = load_table(spark, sf_dir, "events")
     b = (ev.select("user_id", "event_type",
-                   F.expr("unix_millis(ts) div 3600000").alias("h"))
+                   F.expr("unix_millis(ts) div 600000").alias("h"))
          .distinct())
     e = (b.alias("a").join(b.alias("b"), ["event_type", "h"])
          .filter(F.col("a.user_id") != F.col("b.user_id"))
@@ -233,7 +233,7 @@ def graph_triangles(spark, sf_dir):
     """
     ev = load_table(spark, sf_dir, "events")
     b = (ev.select("user_id", "event_type",
-                   F.expr("unix_millis(ts) div 3600000").alias("h"))
+                   F.expr("unix_millis(ts) div 600000").alias("h"))
          .distinct())
     e = (b.alias("a").join(b.alias("b"), ["event_type", "h"])
          .filter(F.col("a.user_id") != F.col("b.user_id"))
@@ -252,7 +252,7 @@ def _pagerank_oracle(iters: int, damping: float) -> str:
     base = repr(1.0 - damping)
     ctes = [f"""
         b AS (SELECT DISTINCT user_id, event_type,
-                              epoch_ms(ts) // 3600000 AS h
+                              epoch_ms(ts) // 600000 AS h
               FROM events),
         e AS (SELECT DISTINCT a.user_id AS u, bb.user_id AS v
               FROM b a JOIN b bb
@@ -458,7 +458,7 @@ ORACLES: dict[str, str] = {
     "graph_pagerank": _pagerank_oracle(PAGERANK_ITERS, PAGERANK_DAMPING),
     "graph_triangles": """
         WITH b AS (SELECT DISTINCT user_id, event_type,
-                                   epoch_ms(ts) // 3600000 AS h
+                                   epoch_ms(ts) // 600000 AS h
                    FROM events),
         e0 AS (SELECT DISTINCT a.user_id AS u, bb.user_id AS v
                FROM b a JOIN b bb
