@@ -146,3 +146,21 @@ def interval_join(left: DataFrame, right: DataFrame,
         & (F.col(right_ts) <= F.col(left_ts)
            + F.expr(f"INTERVAL {upper_ms} MILLISECONDS")))
     return l.join(r, cond, "inner").drop("__lbin", "__rbin")
+
+
+def anomaly_stream(stream: DataFrame, stats: DataFrame, key: str,
+                   value: str, z_threshold: float = 2.0) -> DataFrame:
+    """Stream-static join: score each streamed row against a STATIC
+    per-key stats table (mean, std — e.g. trained offline by the batch
+    ``events_anomalies`` aggregate) and emit rows beyond the z
+    threshold.
+
+    The static side broadcasts and is re-resolved per micro-batch
+    (Spark re-reads static sources each trigger), so refreshing the
+    stats table file picks up new baselines without restarting the
+    query — the standard model-scoring join shape at 100 TB: no state,
+    no shuffle on the stream, pure per-row scoring.
+    """
+    return (stream.join(F.broadcast(stats), key)
+            .withColumn("z", (F.col(value) - F.col("mean")) / F.col("std"))
+            .filter(F.abs("z") > z_threshold))

@@ -223,6 +223,37 @@ def test_file_sink_roundtrip(spark, batch_events, stream_events, tmp_path):
     assert back.count() == expected
 
 
+def test_stream_static_anomaly_join_parity(spark, batch_events,
+                                           stream_events):
+    """Stream-static join: streamed rows scored against a batch-built
+    per-type stats table flag exactly the rows the batch anomaly query
+    flags."""
+    stats = (batch_events.groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.col("value").cast("decimal(38,6)"))
+                  .cast("double").alias("s1"),
+                  F.sum((F.col("value") * F.col("value"))
+                        .cast("decimal(38,6)")).cast("double").alias("s2"))
+             .select("event_type",
+                     (F.col("s1") / F.col("n")).alias("mean"),
+                     F.sqrt(F.col("s2") / F.col("n")
+                            - (F.col("s1") / F.col("n"))
+                            * (F.col("s1") / F.col("n"))).alias("std")))
+    out = pipelines.anomaly_stream(
+        stream_events.select("event_id", "event_type", "value"),
+        stats, "event_type", "value")
+    _drain(out.select("event_type", "event_id", "z"), "t_anom")
+    got = _rows(spark.table("t_anom"), "event_type", "event_id")
+    want = _rows(
+        pipelines.anomaly_stream(
+            batch_events.select("event_id", "event_type", "value"),
+            stats, "event_type", "value")
+        .select("event_type", "event_id", "z"),
+        "event_type", "event_id")
+    assert got == want
+    assert len(got) > 0
+
+
 def test_rocksdb_state_store_parity(spark, batch_events, stream_events):
     """The documented 100 TB state-store config actually runs: the
     keyed tumbling aggregate under RocksDBStateStoreProvider (state
