@@ -130,6 +130,15 @@ def q_rollup_status(spark, sf_dir):
             .agg(F.count("*").alias("n"), decimal_sum("l_quantity").alias("sum_qty")))
 
 
+def q_cube_status(spark, sf_dir):
+    """CUBE grouping sets — all 2^k margin combinations (vs ROLLUP's
+    hierarchy), same single-shuffle grouping-sets expansion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 decimal_sum("l_quantity").alias("sum_qty")))
+
+
 def q_pivot_status(spark, sf_dir):
     """Pivot: order counts per status column, per priority row."""
     orders = load_table(spark, sf_dir, "orders")
@@ -751,6 +760,10 @@ ORACLES = {
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                {_DSUM.format(x='l_quantity')} AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_cube_status": f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               {_DSUM.format(x='l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q_pivot_status": """
         SELECT o_orderpriority,
                COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
@@ -1015,6 +1028,8 @@ QUERIES = [
           ORACLES["q_customers_with_big_order"], "semi join / EXISTS"),
     Query("q_rollup_status", q_rollup_status, ORACLES["q_rollup_status"],
           "rollup grouping sets"),
+    Query("q_cube_status", q_cube_status, ORACLES["q_cube_status"],
+          "cube grouping sets (all margin combinations)"),
     Query("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"],
           "pivot to columns"),
     Query("q_distinct_parts_per_supplier", q_distinct_parts_per_supplier,

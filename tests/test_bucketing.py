@@ -77,3 +77,23 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     seg = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "event_type" in seg, f"partition filter not applied: {seg}"
     assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across write batches: a later batch adds a
+    column; mergeSchema reads both vintages with the union schema and
+    NULLs for the missing column — the 100 TB reality of tables whose
+    schema grows over years of writes."""
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "evolving")
+    v1 = spark.range(3).select(F.col("id"), F.lit("a").alias("tag"))
+    v1.write.parquet(out + "/batch=1")
+    v2 = spark.range(3, 6).select(F.col("id"), F.lit("b").alias("tag"),
+                                  (F.col("id") * 10).alias("score"))
+    v2.write.parquet(out + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "tag", "score", "batch"}
+    rows = {r["id"]: (r["tag"], r["score"]) for r in merged.collect()}
+    assert rows[0] == ("a", None) and rows[5] == ("b", 50)
+    assert len(rows) == 6
