@@ -298,6 +298,17 @@ def dedup_quality_keeper(spark, sf_dir):
                     F.col("quality").alias("keep_quality")))
 
 
+def sim_topk_int8(spark, sf_dir):
+    """Top-k over int8-quantized unit vectors: exact integer dot
+    products (no fold-order concerns at all) scaled by the two
+    per-vector quantization scales — the 4x-smaller SIMD-width search
+    representation, rankable against the float brute force.
+    """
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.topk_int8(queries, embs, TOPK)
+
+
 def text_bpe_stats(spark, sf_dir):
     return text.bpe_token_stats(_docs(spark, sf_dir))
 
@@ -1089,6 +1100,30 @@ ORACLES["sim_topk_ivf_trained"] = _ivf_trained_oracle(KMEANS_ITERS)
 ORACLES["sim_topk_ivf_probe2"] = _ivf_trained_oracle(KMEANS_ITERS,
                                                      nprobe=IVF_NPROBE)
 ORACLES["sim_topk_pq"] = _pq_oracle(PQ_ITERS)
+ORACLES["sim_topk_int8"] = f"""
+    WITH {_EMB_D},
+    qz AS (SELECT vec_id, uv,
+                  nullif(list_max(list_transform(uv, x -> abs(x))) / 127.0,
+                         0) AS scale
+           FROM e),
+    qq AS (SELECT vec_id, scale,
+                  list_transform(uv, x -> floor(x / scale + 0.5)) AS q
+           FROM qz),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             a.scale * b.scale * list_aggregate(
+                 list_transform(range(1, len(a.q) + 1),
+                                i -> a.q[i] * b.q[i]), 'sum') AS cos_sim
+      FROM qq a JOIN qq b
+        ON a.vec_id % {QUERY_MOD} = 0 AND a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM scored)
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
+    FROM ranked WHERE rn <= {TOPK}"""
+
 ORACLES["dedup_quality_keeper"] = f"""
     WITH q AS ({ORACLES['text_quality']}),
     g AS (SELECT md5(text) AS text_hash, d.doc_id, q.quality
@@ -1302,6 +1337,8 @@ QUERIES = [
           "trained IVF searching the query's 2 nearest cells (nprobe=2)"),
     Query("sim_topk_pq", sim_topk_pq, ORACLES["sim_topk_pq"],
           "product-quantization ANN: per-subspace codebooks + ADC lookup"),
+    Query("sim_topk_int8", sim_topk_int8, ORACLES["sim_topk_int8"],
+          "top-k over int8-quantized unit vectors (exact integer dots)"),
     Query("text_bpe_stats", text_bpe_stats, ORACLES["text_bpe_stats"],
           "BPE-style regex pre-tokenization counts"),
     Query("text_winnow", text_winnow, ORACLES["text_winnow"],

@@ -25,7 +25,8 @@ SF = "/root/testdata/sf0.001"
 # broadcast <= n_cells-row centroid table; text_bm25's is the 1-row
 # global-stats (N, avgdl, df) attach — both bounded broadcast sides,
 # O(N) passes, intended.
-BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
+BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
+                "sim_topk_int8", "sim_topk_ivf",
                 "sim_topk_ivf_trained", "sim_topk_ivf_probe2", "text_bm25",
                 "text_tfidf",
                 # embeds the brute-force baseline by definition (it is
