@@ -256,6 +256,53 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
             .select("doc_id", fp.cast("long").alias("simhash")))
 
 
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       bits: int = 16, bands: int = 4,
+                       text_col: str = "text") -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming distance <= max_hamming,
+    found WITHOUT an all-pairs comparison.
+
+    The signature splits into ``bands`` equal bit-bands; by pigeonhole
+    any pair differing in <= bands-1 bits shares at least one band
+    verbatim, so a per-band equi-self-join yields a complete candidate
+    set for ``max_hamming <= bands - 1`` (asserted). Candidates then
+    verify the EXACT Hamming distance via bit_count(xor) — the same
+    block-then-verify shape as MinHash-LSH, shuffling only
+    (band, band_value) ints, never text.
+
+    Band selectivity scales with signature width: the testdata's tiny
+    vocabulary makes 16-bit bands collision-heavy; at 100 TB use
+    bits=64 / bands=5-8 (band values then spread over 2^8..2^12) so
+    per-band buckets stay small. Same plan, wider ints.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("pigeonhole completeness needs "
+                         "max_hamming <= bands - 1")
+    width = bits // bands
+    sig = simhash(docs, text_col, bits)
+    banded = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("simhash", b * width)
+                     .bitwiseAND((1 << width) - 1).alias("bv"))
+            for b in range(bands)])).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.bv")
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sig_a"), "band", "bv")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sig_b"), "band", "bv")
+    cand = (a.join(b, ["band", "bv"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b")
+            .distinct())
+    return (cand.withColumn(
+                "hamming",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
 # --- exact n-gram Jaccard verification ----------------------------------
 
 

@@ -298,6 +298,19 @@ def dedup_quality_keeper(spark, sf_dir):
                     F.col("quality").alias("keep_quality")))
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance 3, found by
+    band-blocking (pigeonhole-complete for <= bands-1 diffs) + exact
+    bit_count verify — the signature-space twin of MinHash-LSH.
+    """
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir),
+                                    max_hamming=SIMHASH_MAX_HAMMING,
+                                    bits=SIMHASH_BITS)
+
+
 def sim_topk_int8(spark, sf_dir):
     """Top-k over int8-quantized unit vectors: exact integer dot
     products (no fold-order concerns at all) scaled by the two
@@ -1100,6 +1113,13 @@ ORACLES["sim_topk_ivf_trained"] = _ivf_trained_oracle(KMEANS_ITERS)
 ORACLES["sim_topk_ivf_probe2"] = _ivf_trained_oracle(KMEANS_ITERS,
                                                      nprobe=IVF_NPROBE)
 ORACLES["sim_topk_pq"] = _pq_oracle(PQ_ITERS)
+ORACLES["dedup_simhash_pairs"] = f"""
+    WITH sh AS ({ORACLES['dedup_simhash']})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}"""
+
 ORACLES["sim_topk_int8"] = f"""
     WITH {_EMB_D},
     qz AS (SELECT vec_id, uv,
@@ -1339,6 +1359,9 @@ QUERIES = [
           "product-quantization ANN: per-subspace codebooks + ADC lookup"),
     Query("sim_topk_int8", sim_topk_int8, ORACLES["sim_topk_int8"],
           "top-k over int8-quantized unit vectors (exact integer dots)"),
+    Query("dedup_simhash_pairs", dedup_simhash_pairs,
+          ORACLES["dedup_simhash_pairs"],
+          "SimHash near-dup pairs via pigeonhole band-blocking"),
     Query("text_bpe_stats", text_bpe_stats, ORACLES["text_bpe_stats"],
           "BPE-style regex pre-tokenization counts"),
     Query("text_winnow", text_winnow, ORACLES["text_winnow"],
