@@ -139,6 +139,27 @@ def q_cube_status(spark, sf_dir):
                  decimal_sum("l_quantity").alias("sum_qty")))
 
 
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT set semantics (§2.9: absent in the reference,
+    free here): customers who bought in 1996 but not in 1997, plus the
+    count of those who bought in both — one query touching both
+    distinct-set operators.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter((F.col("o_orderdate") >= "1996-01-01")
+                        & (F.col("o_orderdate") < "1997-01-01")
+                        ).select("o_custkey")
+    y97 = orders.filter((F.col("o_orderdate") >= "1997-01-01")
+                        & (F.col("o_orderdate") < "1998-01-01")
+                        ).select("o_custkey")
+    churned = y96.subtract(y97).select(
+        F.col("o_custkey").alias("custkey"), F.lit("churned").alias("cohort"))
+    both = (y96.intersect(y97)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.lit("retained").alias("cohort")))
+    return churned.unionByName(both)
+
+
 def q_pivot_status(spark, sf_dir):
     """Pivot: order counts per status column, per priority row."""
     orders = load_table(spark, sf_dir, "orders")
@@ -760,6 +781,19 @@ ORACLES = {
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                {_DSUM.format(x='l_quantity')} AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_set_ops": """
+        WITH y96 AS (SELECT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate <  TIMESTAMP '1997-01-01'),
+             y97 AS (SELECT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                       AND o_orderdate <  TIMESTAMP '1998-01-01')
+        SELECT o_custkey AS custkey, 'churned' AS cohort
+        FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+        UNION ALL
+        SELECT o_custkey AS custkey, 'retained' AS cohort
+        FROM (SELECT o_custkey FROM y96 INTERSECT
+              SELECT o_custkey FROM y97)""",
     "q_cube_status": f"""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                {_DSUM.format(x='l_quantity')} AS sum_qty
@@ -1030,6 +1064,8 @@ QUERIES = [
           "rollup grouping sets"),
     Query("q_cube_status", q_cube_status, ORACLES["q_cube_status"],
           "cube grouping sets (all margin combinations)"),
+    Query("q_set_ops", q_set_ops, ORACLES["q_set_ops"],
+          "INTERSECT/EXCEPT cohort split (churned vs retained buyers)"),
     Query("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"],
           "pivot to columns"),
     Query("q_distinct_parts_per_supplier", q_distinct_parts_per_supplier,
