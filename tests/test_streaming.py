@@ -223,6 +223,34 @@ def test_file_sink_roundtrip(spark, batch_events, stream_events, tmp_path):
     assert back.count() == expected
 
 
+def test_streaming_corpus_quality_dedup_parity(spark, sf_dir, tmp_path):
+    """The LLM-pipeline composition on a document STREAM: exact dedup
+    (first-arrival keeper) + quality scoring, all stateless/bounded
+    ops, must yield exactly the batch pipeline's (text_hash, quality)
+    set — identical texts score identically, so keeper identity
+    drops out of the comparison."""
+    from demo_apache_flink_streaming_mode_spark.operators.text import (
+        quality_score)
+    docs = load_table(spark, sf_dir, "documents")
+    d = str(tmp_path / "docs")
+    docs.write.parquet(d)
+
+    stream = (spark.readStream.schema(docs.schema).parquet(d)
+              .withColumn("text_hash", F.md5("text")))
+    kept = pipelines.dedup_stream(stream, ["text_hash"])
+    scored = (quality_score(kept.select("doc_id", "text"))
+              .join(kept.select("doc_id", "text_hash"), "doc_id"))
+    sinks.run_to_memory(scored.select("text_hash", "quality"), "t_corpus_s")
+    got = _rows(spark.table("t_corpus_s"), "text_hash")
+
+    b = docs.withColumn("text_hash", F.md5("text")).dropDuplicates(["text_hash"])
+    want = _rows(quality_score(b.select("doc_id", "text"))
+                 .join(b.select("doc_id", "text_hash"), "doc_id")
+                 .select("text_hash", "quality"), "text_hash")
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stream_static_anomaly_join_parity(spark, batch_events,
                                            stream_events):
     """Stream-static join: streamed rows scored against a batch-built
