@@ -213,6 +213,44 @@ def events_anomalies(spark, sf_dir):
             .select("event_type", "event_id", "value", "z"))
 
 
+WEEK_MS = 7 * 24 * HOUR_MS
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle — the canonical product-analytics
+    query: users grouped by first-activity week, distinct active users
+    per (cohort week, week offset). One aggregate for cohort starts
+    (map-side combinable), one distinct-count shuffle keyed by the
+    (cohort, offset) pair.
+    """
+    ev = (_events(spark, sf_dir)
+          .select("user_id",
+                  F.expr(f"unix_millis(ts) div {WEEK_MS}").alias("wk")))
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = ev.distinct()
+    return (act.join(first, "user_id")
+            .groupBy("cohort_wk",
+                     (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+def cep_action_bigrams(spark, sf_dir):
+    """Sequence mining: consecutive action-pair (bigram) frequencies
+    per user stream — one lag window keyed by user, then a bounded
+    (|types|^2) aggregate. The micro-pattern primitive under the full
+    CEP funnel.
+    """
+    from pyspark.sql import Window as W
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms"), "event_id")
+    w = W.partitionBy("user_id").orderBy("ms", "event_id")
+    pairs = ev.select("user_id", "event_type",
+                      F.lag("event_type").over(w).alias("prev_action"))
+    return (pairs.filter(F.col("prev_action").isNotNull())
+            .groupBy("prev_action", F.col("event_type").alias("next_action"))
+            .agg(F.count("*").alias("n")))
+
+
 def t5_json_props_stats(spark, sf_dir):
     """Semi-structured projection: parse the JSON ``props`` payload with
     a declared schema (``from_json`` — typed, whole-stage codegen, no
@@ -450,6 +488,23 @@ ORACLES = {
                (e.value - st.mean) / st.std AS z
         FROM events e JOIN st ON e.event_type = st.event_type
         WHERE abs((e.value - st.mean) / st.std) > 2.0""",
+    "events_retention_cohorts": f"""
+        WITH ev AS (SELECT DISTINCT user_id,
+                           epoch_ms(ts) // {WEEK_MS} AS wk FROM events),
+        first AS (SELECT user_id, MIN(wk) AS cohort_wk
+                  FROM ev GROUP BY 1)
+        SELECT f.cohort_wk, e.wk - f.cohort_wk AS week_offset,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM ev e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2""",
+    "cep_action_bigrams": """
+        WITH p AS (SELECT user_id, event_type,
+                          LAG(event_type) OVER (PARTITION BY user_id
+                              ORDER BY epoch_ms(ts), event_id) AS prev_action
+                   FROM events)
+        SELECT prev_action, event_type AS next_action, COUNT(*) AS n
+        FROM p WHERE prev_action IS NOT NULL
+        GROUP BY 1, 2""",
     "t5_json_props_stats": """
         WITH e AS (SELECT event_type,
                           CAST(json_extract(props, '$.k') AS BIGINT) AS k
@@ -617,6 +672,12 @@ QUERIES = [
           "SCD2-style validity intervals per user (lead window)"),
     Query("a10_moving_avg", a10_moving_avg, ORACLES["a10_moving_avg"],
           "3-row moving average per user (decimal frame sum)"),
+    Query("events_retention_cohorts", events_retention_cohorts,
+          ORACLES["events_retention_cohorts"],
+          "cohort retention triangle (first-week cohorts x week offset)"),
+    Query("cep_action_bigrams", cep_action_bigrams,
+          ORACLES["cep_action_bigrams"],
+          "consecutive action-pair frequencies per user stream"),
     Query("events_anomalies", events_anomalies, ORACLES["events_anomalies"],
           "z-score anomaly detection per event type (|z| > 2)"),
     Query("a9_value_histogram", a9_value_histogram,
