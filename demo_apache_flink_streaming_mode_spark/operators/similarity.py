@@ -480,9 +480,12 @@ def topk_pq(queries: DataFrame, corpus: DataFrame, k: int, m_sub: int,
     sub = pq_subvectors(u, m_sub, sub_dim, id_col, "uv")
     codes = (pq_assign(sub, cb, id_col)
              .select(F.col(id_col).alias("neighbor_id"), "m", "code"))
-    qset = queries.select(F.col(id_col).alias("query_id")).distinct()
-    qsub = (sub.join(F.broadcast(qset), sub[id_col] == F.col("query_id"))
-            .select("query_id", "m", "sv"))
+    # the query side normalizes + subvectors INDEPENDENTLY of the
+    # corpus, so out-of-corpus query vectors work (for queries that ARE
+    # corpus rows the math is bit-identical either way)
+    qu = (unit_vectors(queries, id_col, vec_col, "query_id", "uv")
+          .filter(F.col("uv").getItem(0).isNotNull()))
+    qsub = pq_subvectors(qu, m_sub, sub_dim, "query_id", "uv")
     dtab = (qsub.join(F.broadcast(cb), "m")
             .select("query_id", "m", "code",
                     _l2sq(F.col("sv"), F.col("cv")).alias("d")))
@@ -497,6 +500,19 @@ def topk_pq(queries: DataFrame, corpus: DataFrame, k: int, m_sub: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "adc_dist"))
+
+
+def int8_scale_codes(vec_col: str) -> tuple[Column, Column]:
+    """The engine-portable symmetric int8 quantization pair for a
+    double-array column: scale = max|v|/127 (nullif-guarded, cf.
+    ``_safe_nrm``) and code_i = floor(v_i/scale + 0.5) — round-half-up
+    integer math, portable where banker's rounding is not.
+    Single-sourced: ``quantize_int8_report``, ``topk_int8``, and their
+    oracles all encode exactly this formula.
+    """
+    scale = _safe_nrm(F.array_max(F.transform(vec_col, F.abs)) / F.lit(127.0))
+    codes = F.transform(vec_col, lambda x: F.floor(x / scale + F.lit(0.5)))
+    return scale, codes
 
 
 def topk_int8(queries: DataFrame, corpus: DataFrame, k: int,
@@ -522,13 +538,9 @@ def topk_int8(queries: DataFrame, corpus: DataFrame, k: int,
         # cosine (quantizing raw vectors would rank by raw dot and
         # bake neighbor norms into the ordering)
         u = unit_vectors(df, id_col, vec_col, out_id, "uv")
-        v = u.withColumn(f"{pfx}scale", _safe_nrm(
-            F.array_max(F.transform("uv", F.abs)) / F.lit(127.0)))
-        return v.select(
-            out_id, f"{pfx}scale",
-            F.transform("uv", lambda x: F.floor(x / F.col(f"{pfx}scale")
-                                                + F.lit(0.5)))
-            .alias(f"{pfx}q"))
+        scale, codes = int8_scale_codes("uv")
+        return u.select(out_id, scale.alias(f"{pfx}scale"),
+                        codes.alias(f"{pfx}q"))
 
     q = quant(queries, "query_id", "q_")
     c = quant(_spread(corpus), "neighbor_id", "c_")
@@ -563,13 +575,12 @@ def quantize_int8_report(vecs: DataFrame, id_col: str = "vec_id",
     degenerate all-zero vector yields NULL scale/checksum/sse on both
     engines (nullif guard, cf. ``_safe_nrm``).
     """
+    scale_e, codes_e = int8_scale_codes("v")
     v = (vecs.select(F.col(id_col).alias("vec_id"),
                      F.transform(vec_col, lambda x: x.cast("double"))
                      .alias("v"))
-         .withColumn("scale", _safe_nrm(
-             F.array_max(F.transform("v", F.abs)) / F.lit(127.0)))
-         .withColumn("q", F.transform(
-             "v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)))))
+         .select("vec_id", "v", scale_e.alias("scale"),
+                 codes_e.alias("q")))
     idx = F.sequence(F.lit(1), F.size("v"))
     err2 = F.transform(idx, lambda i: (
         (F.element_at(F.col("v"), i)

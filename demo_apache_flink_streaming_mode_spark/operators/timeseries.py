@@ -43,13 +43,19 @@ def resample_ffill(events: DataFrame, key: str, ts_ms: str,
 
 def _grid(events: DataFrame, key: str, ts_ms: str,
           step_ms: int) -> DataFrame:
+    # true ceil/floor boundaries at ANY sign: `div` truncates toward
+    # zero (so does DuckDB's `//`), which only equals ceil/floor for
+    # non-negative timestamps — the remainder term corrects pre-1970
+    # epochs. `%` carries the dividend's sign on both engines.
     b = events.groupBy(key).agg(F.min(ts_ms).alias("_mn"),
                                 F.max(ts_ms).alias("_mx"))
-    return (b.select(
-                key,
-                F.expr(f"(_mn + {step_ms - 1}) div {step_ms} * {step_ms}")
-                .alias("_gs"),
-                F.expr(f"_mx div {step_ms} * {step_ms}").alias("_ge"))
+    ceil_gs = (f"((_mn div {step_ms}) + (CASE WHEN _mn % {step_ms} > 0 "
+               f"THEN 1 ELSE 0 END)) * {step_ms}")
+    floor_ge = (f"((_mx div {step_ms}) - (CASE WHEN _mx % {step_ms} < 0 "
+                f"THEN 1 ELSE 0 END)) * {step_ms}")
+    return (b.select(key,
+                     F.expr(ceil_gs).alias("_gs"),
+                     F.expr(floor_ge).alias("_ge"))
             .filter(F.col("_gs") <= F.col("_ge"))
             .select(key,
                     F.explode(F.sequence("_gs", "_ge", F.lit(step_ms)))

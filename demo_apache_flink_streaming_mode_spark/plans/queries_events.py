@@ -201,15 +201,24 @@ def events_anomalies(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("s1"),
         F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
         .cast("double").alias("s2"))
+    # greatest(var, 0): catastrophic cancellation can leave a tiny
+    # negative variance whose sqrt is NaN; zero-variance groups get a
+    # NULL z and are flagged whenever the value differs from the mean
+    # (a deviation from a constant baseline is maximally anomalous,
+    # not silently droppable)
     stats = s.select(
         "event_type",
         (F.col("s1") / F.col("n")).alias("mean"),
-        F.sqrt(F.col("s2") / F.col("n")
-               - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")))
-        .alias("std"))
-    return (ev.join(F.broadcast(stats), "event_type")
-            .withColumn("z", (F.col("value") - F.col("mean")) / F.col("std"))
-            .filter(F.abs("z") > 2.0)
+        F.sqrt(F.greatest(
+            F.col("s2") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")),
+            F.lit(0.0))).alias("std"))
+    j = ev.join(F.broadcast(stats), "event_type")
+    z = F.when(F.col("std") > 0,
+               (F.col("value") - F.col("mean")) / F.col("std"))
+    flagged = ((F.col("std") > 0) & (F.abs(z) > 2.0)) | \
+              ((F.col("std") == 0) & (F.col("value") != F.col("mean")))
+    return (j.withColumn("z", z).filter(flagged)
             .select("event_type", "event_id", "value", "z"))
 
 
@@ -482,12 +491,15 @@ ORACLES = {
                                AS DOUBLE) AS s2
                    FROM events GROUP BY 1),
         st AS (SELECT event_type, s1 / n AS mean,
-                      sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+                      sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))
+                          AS std
                FROM s)
         SELECT e.event_type, e.event_id, e.value,
-               (e.value - st.mean) / st.std AS z
+               CASE WHEN st.std > 0
+                    THEN (e.value - st.mean) / st.std END AS z
         FROM events e JOIN st ON e.event_type = st.event_type
-        WHERE abs((e.value - st.mean) / st.std) > 2.0""",
+        WHERE (st.std > 0 AND abs((e.value - st.mean) / st.std) > 2.0)
+           OR (st.std = 0 AND e.value <> st.mean)""",
     "events_retention_cohorts": f"""
         WITH ev AS (SELECT DISTINCT user_id,
                            epoch_ms(ts) // {WEEK_MS} AS wk FROM events),
@@ -519,8 +531,8 @@ ORACLES = {
                            value AS obs_value, event_id AS obs_event_id
                     FROM events),
         b AS (SELECT user_id,
-                     ((MIN(obs_ms) + {HOUR_MS - 1}) // {HOUR_MS}) * {HOUR_MS} AS gs,
-                     (MAX(obs_ms) // {HOUR_MS}) * {HOUR_MS} AS ge
+                     ((MIN(obs_ms) // {HOUR_MS}) + (CASE WHEN MIN(obs_ms) % {HOUR_MS} > 0 THEN 1 ELSE 0 END)) * {HOUR_MS} AS gs,
+                     ((MAX(obs_ms) // {HOUR_MS}) - (CASE WHEN MAX(obs_ms) % {HOUR_MS} < 0 THEN 1 ELSE 0 END)) * {HOUR_MS} AS ge
               FROM ev GROUP BY 1),
         grid AS (SELECT user_id, unnest(range(gs, ge + 1, {HOUR_MS})) AS grid_ms
                  FROM b WHERE gs <= ge),
@@ -537,8 +549,8 @@ ORACLES = {
         WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, value AS v
                     FROM events),
         b AS (SELECT user_id,
-                     ((MIN(ms) + {HOUR_MS - 1}) // {HOUR_MS}) * {HOUR_MS} AS gs,
-                     (MAX(ms) // {HOUR_MS}) * {HOUR_MS} AS ge
+                     ((MIN(ms) // {HOUR_MS}) + (CASE WHEN MIN(ms) % {HOUR_MS} > 0 THEN 1 ELSE 0 END)) * {HOUR_MS} AS gs,
+                     ((MAX(ms) // {HOUR_MS}) - (CASE WHEN MAX(ms) % {HOUR_MS} < 0 THEN 1 ELSE 0 END)) * {HOUR_MS} AS ge
               FROM ev GROUP BY 1),
         grid AS (SELECT user_id, unnest(range(gs, ge + 1, {HOUR_MS})) AS grid_ms
                  FROM b WHERE gs <= ge),

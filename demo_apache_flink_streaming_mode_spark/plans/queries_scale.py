@@ -207,23 +207,49 @@ PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
 
 
-def graph_pagerank(spark, sf_dir):
-    """PageRank over the user co-occurrence graph — users are connected
-    when they share an (event_type, hour) activity bucket, which makes
-    the edge set symmetric (both directions present), satisfying the
-    operator's no-dangling contract. 3 deterministic rounds with
-    in-neighbor-id-order contribution folds (see operators.graph).
+COOC_BUCKET_MS = 600_000  # 10-minute co-occurrence buckets (see r4 note)
+
+
+def _cooccurrence_edges(spark, sf_dir):
+    """Symmetric user co-occurrence edges: (src, dst) for every user
+    pair sharing an (event_type, 10-minute-bucket) activity cell. The
+    single source of the graph definition — the two graph queries AND
+    the ``_COOC_CTES`` oracle prefix must stay in lockstep with it.
+    Bucket width note (r4, measured): hourly buckets made the graph
+    dense enough (~28 users/bucket at sf0.1) that the wedge join and
+    per-round edge scans dominated the bench; 10-minute buckets keep
+    degree bounded with the same semantics.
     """
     ev = load_table(spark, sf_dir, "events")
     b = (ev.select("user_id", "event_type",
-                   F.expr("unix_millis(ts) div 600000").alias("h"))
+                   F.expr(f"unix_millis(ts) div {COOC_BUCKET_MS}").alias("h"))
          .distinct())
-    e = (b.alias("a").join(b.alias("b"), ["event_type", "h"])
-         .filter(F.col("a.user_id") != F.col("b.user_id"))
-         .select(F.col("a.user_id").alias("src"),
-                 F.col("b.user_id").alias("dst"))
-         .distinct())
-    return graph.pagerank(e, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
+    return (b.alias("a").join(b.alias("b"), ["event_type", "h"])
+            .filter(F.col("a.user_id") != F.col("b.user_id"))
+            .select(F.col("a.user_id").alias("src"),
+                    F.col("b.user_id").alias("dst"))
+            .distinct())
+
+
+# the oracle twin of _cooccurrence_edges: CTEs b (buckets) and e (edges)
+_COOC_CTES = f"""
+        b AS (SELECT DISTINCT user_id, event_type,
+                              epoch_ms(ts) // {COOC_BUCKET_MS} AS h
+              FROM events),
+        e AS (SELECT DISTINCT a.user_id AS u, bb.user_id AS v
+              FROM b a JOIN b bb
+                ON a.event_type = bb.event_type AND a.h = bb.h
+               AND a.user_id <> bb.user_id)"""
+
+
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the user co-occurrence graph
+    (``_cooccurrence_edges`` — symmetric, so the operator's no-dangling
+    contract holds). 3 deterministic rounds with in-neighbor-id-order
+    contribution folds (see operators.graph).
+    """
+    return graph.pagerank(_cooccurrence_edges(spark, sf_dir),
+                          iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
 
 
 def graph_triangles(spark, sf_dir):
@@ -231,16 +257,7 @@ def graph_triangles(spark, sf_dir):
     low->high, wedge self-join on the middle vertex, semi-close — each
     triangle counted exactly once (see operators.graph.triangle_count).
     """
-    ev = load_table(spark, sf_dir, "events")
-    b = (ev.select("user_id", "event_type",
-                   F.expr("unix_millis(ts) div 600000").alias("h"))
-         .distinct())
-    e = (b.alias("a").join(b.alias("b"), ["event_type", "h"])
-         .filter(F.col("a.user_id") != F.col("b.user_id"))
-         .select(F.col("a.user_id").alias("src"),
-                 F.col("b.user_id").alias("dst"))
-         .distinct())
-    return graph.triangle_count(e)
+    return graph.triangle_count(_cooccurrence_edges(spark, sf_dir))
 
 
 def _pagerank_oracle(iters: int, damping: float) -> str:
@@ -250,14 +267,7 @@ def _pagerank_oracle(iters: int, damping: float) -> str:
     are DECIMAL), base term written with the exact Python double of
     (1 - damping)."""
     base = repr(1.0 - damping)
-    ctes = [f"""
-        b AS (SELECT DISTINCT user_id, event_type,
-                              epoch_ms(ts) // 600000 AS h
-              FROM events),
-        e AS (SELECT DISTINCT a.user_id AS u, bb.user_id AS v
-              FROM b a JOIN b bb
-                ON a.event_type = bb.event_type AND a.h = bb.h
-               AND a.user_id <> bb.user_id),
+    ctes = [f"""{_COOC_CTES},
         verts AS (SELECT DISTINCT vertex FROM
                   (SELECT u AS vertex FROM e
                    UNION ALL SELECT v AS vertex FROM e)),
@@ -456,16 +466,10 @@ ORACLES: dict[str, str] = {
         FROM seeded""",
     "corpus_report": None,  # assigned below (composes queries_llm oracles)
     "graph_pagerank": _pagerank_oracle(PAGERANK_ITERS, PAGERANK_DAMPING),
-    "graph_triangles": """
-        WITH b AS (SELECT DISTINCT user_id, event_type,
-                                   epoch_ms(ts) // 600000 AS h
-                   FROM events),
-        e0 AS (SELECT DISTINCT a.user_id AS u, bb.user_id AS v
-               FROM b a JOIN b bb
-                 ON a.event_type = bb.event_type AND a.h = bb.h
-                AND a.user_id <> bb.user_id),
+    "graph_triangles": f"""
+        WITH {_COOC_CTES},
         und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS bb
-                FROM e0)
+                FROM e)
         SELECT COUNT(*) AS n_triangles
         FROM und e1 JOIN und e2 ON e1.bb = e2.a
         WHERE EXISTS (SELECT 1 FROM und e3

@@ -160,7 +160,16 @@ def anomaly_stream(stream: DataFrame, stats: DataFrame, key: str,
     stats table file picks up new baselines without restarting the
     query — the standard model-scoring join shape at 100 TB: no state,
     no shuffle on the stream, pure per-row scoring.
+
+    Zero-variance keys (std = 0): z is NULL and the row is flagged
+    whenever the value differs from the mean — a deviation from a
+    constant baseline is maximally anomalous, not a division-by-zero
+    row to drop silently.
     """
+    z = F.when(F.col("std") > 0,
+               (F.col(value) - F.col("mean")) / F.col("std"))
+    flagged = ((F.col("std") > 0) & (F.abs(z) > z_threshold)) | \
+              ((F.col("std") == 0) & (F.col(value) != F.col("mean")))
     return (stream.join(F.broadcast(stats), key)
-            .withColumn("z", (F.col(value) - F.col("mean")) / F.col("std"))
-            .filter(F.abs("z") > z_threshold))
+            .withColumn("z", z)
+            .filter(flagged))

@@ -70,7 +70,9 @@ def _ref_interp(rows):
 
 series_strategy = st.lists(
     st.tuples(st.integers(0, 2),        # key
-              st.integers(0, 59),       # ts (boundary hits + collisions)
+              st.integers(-59, 59),     # ts incl. NEGATIVE epochs —
+                                        # ceil/floor vs truncation diverge
+                                        # below zero (pre-1970 data)
               st.integers(-5, 5)),      # value (exact in double)
     min_size=1, max_size=16)
 
