@@ -51,6 +51,20 @@ def main() -> None:
 
     spark = get_spark("bench")
 
+    # Host calibration: one fixed synthetic job (no I/O, no query code)
+    # run twice up front, keeping the second time. Bench hosts differ
+    # across rounds — divide two rounds' calib_s to get the host-speed
+    # ratio, and normalize per-query times by it before reading a
+    # round-over-round delta as a regression.
+    calib = None
+    for _ in range(2):  # 2nd run: steady-state CPU, no codegen/JIT compile
+        t0 = time.perf_counter()
+        (spark.range(0, 200_000_000, 1, 32)
+         .selectExpr("bit_xor(xxhash64(id)) as h")
+         .write.format("noop").mode("overwrite").save())
+        calib = round(time.perf_counter() - t0, 3)
+    log(f"calib_s={calib}")
+
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     # reserve ~60% of budget for the mandatory timed pass
     for q in ALL_QUERIES:
@@ -100,6 +114,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib_s": calib,
     }
     for fname, payload in (("bench_passes.json", passes),
                            ("bench_result.json", result)):
@@ -114,6 +129,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "sf": sf,
+        "calib_s": calib,
         "queries_file": "bench_result.json",
     }))
 
