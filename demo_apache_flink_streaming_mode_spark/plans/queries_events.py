@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from demo_apache_flink_streaming_mode_spark.operators import (
-    cep, eventtime, joins, stateful, timeseries, transforms, windows)
+    cep, changelog, eventtime, joins, stateful, timeseries, transforms,
+    windows)
 from demo_apache_flink_streaming_mode_spark.plans.base import Query
 from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
 
@@ -367,9 +368,51 @@ def cep_funnel_rates(spark, sf_dir):
     return out
 
 
+# --- changelog / upsert-stream semantics (Flink dynamic tables) ----------
+
+def _changelog(spark, sf_dir):
+    """Events as a per-user changelog: 'error' is the delete tombstone
+    (the same binding ST1 uses for the reference's 'Delete' action),
+    every other event upserts the user's state."""
+    return changelog.derive_ops(_events(spark, sf_dir),
+                                F.col("event_type") == "error")
+
+
+def cl_latest_state(spark, sf_dir):
+    """Materialized dynamic table: each user's LAST event wins; users
+    whose last event is a delete are absent (Flink upsert-stream
+    materialization, chapter5/StatefulOperations.java:83-143 state
+    model). One key-partitioned window — no log replay."""
+    st = changelog.latest_state(_changelog(spark, sf_dir),
+                                "user_id", ["ts", "event_id"])
+    return st.select("user_id", F.unix_millis("ts").alias("last_ms"),
+                     F.col("event_type").alias("last_type"),
+                     F.col("value").alias("last_value"), "n_changes")
+
+
+def cl_state_summary(spark, sf_dir):
+    """Retract-aware aggregate: group the MATERIALIZED state, not the
+    raw log — the batch collapse of Flink's retraction machinery (an
+    upsert that moves a user between groups needs no retraction once
+    superseded versions are already discarded)."""
+    st = changelog.latest_state(_changelog(spark, sf_dir),
+                                "user_id", ["ts", "event_id"])
+    return (changelog.state_summary(st, ["event_type"], "value")
+            .select(F.col("event_type").alias("last_type"),
+                    "n_keys", "sum_value"))
+
+
 # --- oracles -------------------------------------------------------------
 
 _LAG_WINDOW = "(PARTITION BY user_id ORDER BY ts, event_id)"
+
+_CL_RANKED = """
+  ranked AS (
+    SELECT user_id, ts, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_changes
+    FROM events)"""
 
 ORACLES = {
     "t1_parse_project": """
@@ -647,6 +690,19 @@ ORACLES["cep_funnel_rates"] = " UNION ALL ".join(
            FROM ({_funnel_sql(FUNNEL_STEPS[:k], FUNNEL_WITHIN_MS)})"""
        for k in range(2, len(FUNNEL_STEPS) + 1)])
 
+ORACLES["cl_latest_state"] = f"""
+    WITH {_CL_RANKED}
+    SELECT user_id, epoch_ms(ts) AS last_ms, event_type AS last_type,
+           value AS last_value, n_changes
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'"""
+
+ORACLES["cl_state_summary"] = f"""
+    WITH {_CL_RANKED}
+    SELECT event_type AS last_type, count(*) AS n_keys,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY 1"""
+
 QUERIES = [
     Query("t1_parse_project", t1_parse_project, ORACLES["t1_parse_project"],
           "T1 map/projection + literal tag (BasicStreamingOperations.java:64-88)"),
@@ -714,4 +770,9 @@ QUERIES = [
           "CEP funnel view->click->purchase within 12h (FlinkCEP followedBy analog)"),
     Query("cep_funnel_rates", cep_funnel_rates, ORACLES["cep_funnel_rates"],
           "funnel conversion rollup: users + completions per step prefix"),
+    Query("cl_latest_state", cl_latest_state, ORACLES["cl_latest_state"],
+          "changelog apply: per-key last-writer-wins dynamic table "
+          "(Flink upsert-stream materialization)"),
+    Query("cl_state_summary", cl_state_summary, ORACLES["cl_state_summary"],
+          "retract-aware aggregate over the materialized changelog state"),
 ]

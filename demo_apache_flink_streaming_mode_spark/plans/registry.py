@@ -101,8 +101,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     "sketch_cms_terms",
     # -- quantiles -----------------------------------------------------
     "events_value_quantiles",
+    # -- changelog / upsert-stream semantics (new family, r4) ---------
+    # claims mm_manifest's slot: the mm family keeps three stronger
+    # reps (decode_features / wav / image); manifest is a projection
+    # subset of decode_features and stays oracle-checked in the tail.
+    "cl_latest_state",
     # -- multimodal ----------------------------------------------------
-    "mm_manifest",
     "mm_decode_features",
     "mm_decode_wav",
     "mm_decode_image",

@@ -173,3 +173,32 @@ def anomaly_stream(stream: DataFrame, stats: DataFrame, key: str,
     return (stream.join(F.broadcast(stats), key)
             .withColumn("z", z)
             .filter(flagged))
+
+
+def upsert_state_stream(cl: DataFrame, key: str, order_cols: list[str],
+                        payload_cols: list[str],
+                        op_col: str = "op") -> DataFrame:
+    """Upsert-stream materialization (Flink dynamic-table analog,
+    streaming twin of ``operators.changelog.apply_changelog``).
+
+    Keeps ONE cell per key — the payload of the highest-(order_cols)
+    version seen so far, via ``max_by`` over a struct — and re-emits
+    the key's row whenever it changes. Use ``outputMode("update")``:
+    each emission is an upsert, and a row with ``is_deleted = true`` is
+    a delete tombstone, which is exactly the contract of a compacted
+    Kafka topic / upsert sink. State is O(distinct keys), independent
+    of history length.
+
+    Parity with the batch form is asserted in
+    ``tests/test_streaming.py::test_upsert_state_parity``: the final
+    per-key emission equals ``apply_changelog`` over the same rows.
+    """
+    ver = F.struct(*[F.col(c) for c in order_cols])
+    last = F.max_by(F.struct(*[F.col(c) for c in payload_cols + [op_col]]),
+                    ver).alias("_last")
+    agg = cl.groupBy(key).agg(last, F.count("*").alias("n_changes"))
+    return agg.select(
+        key,
+        *[F.col(f"_last.{c}").alias(c) for c in payload_cols],
+        "n_changes",
+        (F.col(f"_last.{op_col}") == "D").alias("is_deleted"))

@@ -748,3 +748,28 @@ def test_text_quality_pipeline_streaming_parity(spark, sf_dir, tmp_path):
     got = _rows(spark.table("t_docq"), "doc_id")
     want = _rows(text.quality_score(docs), "doc_id")
     assert got == want and len(got) > 0
+
+
+def test_upsert_state_parity(spark, batch_events, stream_events):
+    """Changelog upsert stream (Flink dynamic-table analog): the FINAL
+    update-mode emission per key — payload, n_changes, tombstone flag —
+    equals the batch ``apply_changelog`` materialization over the same
+    rows, including delete tombstones."""
+    from demo_apache_flink_streaming_mode_spark.operators import changelog
+
+    def as_cl(df):
+        return changelog.derive_ops(df, F.col("event_type") == "error")
+
+    _drain(pipelines.upsert_state_stream(
+        as_cl(stream_events), "user_id", ["ts", "event_id"],
+        ["event_type", "value"]), "t_upsert", mode="update")
+    final = {}
+    for r in spark.table("t_upsert").collect():
+        final[r["user_id"]] = (r["event_type"], r["value"],
+                               r["n_changes"], r["is_deleted"])
+    want = {r["user_id"]: (r["event_type"], r["value"],
+                           r["n_changes"], r["is_deleted"])
+            for r in changelog.apply_changelog(
+                as_cl(batch_events), "user_id", ["ts", "event_id"]).collect()}
+    assert final == want and len(final) > 0
+    assert any(v[3] for v in final.values())  # tombstones do occur
