@@ -93,3 +93,32 @@ def keyed_agg(df: DataFrame, keys: list[str], value: str) -> DataFrame:
                  decimal_sum(value).alias("sum_value"),
                  F.min(value).alias("min_value"),
                  F.max(value).alias("max_value")))
+
+
+def count_window_agg(df: DataFrame, key: str, order: list[str], value: str,
+                     size: int) -> DataFrame:
+    """Tumbling COUNT window (Flink ``keyBy(..).countWindow(n)`` analog).
+
+    Not exercised by the reference demo but core Flink DataStream API:
+    per key, every ``size`` consecutive records (in ``order``) form one
+    window, aggregated on close. Flink implements it as a count trigger
+    over a global window; the Spark-first batch form is a per-key
+    ``row_number`` bucketed by ``size`` — one shuffle on the key, then
+    hash aggregation on (key, window id). Flink drops the trailing
+    partial window (the count trigger never fires); we KEEP it with its
+    actual n, the more useful batch semantics — filter ``n = size`` for
+    Flink-exact output.
+
+    At 100 TB: the row_number window sorts only each key's own rows
+    (time-ordered within a key-partition), and the second aggregation
+    reuses the same hash partitioning — Exchange reuse, no extra
+    shuffle.
+    """
+    w = W.partitionBy(key).orderBy(*order)
+    win = ((F.row_number().over(w) - 1) / size).cast("long")
+    return (df.withColumn("window_id", win)
+            .groupBy(key, "window_id")
+            .agg(F.count("*").alias("n"),
+                 decimal_sum(value).alias("sum_value"),
+                 F.min(value).alias("min_value"),
+                 F.max(value).alias("max_value")))

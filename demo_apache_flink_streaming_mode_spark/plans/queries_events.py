@@ -368,6 +368,18 @@ def cep_funnel_rates(spark, sf_dir):
     return out
 
 
+COUNT_WINDOW_SIZE = 25
+
+
+def a11_count_window(spark, sf_dir):
+    """Tumbling count window per user (Flink ``countWindow(25)`` analog;
+    core DataStream API beyond the demo's time windows). Trailing
+    partial windows are kept with their actual n."""
+    return windows.count_window_agg(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"], "value",
+        COUNT_WINDOW_SIZE)
+
+
 # --- changelog / upsert-stream semantics (Flink dynamic tables) ----------
 
 def _changelog(spark, sf_dir):
@@ -690,6 +702,18 @@ ORACLES["cep_funnel_rates"] = " UNION ALL ".join(
            FROM ({_funnel_sql(FUNNEL_STEPS[:k], FUNNEL_WITHIN_MS)})"""
        for k in range(2, len(FUNNEL_STEPS) + 1)])
 
+ORACLES["a11_count_window"] = f"""
+    WITH b AS (
+      SELECT user_id, value,
+             (row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1)
+               // {COUNT_WINDOW_SIZE} AS window_id
+      FROM events)
+    SELECT user_id, window_id, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM b GROUP BY 1, 2"""
+
 ORACLES["cl_latest_state"] = f"""
     WITH {_CL_RANKED}
     SELECT user_id, epoch_ms(ts) AS last_ms, event_type AS last_type,
@@ -770,6 +794,9 @@ QUERIES = [
           "CEP funnel view->click->purchase within 12h (FlinkCEP followedBy analog)"),
     Query("cep_funnel_rates", cep_funnel_rates, ORACLES["cep_funnel_rates"],
           "funnel conversion rollup: users + completions per step prefix"),
+    Query("a11_count_window", a11_count_window, ORACLES["a11_count_window"],
+          "tumbling count window per key (Flink countWindow analog, "
+          "trailing partial kept)"),
     Query("cl_latest_state", cl_latest_state, ORACLES["cl_latest_state"],
           "changelog apply: per-key last-writer-wins dynamic table "
           "(Flink upsert-stream materialization)"),

@@ -433,6 +433,32 @@ def text_mixture_sample(spark, sf_dir):
             .select("doc_id", "source", h.alias("mix_bucket")))
 
 
+STRATA_QUOTA = 8
+
+
+def text_stratified_sample(spark, sf_dir):
+    """Exact-quota stratified sampling: per stratum (source), keep the
+    QUOTA docs with the smallest salted hash — deterministic, exactly N
+    per stratum (not N-in-expectation like the rate-based mixture
+    sample), reproducible across engines and runs.
+
+    The balanced-subset builder (eval sets, per-domain caps, minority
+    upweighting). Scale shape: one shuffle on the stratum key, then a
+    bounded per-stratum ORDER — the same rank-window pattern as
+    q_top3_parts_per_brand; no global sort, no RNG state. Strata
+    smaller than the quota keep all their docs.
+    """
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+    from pyspark.sql import Window as W
+    h = hex_to_long(F.md5(F.concat(F.lit("strat:"),
+                                   F.col("doc_id").cast("string"))))
+    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (_docs(spark, sf_dir)
+            .withColumn("rank_in_stratum", F.row_number().over(w))
+            .filter(F.col("rank_in_stratum") <= STRATA_QUOTA)
+            .select("doc_id", "source", "lang", "rank_in_stratum"))
+
+
 def mm_manifest(spark, sf_dir):
     media = multimodal.to_media(_docs(spark, sf_dir))
     df = multimodal.media_manifest(media)
@@ -981,6 +1007,16 @@ ORACLES = {
         FROM documents
         WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
               < 100 + 45 * (TRY_CAST(substr(source, 4, 10) AS INT) % 20)""",
+    "text_stratified_sample": f"""
+        WITH ranked AS (
+          SELECT doc_id, source, lang,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                            doc_id) AS rank_in_stratum
+          FROM documents)
+        SELECT doc_id, source, lang, rank_in_stratum
+        FROM ranked WHERE rank_in_stratum <= {STRATA_QUOTA}""",
     "mm_manifest": f"""
         SELECT doc_id, 'application/octet-stream' AS media_type,
                octet_length(encode(text)) AS n_bytes,
@@ -1388,6 +1424,9 @@ QUERIES = [
           "deterministic hash train/val/test split (leak-proof, shuffle-free)"),
     Query("text_mixture_sample", text_mixture_sample, ORACLES["text_mixture_sample"],
           "per-source mixture sampling by hash threshold"),
+    Query("text_stratified_sample", text_stratified_sample,
+          ORACLES["text_stratified_sample"],
+          "exact-quota stratified sample per source (salted-hash rank)"),
     Query("mm_manifest", mm_manifest, ORACLES["mm_manifest"],
           "multimodal binary manifest (bytes + chunking)"),
     Query("mm_decode_features", mm_decode_features, ORACLES["mm_decode_features"],
