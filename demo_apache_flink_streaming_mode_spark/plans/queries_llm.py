@@ -436,6 +436,12 @@ def text_mixture_sample(spark, sf_dir):
 STRATA_QUOTA = 8
 
 
+def text_lm_familiarity(spark, sf_dir):
+    """Bigram-LM familiarity score (integer-exact perplexity-filter
+    skeleton) — see ``operators.text.lm_familiarity``."""
+    return text.lm_familiarity(_docs(spark, sf_dir))
+
+
 def text_stratified_sample(spark, sf_dir):
     """Exact-quota stratified sampling: per stratum (source), keep the
     QUOTA docs with the smallest salted hash — deterministic, exactly N
@@ -1017,6 +1023,29 @@ ORACLES = {
           FROM documents)
         SELECT doc_id, source, lang, rank_in_stratum
         FROM ranked WHERE rank_in_stratum <= {STRATA_QUOTA}""",
+    "text_lm_familiarity": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(text), ' '), t -> t <> '') AS tk
+          FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)),
+                   i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 15))::BIGINT))
+                   AS bgh
+          FROM toks WHERE len(tk) >= 2),
+        counts AS (SELECT bgh, count(*) AS c FROM bg GROUP BY 1),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_bg, CAST(sum(c) AS BIGINT) AS sum_c,
+                 CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repeated
+          FROM bg JOIN counts USING (bgh) GROUP BY 1)
+        SELECT d.doc_id, coalesce(n_bg, 0) AS n_bg,
+               coalesce(sum_c, 0) AS sum_c,
+               coalesce(n_repeated, 0) AS n_repeated,
+               CASE WHEN coalesce(n_bg, 0) = 0 THEN 0
+                    ELSE (1000000 * n_repeated) // n_bg END AS familiarity_ppm
+        FROM documents d LEFT JOIN per_doc USING (doc_id)""",
     "mm_manifest": f"""
         SELECT doc_id, 'application/octet-stream' AS media_type,
                octet_length(encode(text)) AS n_bytes,
@@ -1427,6 +1456,10 @@ QUERIES = [
     Query("text_stratified_sample", text_stratified_sample,
           ORACLES["text_stratified_sample"],
           "exact-quota stratified sample per source (salted-hash rank)"),
+    Query("text_lm_familiarity", text_lm_familiarity,
+          ORACLES["text_lm_familiarity"],
+          "bigram-LM familiarity score (integer-exact perplexity-filter "
+          "skeleton, 60-bit hashed bigram shuffle)"),
     Query("mm_manifest", mm_manifest, ORACLES["mm_manifest"],
           "multimodal binary manifest (bytes + chunking)"),
     Query("mm_decode_features", mm_decode_features, ORACLES["mm_decode_features"],
