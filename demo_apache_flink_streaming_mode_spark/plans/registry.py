@@ -84,7 +84,10 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # -- text analysis family (bpe/tfidf demoted: tokenization proven
     # by text_token_stats, corpus-stats ranking by text_bm25) ---------
     "text_token_stats",
-    "text_term_counts",
+    # (text_term_counts demoted r4: explode+groupBy term counting is
+    # proven by text_token_stats + text_bm25's corpus stats; the slot
+    # goes to the new LM-familiarity scorer)
+    "text_lm_familiarity",
     "text_langid",
     "text_quality",
     "text_decontam",
