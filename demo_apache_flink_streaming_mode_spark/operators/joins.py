@@ -17,12 +17,20 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def window_join(left: DataFrame, right: DataFrame, key: str, ts: str,
-                width: str, suffixes: tuple[str, str] = ("_l", "_r")) -> DataFrame:
-    """J1 — tumbling-window inner equi-join.
+                width: str, suffixes: tuple[str, str] = ("_l", "_r"),
+                how: str = "inner") -> DataFrame:
+    """J1 — tumbling-window equi-join.
 
     Within each window, matching keys produce the full cross product of
     pairs — exactly the reference's JoinFunction semantics
     (``chapter3/WindowJoin.java:141-158``, 2x3 matches -> 6 rows).
+
+    ``how`` extends the reference's inner-only join: "left"/"right"/
+    "full" keep unmatched rows with nulls on the other side — Flink
+    needs a CoGroupFunction for this, Spark exposes it as the join
+    type, and the streaming form is supported natively (watermarked
+    outer stream-stream join; unmatched rows emit once the watermark
+    passes the window end).
     """
     lw = left.withColumn("w", F.window(ts, width))
     rw = right.withColumn("w", F.window(ts, width))
@@ -30,7 +38,7 @@ def window_join(left: DataFrame, right: DataFrame, key: str, ts: str,
                      *[F.col(c).alias(c + suffixes[0]) for c in left.columns if c != key])
     rsel = rw.select(F.col(key).alias("join_key"), F.col("w"),
                      *[F.col(c).alias(c + suffixes[1]) for c in right.columns if c != key])
-    joined = lsel.join(rsel, ["join_key", "w"], "inner")
+    joined = lsel.join(rsel, ["join_key", "w"], how)
     return joined.select(
         F.col("join_key").alias(key),
         F.unix_millis(F.col("w.start")).alias("window_start"),

@@ -110,6 +110,19 @@ def j1_window_join(spark, sf_dir):
         "user_id", "window_start", "event_id_l", "event_id_r")
 
 
+def j1_window_join_left(spark, sf_dir):
+    """J1 outer extension: clicks LEFT-join purchases per (user, hour
+    window) — unmatched clicks survive with null purchase ids. Flink
+    needs a CoGroupFunction for this; Spark exposes the join type, and
+    the streaming form is a native watermarked outer join."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    return joins.window_join(clicks, purchases, "user_id", "ts", "1 hour",
+                             how="left").select(
+        "user_id", "window_start", "event_id_l", "event_id_r")
+
+
 def st1_repeat_action_alert(spark, sf_dir):
     return stateful.repeat_action_alert(
         _events(spark, sf_dir), "user_id", "ts", "event_type",
@@ -489,6 +502,13 @@ ORACLES = {
           ON a.user_id = b.user_id
          AND epoch_ms(a.ts) // 3600000 = epoch_ms(b.ts) // 3600000
         WHERE a.event_type = 'click' AND b.event_type = 'purchase'""",
+    "j1_window_join_left": """
+        SELECT a.user_id, (epoch_ms(a.ts) // 3600000) * 3600000 AS window_start,
+               a.event_id AS event_id_l, b.event_id AS event_id_r
+        FROM (SELECT * FROM events WHERE event_type = 'click') a
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id
+         AND epoch_ms(a.ts) // 3600000 = epoch_ms(b.ts) // 3600000""",
     "st1_repeat_action_alert": f"""
         WITH d AS (
           SELECT user_id, event_id, epoch_ms(ts) AS ms,
@@ -794,6 +814,10 @@ QUERIES = [
           "CEP funnel view->click->purchase within 12h (FlinkCEP followedBy analog)"),
     Query("cep_funnel_rates", cep_funnel_rates, ORACLES["cep_funnel_rates"],
           "funnel conversion rollup: users + completions per step prefix"),
+    Query("j1_window_join_left", j1_window_join_left,
+          ORACLES["j1_window_join_left"],
+          "J1 windowed LEFT outer stream-stream join (unmatched clicks "
+          "kept; Flink CoGroup analog, native Spark join type)"),
     Query("a11_count_window", a11_count_window, ORACLES["a11_count_window"],
           "tumbling count window per key (Flink countWindow analog, "
           "trailing partial kept)"),

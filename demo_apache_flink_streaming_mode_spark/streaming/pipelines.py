@@ -92,14 +92,21 @@ def dedup_stream(df: DataFrame, keys: list[str], ts: str | None = None,
 
 
 def window_join(left: DataFrame, right: DataFrame, key: str, ts: str,
-                width: str, delay: str) -> DataFrame:
-    """J1 streaming — tumbling-window inner equi-join of two streams.
+                width: str, delay: str, how: str = "inner") -> DataFrame:
+    """J1 streaming — tumbling-window equi-join of two streams.
 
     Reference: ``chapter3/WindowJoin.java:119-158`` (same-key pairs
     within each 5 s tumbling window). Both sides get the window column
     and a watermark; the equi-join on (key, window) lets Spark's
     symmetric hash join evict state for windows older than the
     watermark — bounded state at any scale.
+
+    ``how`` = "left"/"right"/"full": the watermarked OUTER
+    stream-stream join (Flink needs a CoGroupFunction). Unmatched rows
+    are emitted only once the watermark passes their window end — in a
+    finite test run rows in the final un-closed windows stay withheld,
+    so parity tests should compare the inner subset or advance the
+    watermark past the data.
     """
     lw = (left.withWatermark(ts, delay)
           .select(F.col(key), F.window(ts, width).alias("w"),
@@ -109,7 +116,7 @@ def window_join(left: DataFrame, right: DataFrame, key: str, ts: str,
           .select(F.col(key), F.window(ts, width).alias("w"),
                   *[F.col(c).alias(f"{c}_r") for c in right.columns
                     if c not in (key, ts)]))
-    joined = lw.join(rw, [key, "w"], "inner")
+    joined = lw.join(rw, [key, "w"], how)
     return joined.select(key, F.unix_millis(F.col("w.start")).alias("window_start"),
                          *[c for c in joined.columns if c.endswith("_l") or c.endswith("_r")])
 

@@ -773,3 +773,34 @@ def test_upsert_state_parity(spark, batch_events, stream_events):
                 as_cl(batch_events), "user_id", ["ts", "event_id"]).collect()}
     assert final == want and len(final) > 0
     assert any(v[3] for v in final.values())  # tombstones do occur
+
+
+def test_window_join_left_outer_streaming(spark, batch_events, stream_events):
+    """Watermarked LEFT outer stream-stream join: every emitted row
+    matches the batch left join, all inner matches are present, and
+    unmatched clicks (null right side) do emit once their window
+    closes. Rows whose window the final watermark never passed may be
+    withheld — so the subset check, not equality, is the contract for
+    the null rows."""
+    def legs(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id")
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id")
+        return clicks, purchases
+
+    sc, sp = legs(stream_events)
+    _drain(pipelines.window_join(sc, sp, "user_id", "ts", "1 hour",
+                                 "10 minutes", how="left"), "t_j1_left")
+    got = set((r["user_id"], r["window_start"], r["event_id_l"],
+               r["event_id_r"]) for r in spark.table("t_j1_left").collect())
+
+    bc, bp = legs(batch_events)
+    want = set((r["user_id"], r["window_start"], r["event_id_l"],
+                r["event_id_r"])
+               for r in joins.window_join(bc, bp, "user_id", "ts", "1 hour",
+                                          how="left").collect())
+    inner = {t for t in want if t[3] is not None}
+    assert got <= want
+    assert inner <= got                      # all matches emitted
+    assert any(t[3] is None for t in got)    # closed-window tombstones emitted
