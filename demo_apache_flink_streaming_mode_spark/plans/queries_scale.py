@@ -294,6 +294,30 @@ def _pagerank_oracle(iters: int, damping: float) -> str:
         SELECT vertex, pr AS pagerank FROM pr{iters}"""
 
 
+def events_key_skew_report(spark, sf_dir):
+    """Key-skew diagnostic for the shuffle key (user_id): per-key row
+    counts, share of the table in ppm (exact integer div), and rank —
+    the operational input to the salt-or-not decision
+    (``operators.scale.salted_join``). Top 20 heaviest keys.
+
+    One hash aggregation + a 20-row TakeOrdered — at 100 TB this is
+    the cheapest possible full-table profile (map-side partials
+    collapse each partition to its distinct keys).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+    total = ev.agg(F.count("*").alias("total"))  # 1-row broadcast side
+    top = (ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+           .orderBy(F.col("n_rows").desc(), F.col("user_id"))
+           .limit(20))  # TakeOrderedAndProject, never a global sort
+    return (top.crossJoin(F.broadcast(total))
+            .withColumn("share_ppm", F.expr("(1000000 * n_rows) div total"))
+            # rank window runs over the 20 surviving rows only
+            .withColumn("rank", F.row_number().over(
+                W.orderBy(F.col("n_rows").desc(), F.col("user_id"))))
+            .select("rank", "user_id", "n_rows", "share_ppm"))
+
+
 def orders_fingerprint(spark, sf_dir):
     """Order-insensitive table fingerprint — the migration-validation
     utility for exactly this engine's situation: prove two systems hold
@@ -521,6 +545,17 @@ ORACLES["corpus_report"] = f"""
     JOIN d USING (doc_id)
     GROUP BY 1, 2"""
 
+ORACLES["events_key_skew_report"] = """
+    WITH counts AS (
+      SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+    t AS (SELECT count(*) AS total FROM events),
+    top AS (
+      SELECT user_id, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, user_id) AS rank
+      FROM counts)
+    SELECT rank, user_id, n_rows, (1000000 * n_rows) // total AS share_ppm
+    FROM top CROSS JOIN t WHERE rank <= 20"""
+
 QUERIES = [
     Query("sketch_hll_users", sketch_hll_users, ORACLES["sketch_hll_users"],
           "HyperLogLog distinct-user estimate per event type (m=64, exact "
@@ -549,6 +584,10 @@ QUERIES = [
     Query("orders_fingerprint", orders_fingerprint,
           ORACLES["orders_fingerprint"],
           "order-insensitive bit_xor table checksum (migration validation)"),
+    Query("events_key_skew_report", events_key_skew_report,
+          ORACLES["events_key_skew_report"],
+          "key-skew diagnostic: top-20 heaviest shuffle keys with ppm "
+          "share (input to the salt-or-not decision)"),
     Query("graph_pagerank", graph_pagerank, ORACLES["graph_pagerank"],
           "PageRank over the user co-occurrence graph (3 exact rounds)"),
     Query("graph_triangles", graph_triangles, ORACLES["graph_triangles"],

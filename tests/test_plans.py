@@ -35,7 +35,10 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 # scalar-subquery threshold: a 1-row broadcast average
                 # attached to every customer row (TPC-H Q22 shape) /
                 # per-part value row (Q11 shape)
-                "q22_idle_balance", "q11_important_stock"}
+                "q22_idle_balance", "q11_important_stock",
+                # 1-row broadcast total attached to the top-20 keys —
+                # the same scalar-aggregate shape as Q22/Q11
+                "events_key_skew_report"}
 
 
 def _plan(spark, name: str) -> str:
