@@ -67,7 +67,7 @@ def main() -> None:
 
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     # Warmup is capped at 25% of budget (the registry outgrew the old
-    # 40% share: at 119 queries it starved the re-pass phase, and a
+    # 40% share: at 100+ queries it starved the re-pass phase, and a
     # 1-pass bench reads as a phantom regression). Priority order:
     # queries with no prior timing first (coldest codegen, least
     # predictable), then slowest-known first (most JIT surface) — the
@@ -122,6 +122,17 @@ def main() -> None:
     timings = {name: min(ts) for name, ts in passes.items()}
     total = round(sum(timings.values()), 3)
     log("passes: " + json.dumps(passes))
+    # Under-budget guard: a run where pass 2 never reached a query left
+    # that query with ONE (JIT-cold, noise-exposed) sample — committed
+    # benchmark artifacts must never silently carry such numbers (the
+    # r4 postmortem: a 1-pass run raw-read 2x slower than reality).
+    n_single = sum(1 for ts in passes.values() if len(ts) < 2)
+    passes_complete = n_single == 0
+    if n_single > 0.1 * len(passes):
+        log(f"*** WARNING: {n_single}/{len(passes)} queries have a single "
+            "sample — this run is UNDER-BUDGET and NOT a committable "
+            "benchmark. Re-run with SPARK_GRAFT_BENCH_BUDGET=1300 on a "
+            "quiet host. ***")
     here = os.path.dirname(os.path.abspath(__file__))
     result = {
         "metric": "total_query_runtime",
@@ -130,6 +141,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calib_s": calib,
+        "passes_complete": passes_complete,
     }
     for fname, payload in (("bench_passes.json", passes),
                            ("bench_result.json", result)):
@@ -145,6 +157,7 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf,
         "calib_s": calib,
+        "passes_complete": passes_complete,
         "queries_file": "bench_result.json",
     }))
 

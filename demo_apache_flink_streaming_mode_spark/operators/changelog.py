@@ -40,9 +40,17 @@ OP_DELETE = "D"
 def derive_ops(events: DataFrame, delete_when: Column,
                op_col: str = "op") -> DataFrame:
     """Tag each event with a changelog op: DELETE where ``delete_when``
-    holds, else UPSERT. Pure projection — no shuffle."""
+    holds, else UPSERT. Pure projection — no shuffle.
+
+    NULL handling is explicit: a NULL predicate (e.g. a nullable
+    tombstone column) is an UPSERT, never a silent drop — the
+    ``coalesce(False)`` makes the three-valued-logic fallthrough a
+    stated contract rather than an accident of ``when/otherwise``, and
+    the cl_* oracles compare with ``IS DISTINCT FROM`` to match."""
     return events.withColumn(
-        op_col, F.when(delete_when, OP_DELETE).otherwise(OP_UPSERT))
+        op_col,
+        F.when(F.coalesce(delete_when, F.lit(False)), OP_DELETE)
+        .otherwise(OP_UPSERT))
 
 
 def apply_changelog(cl: DataFrame, key: str, order_cols: list[str],

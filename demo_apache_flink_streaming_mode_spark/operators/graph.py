@@ -17,7 +17,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from demo_apache_flink_streaming_mode_spark.operators.scale import cut_lineage
+from demo_apache_flink_streaming_mode_spark.operators.scale import (
+    cut_lineage, deterministic_folds)
+
+
+def _contrib_sum(contribs: DataFrame) -> DataFrame:
+    """Per-vertex sum of rank contributions ``c``, in two
+    session-selectable shapes (``spark.graft.deterministicFolds``):
+
+    - deterministic (default): in-ascending-u-order left fold —
+      bit-stable across partitionings and engines (the oracle-parity
+      path), but buffers each vertex's in-neighbor contribution list,
+      O(in-degree) at a hub vertex;
+    - fast: plain ``F.sum`` — map-side-combinable, bounded memory at
+      any degree skew (the production path at 100 TB), last-ulp
+      nondeterminism only.
+
+    Tolerance + plan test: ``tests/test_scale_ops.py``.
+    """
+    if deterministic_folds(contribs):
+        return (contribs.groupBy("vertex")
+                .agg(F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("u", "c"))),
+                    F.lit(0.0), lambda acc, s: acc + s["c"]).alias("s")))
+    return contribs.groupBy("vertex").agg(F.sum("c").alias("s"))
 
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
@@ -26,7 +49,9 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
 
     pr_{t+1}(v) = (1-d)/N + d * sum_{(u,v) in E} pr_t(u) / outdeg(u),
     with the sum folded in ascending-u order (bit-stable across
-    partitionings and engines). Vertices with no in-edges keep the
+    partitionings and engines; production jobs on skewed-degree graphs
+    set ``spark.graft.deterministicFolds=false`` for a
+    map-side-combinable plain sum — see :func:`_contrib_sum`). Vertices with no in-edges keep the
     base term. Dangling mass is NOT redistributed — callers whose
     edge lists are symmetric (every edge has a reverse) have no
     dangling vertices, and that is the documented contract here.
@@ -58,10 +83,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                     .select(F.col("v").alias("vertex"), "u",
                             (F.col("pr_u") / F.col("odeg").cast("double"))
                             .alias("c")))
-        summed = (contribs.groupBy("vertex")
-                  .agg(F.aggregate(
-                      F.array_sort(F.collect_list(F.struct("u", "c"))),
-                      F.lit(0.0), lambda acc, s: acc + s["c"]).alias("s")))
+        summed = _contrib_sum(contribs)
         pr = (pr.select("vertex", "n").join(summed, "vertex", "left")
               .select("vertex", "n",
                       ((F.lit(1.0 - damping) / F.col("n").cast("double"))
@@ -74,30 +96,66 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
 def triangle_count(edges: DataFrame, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """Count triangles in an undirected graph given as a (possibly
-    symmetric/duplicated) directed edge list. Classic two-join shape:
+    symmetric/duplicated) directed edge list, degree-oriented
+    (the Suri–Vassilvitskii / Cohen MapReduce refinement):
 
-    1. orient every edge low-id -> high-id and dedupe — each triangle
-       {a<b<c} then exists exactly once as the path a->b->c plus the
-       closing edge a->c, so nothing is double-counted;
-    2. self-join oriented edges on the middle vertex (wedge build),
-       then semi-close each wedge against the edge list.
+    1. canonicalize low-id -> high-id and dedupe (each undirected edge
+       exactly once);
+    2. compute every vertex's degree, then RE-orient each edge from its
+       lower-(degree, id) endpoint to its higher one — a total order,
+       so each triangle {x<y<z} exists exactly once as the out-edge
+       pair (x->y, x->z) plus the closing edge y->z;
+    3. self-join the oriented edges on the SOURCE (wedge build, one
+       pair per unordered out-edge pair via the (dw, w) tie-break),
+       then semi-close each wedge against the oriented edge list.
 
-    Integer-only — no float portability concerns. At scale the wedge
-    join is the quadratic-in-degree step; id-orientation already halves
-    it, and the standard refinement (orient by degree, then id) bounds
-    wedge fan-out by the lower degree endpoint — noted here because the
-    testdata graph is degree-uniform enough that id-orientation is the
-    same plan. Returns a single row (n_triangles).
+    Why degree orientation matters at 100 TB: wedge fan-out is
+    out-degree-squared per vertex, and under (degree, id) orientation a
+    vertex's out-degree is bounded by ~sqrt(2m) (a vertex only points
+    at neighbors of >= its own degree), so one hub vertex can no longer
+    create a straggler wedge partition the way id-orientation allows —
+    the hub's edges point INTO it and build no wedges there. Costs one
+    extra degree aggregate + join before the wedge build.
+
+    Integer-only — no float portability concerns. The triangle COUNT is
+    orientation-invariant, so the id-oriented SQL oracle twin remains a
+    valid cross-check. Returns a single row (n_triangles).
     """
     und = (edges.select(F.least(src, dst).alias("a"),
                         F.greatest(src, dst).alias("b"))
            .filter(F.col("a") != F.col("b"))
            .distinct())
-    wedge = (und.alias("e1")
-             .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
-             .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
-                     F.col("e2.b").alias("z")))
-    closed = wedge.join(und.alias("e3"),
-                        (F.col("x") == F.col("e3.a"))
-                        & (F.col("z") == F.col("e3.b")), "left_semi")
+    deg = (und.select(F.col("a").alias("v"))
+           .unionByName(und.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("d")))
+    # attach both endpoint degrees, then orient by (degree, id)
+    low_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = (und
+                .join(deg.select(F.col("v").alias("a"),
+                                 F.col("d").alias("da")), "a")
+                .join(deg.select(F.col("v").alias("b"),
+                                 F.col("d").alias("db")), "b")
+                .select(F.when(low_is_a, F.col("a")).otherwise(F.col("b"))
+                        .alias("u"),
+                        F.when(low_is_a, F.col("b")).otherwise(F.col("a"))
+                        .alias("w"),
+                        F.when(low_is_a, F.col("db")).otherwise(F.col("da"))
+                        .alias("dw"))
+                # referenced three times below (e1/e2/e3); materialize
+                # once instead of replaying the caller's edge
+                # derivation + degree joins per reference
+                .transform(cut_lineage))
+    # wedges at the source: each unordered out-edge pair once, ordered
+    # by the same (degree, id) total order so the closing edge's
+    # orientation (lower endpoint -> higher) is known to be y -> z
+    pair_lt = (F.col("e1.dw") < F.col("e2.dw")) | (
+        (F.col("e1.dw") == F.col("e2.dw")) & (F.col("e1.w") < F.col("e2.w")))
+    wedge = (oriented.alias("e1")
+             .join(oriented.alias("e2"),
+                   (F.col("e1.u") == F.col("e2.u")) & pair_lt)
+             .select(F.col("e1.w").alias("y"), F.col("e2.w").alias("z")))
+    closed = wedge.join(oriented.alias("e3"),
+                        (F.col("y") == F.col("e3.u"))
+                        & (F.col("z") == F.col("e3.w")), "left_semi")
     return closed.agg(F.count("*").alias("n_triangles"))

@@ -20,6 +20,29 @@ import tempfile
 from pyspark.sql import DataFrame, functions as F
 
 RELIABLE_CHECKPOINT_CONF = "spark.graft.reliableCheckpoint"
+DETERMINISTIC_FOLDS_CONF = "spark.graft.deterministicFolds"
+
+
+def deterministic_folds(df: DataFrame) -> bool:
+    """Session switch for the iterative trainers' float reductions
+    (k-means / PQ codebook means, PageRank contribution sums).
+
+    - true (default): explicit in-id-order ``collect_list`` +
+      ``F.aggregate`` left folds — bit-exact across engines, runs, and
+      partitionings (the oracle-parity path), but buffers each group's
+      values, O(group size) at a hot cell / hub vertex.
+    - false: plain ``avg``/``sum`` — map-side combinable partial
+      aggregation, bounded executor memory at any key skew (the
+      production path at 100 TB), nondeterministic only in the last
+      ulp of the double sum.
+
+    The two paths are tied together by tolerance tests
+    (``tests/test_scale_ops.py``); flip the conf off for production
+    training jobs where a popular cell would make a ``collect_list``
+    buffer the straggler.
+    """
+    return (df.sparkSession.conf.get(DETERMINISTIC_FOLDS_CONF, "true")
+            .lower() == "true")
 
 
 def cut_lineage(df: DataFrame) -> DataFrame:
@@ -99,8 +122,15 @@ def write_bucketed(df: DataFrame, name: str, key: str, buckets: int = 8,
 
     tests/test_bucketing.py asserts the no-Exchange plan and value
     parity with the unbucketed join.
+
+    The write repartitions on the key into exactly ``buckets`` tasks
+    first: Spark's reader only trusts a bucket's sort order (and so
+    skips the SMJ's per-task Sort) when each bucket is a SINGLE file,
+    which requires each writer task to hold exactly one bucket's rows
+    (repartition and bucketing share the same Murmur3 pmod placement).
     """
-    w = df.write.format("parquet").mode(mode).bucketBy(buckets, key)
+    w = (df.repartition(buckets, F.col(key))
+         .write.format("parquet").mode(mode).bucketBy(buckets, key))
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(name)

@@ -25,7 +25,8 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from demo_apache_flink_streaming_mode_spark.functions.scalars import (
     dot, dot_literal, dot_unrolled, norm)
-from demo_apache_flink_streaming_mode_spark.operators.scale import cut_lineage
+from demo_apache_flink_streaming_mode_spark.operators.scale import (
+    cut_lineage, deterministic_folds)
 
 
 def _dot(a: Column, b: Column, dim: int | None) -> Column:
@@ -181,6 +182,31 @@ def seed_centroids(u: DataFrame, n_cells: int,
                     F.col(vec_col).alias("cv")))
 
 
+def _fold_mean(expl: DataFrame, group_cols: list[str],
+               out: str) -> DataFrame:
+    """Per-group mean of ``val``, in two session-selectable shapes
+    (``spark.graft.deterministicFolds``, see ``operators.scale``):
+
+    - deterministic (default): collect the group's (_vid, val) structs,
+      sort by id, left-fold the sum — bit-exact across engines and
+      partitionings, but buffers O(group size) per group;
+    - fast: plain ``F.avg`` — map-side-combinable partial aggregation,
+      bounded executor memory at any key skew, last-ulp nondeterminism.
+
+    Shared by the k-means and PQ trainers; the two paths are tied by a
+    tolerance + plan test in ``tests/test_scale_ops.py``.
+    """
+    if deterministic_folds(expl):
+        return (expl.groupBy(*group_cols)
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("_vid", "val"))).alias("vals"))
+                .select(*group_cols,
+                        (F.aggregate("vals", F.lit(0.0),
+                                     lambda acc, s: acc + s["val"])
+                         / F.size("vals")).alias(out)))
+    return expl.groupBy(*group_cols).agg(F.avg("val").alias(out))
+
+
 def kmeans_centroids(u: DataFrame, n_cells: int, iters: int,
                      id_col: str = "vec_id", vec_col: str = "uv",
                      dim: int | None = None) -> DataFrame:
@@ -195,7 +221,9 @@ def kmeans_centroids(u: DataFrame, n_cells: int, iters: int,
       (collect the cell's values sorted by id, then ``F.aggregate``),
       NOT ``F.avg`` — a parallel double sum is partition-order-dependent
       in the last ulp, which would break bit-exact cross-engine parity
-      and run-to-run stability;
+      and run-to-run stability.  Production jobs at skewed cell sizes
+      set ``spark.graft.deterministicFolds=false`` to swap the fold for
+      a map-side-combinable ``F.avg`` (see :func:`_fold_mean`);
     - degenerate zero-norm vectors (NULL components after the
       ``_safe_nrm`` guard) are excluded from training on both engines.
 
@@ -213,13 +241,7 @@ def kmeans_centroids(u: DataFrame, n_cells: int, iters: int,
         expl = assigned.select(
             F.col(id_col).alias("_vid"), "cell",
             F.posexplode(vec_col).alias("pos", "val"))
-        dims = (expl.groupBy("cell", "pos")
-                .agg(F.array_sort(
-                    F.collect_list(F.struct("_vid", "val"))).alias("vals"))
-                .select("cell", "pos",
-                        (F.aggregate("vals", F.lit(0.0),
-                                     lambda acc, s: acc + s["val"])
-                         / F.size("vals")).alias("m")))
+        dims = _fold_mean(expl, ["cell", "pos"], "m")
         cent = (dims.groupBy("cell")
                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
                 .select("cell", F.transform("ms", lambda s: s["m"]).alias("cv")))
@@ -421,7 +443,8 @@ def pq_train_codebooks(u: DataFrame, m_sub: int, sub_dim: int,
 
     Same determinism contract as ``kmeans_centroids``: seeds are the
     `n_codes` lowest-id subvectors of each subspace, means are explicit
-    in-id-order left folds, empty codes drop out. Scale shape per
+    in-id-order left folds (or map-side ``avg`` under
+    ``spark.graft.deterministicFolds=false``), empty codes drop out. Scale shape per
     iteration: assignment is one broadcast pass over N*m_sub subvector
     rows; the update shuffles N*dim (m, code, pos, val) rows once —
     linear, map-side combinable. Train offline, reuse the codebook.
@@ -435,13 +458,7 @@ def pq_train_codebooks(u: DataFrame, m_sub: int, sub_dim: int,
         asg = pq_assign(sub, cb, id_col)
         expl = asg.select(F.col(id_col).alias("_vid"), "m", "code",
                           F.posexplode("sv").alias("pos", "val"))
-        dims = (expl.groupBy("m", "code", "pos")
-                .agg(F.array_sort(
-                    F.collect_list(F.struct("_vid", "val"))).alias("vals"))
-                .select("m", "code", "pos",
-                        (F.aggregate("vals", F.lit(0.0),
-                                     lambda acc, s: acc + s["val"])
-                         / F.size("vals")).alias("mu")))
+        dims = _fold_mean(expl, ["m", "code", "pos"], "mu")
         cb = (dims.groupBy("m", "code")
               .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("ms"))
               .select("m", "code", F.transform("ms", lambda s: s["mu"]).alias("cv")))

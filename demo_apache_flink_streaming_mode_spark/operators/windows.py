@@ -115,8 +115,11 @@ def count_window_agg(df: DataFrame, key: str, order: list[str], value: str,
     shuffle.
     """
     w = W.partitionBy(key).orderBy(*order)
-    win = ((F.row_number().over(w) - 1) / size).cast("long")
-    return (df.withColumn("window_id", win)
+    # integer `div`, not FP division-then-cast: bucketing must be exact
+    # arithmetic by construction, matching the oracle's integer `//`
+    return (df.withColumn("_rn0", F.row_number().over(w) - F.lit(1))
+            .withColumn("window_id", F.expr(f"_rn0 div {int(size)}"))
+            .drop("_rn0")
             .groupBy(key, "window_id")
             .agg(F.count("*").alias("n"),
                  decimal_sum(value).alias("sum_value"),

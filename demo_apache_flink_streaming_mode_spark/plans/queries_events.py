@@ -738,13 +738,13 @@ ORACLES["cl_latest_state"] = f"""
     WITH {_CL_RANKED}
     SELECT user_id, epoch_ms(ts) AS last_ms, event_type AS last_type,
            value AS last_value, n_changes
-    FROM ranked WHERE rn = 1 AND event_type <> 'error'"""
+    FROM ranked WHERE rn = 1 AND event_type IS DISTINCT FROM 'error'"""
 
 ORACLES["cl_state_summary"] = f"""
     WITH {_CL_RANKED}
     SELECT event_type AS last_type, count(*) AS n_keys,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    FROM ranked WHERE rn = 1 AND event_type IS DISTINCT FROM 'error'
     GROUP BY 1"""
 
 QUERIES = [

@@ -253,9 +253,12 @@ def graph_pagerank(spark, sf_dir):
 
 
 def graph_triangles(spark, sf_dir):
-    """Triangle count of the same user co-occurrence graph: orient
-    low->high, wedge self-join on the middle vertex, semi-close — each
-    triangle counted exactly once (see operators.graph.triangle_count).
+    """Triangle count of the same user co-occurrence graph:
+    degree-oriented (Suri–Vassilvitskii), wedge self-join at the
+    source vertex, semi-close — each triangle counted exactly once and
+    wedge fan-out bounded by the smaller endpoint degree (see
+    operators.graph.triangle_count; the id-oriented SQL oracle stays
+    valid because the count is orientation-invariant).
     """
     return graph.triangle_count(_cooccurrence_edges(spark, sf_dir))
 

@@ -240,6 +240,59 @@ def q_salted_join_priority(spark, sf_dir):
                  decimal_sum("l_quantity").alias("sum_qty")))
 
 
+def _bucketed_orders_lineitem(spark, sf_dir):
+    """Persist orders + lineitem bucketed AND bucket-sorted by the join
+    key (``operators.scale.write_bucketed``, 8 buckets), once per
+    (warehouse, sf) — the declare-the-layout-once scale path. Table
+    names carry the sf tag so sf0.001 warmup and sf0.1 bench runs keep
+    separate layouts; ``tableExists`` makes repeated calls (bench
+    passes, driver re-runs) reuse the files instead of rewriting.
+    Returns (orders_table, lineitem_table) DataFrames whose merge join
+    needs NO Exchange on either side (asserted in
+    tests/test_bucketing.py)."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        write_bucketed)
+    tag = re.sub(r"[^0-9a-z]", "_",
+                 os.path.basename(sf_dir.rstrip("/")).lower())
+    ot, lt = f"b5_orders_{tag}", f"b5_lineitem_{tag}"
+
+    def ensure(name, df, key):
+        if spark.catalog.tableExists(name):
+            return
+        # a PREVIOUS session's files may survive in the warehouse while
+        # the in-memory catalog forgot the table — saveAsTable then
+        # refuses (LOCATION_ALREADY_EXISTS); clear the stale location
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        write_bucketed(df, name, key, buckets=8)
+
+    ensure(ot, load_table(spark, sf_dir, "orders")
+           .select("o_orderkey", "o_orderpriority"), "o_orderkey")
+    ensure(lt, load_table(spark, sf_dir, "lineitem")
+           .select("l_orderkey", "l_quantity"), "l_orderkey")
+    return spark.table(ot), spark.table(lt)
+
+
+def q_bucketed_join_priority(spark, sf_dir):
+    """Shuffle-free co-located join via bucketed table layout: both
+    sides pre-bucketed+sorted on the join key, so the merge join runs
+    with no Exchange (and no per-task Sort) on either side — Spark's
+    answer to the reference's keyBy partitioning contract, paid once at
+    write time and reused by every downstream join. Values are
+    identical to the plain join — the oracle IS the plain join (same
+    SQL as the salted variant, which proves all three plans agree)."""
+    o, l = _bucketed_orders_lineitem(spark, sf_dir)
+    return (o.hint("merge")
+            .join(l, o["o_orderkey"] == l["l_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_lines"),
+                 decimal_sum("l_quantity").alias("sum_qty")))
+
+
 def q_distinct_parts_per_supplier(spark, sf_dir):
     """Exact distinct aggregate (expands to two-phase agg in the plan)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -823,6 +876,13 @@ ORACLES = {
                {_DSUM.format(x='l_quantity')} AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1""",
+    # the bucketed layout must not change a single value: same plain
+    # join as the salted variant's oracle
+    "q_bucketed_join_priority": f"""
+        SELECT o_orderpriority, COUNT(*) AS n_lines,
+               {_DSUM.format(x='l_quantity')} AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1""",
     "q_distinct_parts_per_supplier": """
         SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
         FROM lineitem GROUP BY 1""",
@@ -1077,6 +1137,9 @@ QUERIES = [
     Query("q_salted_join_priority", q_salted_join_priority,
           ORACLES["q_salted_join_priority"],
           "skew-resistant salted join (oracle = plain join)"),
+    Query("q_bucketed_join_priority", q_bucketed_join_priority,
+          ORACLES["q_bucketed_join_priority"],
+          "bucketed-layout co-located join, no Exchange (oracle = plain join)"),
     Query("q10_returned_items", q10_returned_items, ORACLES["q10_returned_items"],
           "TPC-H Q10 shape: returned-item revenue per customer, top-20"),
     Query("q13_order_distribution", q13_order_distribution,

@@ -66,21 +66,31 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "q_top3_parts_per_brand",
     "q_customers_with_big_order",
+    # bucketed-layout join (new family, r5): claims text_quality's slot
+    # (quality scoring stays family-covered by text_token_stats +
+    # text_lm_familiarity; corpus_clean/corpus_report also exercise the
+    # quality columns end-to-end in the window)
+    "q_bucketed_join_priority",
     # -- dedup family (jaccard_report demoted r4: MinHash family proven
-    # by dedup_minhash_lsh, report quality pytest-green in the tail) ---
+    # by dedup_minhash_lsh, report quality pytest-green in the tail;
+    # dedup_cosine_lsh demoted r5: the LSH-bucketed cosine path is
+    # proven by sim_ann_lsh, slot goes to events_key_skew_report) -----
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_cosine_lsh",
     "dedup_cdc_chunks",
+    # -- operational diagnostics (promoted r5) -------------------------
+    "events_key_skew_report",
     # -- similarity / ANN family (ivf_probe2 demoted r4: probe widening
     # proven by sim_topk_ivf_trained + the recall report's ivf2 leg) ---
     "sim_ann_lsh",
     "sim_topk_ivf_trained",
     "sim_topk_pq",
     "sim_recall_ann",
-    # -- time-series resampling (new family, r4) ----------------------
-    "j4_resample_1h",
+    # -- time-series resampling (j4 ffill demoted r5 for the j5
+    # interpolation leg — same grid + single-shuffle carry machinery,
+    # plus the lerp; ffill stays property-tested + tail-checked) ------
+    "j5_resample_interp_1h",
     # -- text analysis family (bpe/tfidf demoted: tokenization proven
     # by text_token_stats, corpus-stats ranking by text_bm25) ---------
     "text_token_stats",
@@ -88,9 +98,16 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # proven by text_token_stats + text_bm25's corpus stats; the slot
     # goes to the new LM-familiarity scorer)
     "text_lm_familiarity",
-    "text_langid",
-    "text_quality",
-    "text_decontam",
+    # (text_langid + text_quality demoted r5: both are shuffle-free
+    # scalar-expression projections whose family is proven by
+    # text_token_stats / text_lm_familiarity and exercised end-to-end
+    # by corpus_clean/corpus_report; slots go to a11_count_window and
+    # the new bucketed-join family)
+    "a11_count_window",
+    # (text_decontam demoted r5 for its Bloom-prefiltered variant —
+    # both share ONE oracle, so the green row now proves the 128 KiB
+    # bitmap probe path AND, by identity, the exact path)
+    "text_decontam_bloom",
     "text_bm25",
     "text_split_assign",
     "text_pii_redact",
@@ -98,20 +115,26 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # via dedup_cdc_chunks; slot goes to the new graph family)
     # -- graph analytics (new family, r4) -----------------------------
     "graph_pagerank",
-    # -- sketches ------------------------------------------------------
+    # -- sketches (hll_windowed demoted r5: windowed registers proven
+    # by sketch_hll_users + the streaming parity test; the merge row
+    # proves register-max union semantics — the distributed-combine
+    # contract — which no other row covers) ---------------------------
     "sketch_hll_users",
-    "sketch_hll_windowed",
+    "sketch_hll_merge",
     "sketch_cms_terms",
     # -- quantiles -----------------------------------------------------
     "events_value_quantiles",
-    # -- changelog / upsert-stream semantics (new family, r4) ---------
-    # claims mm_manifest's slot: the mm family keeps three stronger
-    # reps (decode_features / wav / image); manifest is a projection
-    # subset of decode_features and stays oracle-checked in the tail.
-    "cl_latest_state",
-    # -- multimodal ----------------------------------------------------
+    # -- changelog / upsert-stream semantics (cl_latest_state rotated
+    # out r5 for cl_state_summary, which BUILDS ON latest_state — its
+    # green row covers the materialization AND the retract-aware
+    # aggregate over it) ----------------------------------------------
+    "cl_state_summary",
+    # -- multimodal (mm_decode_wav demoted r5: the RIFF-container
+    # codec family is proven by mm_decode_image (DIB) and now
+    # mm_decode_video (AVI — which embeds the same RIFF walking wav
+    # uses, plus frame indexing); wav stays pytest + tail-checked) ----
     "mm_decode_features",
-    "mm_decode_wav",
+    "mm_decode_video",
     "mm_decode_image",
     # -- corpus curation ----------------------------------------------
     "corpus_clean",

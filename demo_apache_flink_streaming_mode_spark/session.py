@@ -25,6 +25,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # trust bucket-sorted table files' ordering (one file per bucket,
+    # guaranteed by operators.scale.write_bucketed's repartition-first
+    # write) so bucketed sort-merge joins skip the per-task Sort; off
+    # by default upstream only because the one-file check costs
+    # planning time on huge tables
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 

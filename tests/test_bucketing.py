@@ -53,6 +53,29 @@ def test_bucketed_join_matches_plain_join(spark, no_broadcast, bucketed_tables):
         spark.table("b_orders"), "l_orderkey").count() == plain
 
 
+def test_judged_bucketed_query_join_no_exchange(spark, no_broadcast):
+    """The JUDGED query q_bucketed_join_priority must actually exploit
+    the layout: its join (both sides pre-bucketed+sorted by the key)
+    plans with ZERO Exchange and zero per-task Sort; only the final
+    5-row groupBy may shuffle. Guards the scale claim behind the green
+    driver row."""
+    from demo_apache_flink_streaming_mode_spark.plans.queries_tpch import (
+        _bucketed_orders_lineitem, q_bucketed_join_priority)
+    o, l = _bucketed_orders_lineitem(spark, SF)
+    j = o.hint("merge").join(l, o["o_orderkey"] == l["l_orderkey"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "bucketed judged join shuffles:\n" + plan
+    assert "SortMergeJoin" in plan
+    # bucket-sorted writes make the SMJ sort-free too
+    assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
+    # end-to-end: exactly one exchange total (the tiny final agg)
+    full = q_bucketed_join_priority(spark, SF)
+    fplan = full._jdf.queryExecution().executedPlan().toString()
+    # the only allowed shuffle is the final agg's (partial aggs feed
+    # one Exchange on o_orderpriority — 5 distinct values)
+    assert fplan.count("Exchange") <= 2, fplan
+
+
 def test_bucketed_agg_no_shuffle(spark, no_broadcast, bucketed_tables):
     """groupBy on the bucket key also exploits the layout: the partial/
     final aggregate pair collapses to one stage, no exchange."""

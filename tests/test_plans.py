@@ -98,3 +98,18 @@ def test_w3_watermark_is_two_phase(spark):
                    "")
         assert "HashAggregate" in nxt, (
             "single-partition exchange fed by non-aggregated data:\n" + nxt)
+
+
+def test_doc_counts_match_registry():
+    """README/SKILL registry counts are asserted, not hand-maintained:
+    they drift one round otherwise (r4 VERDICT item #9)."""
+    n = len(ALL_QUERIES)
+    readme = open("/root/repo/README.md").read()
+    got = re.findall(r"\((\d+) queries \+ DuckDB", readme)
+    got += re.findall(r"All (\d+) registry queries", readme)
+    assert got and all(int(g) == n for g in got), (
+        f"README counts {got} != registry {n}")
+    skill = open("/root/repo/.claude/skills/verify/SKILL.md").read()
+    sgot = re.findall(r"\((\d+) registry queries", skill)
+    assert sgot and all(int(g) == n for g in sgot), (
+        f"SKILL.md counts {sgot} != registry {n}")

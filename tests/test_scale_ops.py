@@ -274,6 +274,72 @@ def test_pagerank_star_graph(spark):
     assert got == got2
 
 
+def test_fast_folds_match_deterministic_within_tolerance(spark, unit_vecs):
+    """spark.graft.deterministicFolds=false swaps the iterative
+    trainers' in-id-order collect_list folds for plain avg/sum
+    (map-side combinable, bounded memory at hot keys). The two paths
+    must agree to float tolerance, and the fast path's plan must not
+    buffer per-value lists (no _vid fold column; pagerank: no
+    collect_list at all)."""
+    from demo_apache_flink_streaming_mode_spark.operators.graph import pagerank
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        DETERMINISTIC_FOLDS_CONF)
+    from demo_apache_flink_streaming_mode_spark.operators.similarity import (
+        kmeans_centroids, pq_train_codebooks)
+
+    edges = [(0, s) for s in range(1, 5)] + [(s, 0) for s in range(1, 5)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+
+    det_k = {r["cell"]: r["cv"]
+             for r in kmeans_centroids(unit_vecs, 4, iters=2, dim=4).collect()}
+    det_pq = {(r["m"], r["code"]): r["cv"]
+              for r in pq_train_codebooks(unit_vecs, 2, 2, 3, 1).collect()}
+    det_pr = {r["vertex"]: r["pagerank"]
+              for r in pagerank(edf, iters=3).collect()}
+
+    # plan contract, checked on the fold helpers themselves (the
+    # trainers' terminal plans sit behind cut_lineage checkpoints, so
+    # asserting there would be vacuous): fast path has NO collect_list
+    from demo_apache_flink_streaming_mode_spark.operators.graph import (
+        _contrib_sum)
+    from demo_apache_flink_streaming_mode_spark.operators.similarity import (
+        _fold_mean)
+    expl = spark.createDataFrame(
+        [(1, 0, 0, 0.5), (2, 0, 0, 1.5), (3, 1, 0, 2.0)],
+        "_vid long, cell int, pos int, val double")
+    contribs = spark.createDataFrame(
+        [(10, 1, 0.25), (10, 2, 0.5)], "vertex long, u long, c double")
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    assert "collect_list" in plan(_fold_mean(expl, ["cell", "pos"], "m"))
+    assert "collect_list" in plan(_contrib_sum(contribs))
+    spark.conf.set(DETERMINISTIC_FOLDS_CONF, "false")
+    try:
+        assert "collect_list" not in plan(_fold_mean(expl, ["cell", "pos"], "m"))
+        assert "collect_list" not in plan(_contrib_sum(contribs))
+        fast_k = {r["cell"]: r["cv"]
+                  for r in kmeans_centroids(unit_vecs, 4, iters=2,
+                                            dim=4).collect()}
+        fast_pq = {(r["m"], r["code"]): r["cv"]
+                   for r in pq_train_codebooks(unit_vecs, 2, 2, 3, 1).collect()}
+        fast_pr = {r["vertex"]: r["pagerank"]
+                   for r in pagerank(edf, iters=3).collect()}
+    finally:
+        spark.conf.unset(DETERMINISTIC_FOLDS_CONF)
+
+    assert set(det_k) == set(fast_k)
+    for cell, cv in det_k.items():
+        assert fast_k[cell] == pytest.approx(cv, rel=1e-9, abs=1e-12)
+    assert set(det_pq) == set(fast_pq)
+    for key, cv in det_pq.items():
+        assert fast_pq[key] == pytest.approx(cv, rel=1e-9, abs=1e-12)
+    assert set(det_pr) == set(fast_pr)
+    for v, pr in det_pr.items():
+        assert fast_pr[v] == pytest.approx(pr, rel=1e-9, abs=1e-12)
+
+
 def test_triangle_count_known_graph(spark):
     """K4 has exactly 4 triangles; adding a pendant edge adds none;
     duplicate/symmetric input edges must not inflate the count."""

@@ -380,6 +380,60 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert metrics["watermark"] is not None
 
 
+def test_w3_drop_metric_equals_batch_classifier(spark, tmp_path):
+    """W3 loop-closer (r4 VERDICT #7): on the same out-of-order feed,
+    the streaming drop metric (numRowsDroppedByWatermark, summed over
+    runs by runner.watermark_metrics) must EQUAL the batch twin
+    classify_late's is_late count — the documented W3 delta measured,
+    not just narrated.
+
+    One row per micro-batch (checkpoint-restart per file) so the
+    streaming watermark granularity (advances at batch boundaries)
+    matches the classifier's row granularity exactly; late rows are
+    engineered deep-late (behind the watermark by more than any
+    boundary effect) and on-time rows strictly ahead of it, so the
+    equality is exact rather than gray-zone-dependent.
+    """
+    d, ckpt, out = tmp_path / "in", str(tmp_path / "ckpt"), str(tmp_path / "out")
+    d.mkdir()
+    from demo_apache_flink_streaming_mode_spark.operators.eventtime import (
+        classify_late)
+    from demo_apache_flink_streaming_mode_spark.streaming import runner
+    t0 = 1_700_000_000_000_000  # epoch micros
+    HOUR_US = 3_600_000_000
+    # (event_id, ts) in arrival order; delay = 1 hour
+    feed = [(1, t0 + 3 * HOUR_US),   # wm -> t0+2h
+            (2, t0),                 # LATE  (t0 < t0+2h)
+            (3, t0 + 5 * HOUR_US),   # wm -> t0+4h
+            (4, t0 + 1 * HOUR_US),   # LATE  (t0+1h < t0+4h)
+            (5, t0 + 4 * HOUR_US + 60_000_000),  # on-time (> wm)
+            (6, t0 + 10 * HOUR_US)]  # on-time
+
+    dropped = 0
+    for i, (eid, ts) in enumerate(feed):
+        (d / f"f{i}.csv").write_text(f"{eid},{ts},10,click,1.0\n")
+        s = _typed(sources.file_stream(spark, str(d), EVENTS_CSV))
+        dd = pipelines.dedup_stream(s, ["event_id"], ts="ts", delay="1 hour")
+        q = (sinks.file_sink(dd.select("event_id"), out, ckpt, fmt="csv")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        dropped += runner.watermark_metrics(q)["dropped_rows"]
+
+    batch = _typed(spark.createDataFrame(
+        [(eid, ts, 10, "click", 1.0) for eid, ts in feed], EVENTS_CSV))
+    late = classify_late(batch, "ts", [F.col("event_id")],
+                         buffer_ms=3_600_000)
+    n_late = late.filter("is_late").count()
+    assert n_late == 2  # pin the engineered feed
+    assert dropped == n_late
+    # and the surviving streamed rows are exactly the on-time set
+    got = sorted(r["event_id"] for r in
+                 spark.read.schema("event_id long").csv(out).collect())
+    want = sorted(r["event_id"] for r in
+                  late.filter("NOT is_late").collect())
+    assert got == want
+
+
 def test_asof_join_streaming_parity(spark, batch_events, stream_events):
     """J2: keyed-state streaming as-of == batch union+carry as-of."""
     def sides(ev):
