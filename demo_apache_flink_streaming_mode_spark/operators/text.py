@@ -11,7 +11,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from demo_apache_flink_streaming_mode_spark.operators.dedup import doc_shingles, word_tokens
+from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+    doc_shingles, word_shingles, word_tokens)
 
 # Marker stopword lists per language (tiny on purpose: the mechanism —
 # score-per-language + deterministic argmax — is the operator; swap in
@@ -390,3 +392,67 @@ def lm_familiarity(docs: DataFrame, text_col: str = "text",
                     F.when(F.coalesce(F.col("n_bg"), F.lit(0)) == 0, F.lit(0))
                     .otherwise(F.expr("(1000000 * n_repeated) div n_bg"))
                     .alias("familiarity_ppm")))
+
+
+def ngram_diversity(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3),
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-level distinct-n diversity report: for each n, total vs
+    distinct word n-grams and their ratio — the standard repetition /
+    template-collapse diagnostic run over generated-text and scraped
+    corpora (low distinct-2 or distinct-3 flags a degenerate source).
+
+    One exploded pass per n; the distinct count shuffles 60-bit
+    md5-derived gram hashes (``hex_to_long``), never the gram strings,
+    and both counts partial-aggregate map-side. Both engines hash the
+    SAME way, so the (astronomically unlikely) collision is shared and
+    the oracle still matches. Short docs follow ``word_shingles``'s
+    whole-text-if-shorter rule. Returns one row per n:
+    (n, total_ngrams, distinct_ngrams, diversity).
+    """
+    toks = docs.select(word_tokens(F.col(text_col)).alias("tk"))
+    out = None
+    for n in ns:
+        grams = toks.select(
+            F.explode(word_shingles(F.col("tk"), n)).alias("g"))
+        agg = (grams.agg(
+                F.count("*").alias("total_ngrams"),
+                F.countDistinct(hex_to_long(F.md5("g")))
+                .alias("distinct_ngrams"))
+               .select(F.lit(n).alias("n"), "total_ngrams",
+                       "distinct_ngrams",
+                       (F.col("distinct_ngrams") / F.col("total_ngrams"))
+                       .alias("diversity")))
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def length_bucket_stats(docs: DataFrame, n_buckets: int = 10,
+                        text_col: str = "text") -> DataFrame:
+    """Percentile-bucketed document-length profile WITHOUT a global
+    NTILE: an unpartitioned ``ntile(10)`` window funnels the whole
+    corpus through ONE task, so instead the n-1 exact decile boundaries
+    of the token count are computed by one aggregate (Spark's exact
+    interpolated ``percentile``; DuckDB twin ``quantile_cont`` — same
+    (n-1)*p definition, bit-identical on integer inputs), broadcast as
+    a 1-row side, and each doc's bucket is 1 + #boundaries-below — a
+    narrow comparison fan that scales to any corpus size.
+
+    Buckets can be EMPTY (unlike ntile): with heavily tied lengths
+    several boundaries coincide and ties all land in the highest
+    qualifying bucket — the documented semantic trade for not sorting
+    the corpus globally. Returns (bucket, n_docs, min_tokens,
+    max_tokens, sum_tokens).
+    """
+    lens = docs.select(F.size(word_tokens(F.col(text_col))).alias("tok"))
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = lens.agg(F.percentile("tok", F.lit(ps)).alias("bs"))
+    bucket = F.lit(1)
+    for i in range(len(ps)):
+        bucket = bucket + (F.col("tok") > F.col("bs")[i]).cast("int")
+    return (lens.crossJoin(F.broadcast(bounds))
+            .select(bucket.alias("bucket"), "tok")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("tok").alias("min_tokens"),
+                 F.max("tok").alias("max_tokens"),
+                 F.sum("tok").alias("sum_tokens")))

@@ -125,3 +125,45 @@ def count_window_agg(df: DataFrame, key: str, order: list[str], value: str,
                  decimal_sum(value).alias("sum_value"),
                  F.min(value).alias("min_value"),
                  F.max(value).alias("max_value")))
+
+
+def sliding_count_window_agg(df: DataFrame, key: str, order: list[str],
+                             value: str, size: int, slide: int) -> DataFrame:
+    """Sliding COUNT window (Flink ``keyBy(..).countWindow(size, slide)``
+    analog — GlobalWindow + CountTrigger(slide) + CountEvictor(size)):
+    per key, a window FIRES at every ``slide``-th record (in ``order``)
+    and aggregates the last ``size`` records at that point. Early
+    windows are partial (fewer than ``size`` rows at the stream head),
+    exactly as Flink's evictor leaves them; windows whose trigger never
+    fires (the trailing < ``slide`` rows) are absent, also as in Flink.
+
+    Spark-first batch form: rank each key's rows (``row_number``), then
+    explode each row into the window ids it belongs to — window w
+    (1-based) covers ranks (w*slide - size, w*slide], so a row belongs
+    to at most ceil(size/slide) windows, a bounded narrow fan-out — and
+    hash-aggregate on (key, window_id), capped at the key's fired
+    window count. One shuffle on the key (the rank window), then the
+    aggregation reuses that partitioning (window ids are per-key).
+
+    Emits (key, window_id, trigger_rn, n, sum_value, min_value,
+    max_value) where trigger_rn = window_id * slide is the per-key
+    record count at which Flink's trigger would have fired.
+    """
+    if size <= 0 or slide <= 0:
+        raise ValueError(f"size and slide must be positive, got {size}/{slide}")
+    w = W.partitionBy(key).orderBy(*order)
+    d = (df.withColumn("_rn", F.row_number().over(w))
+         .withColumn("_nk", F.count("*").over(W.partitionBy(key))))
+    lo = F.expr(f"(_rn - 1) div {int(slide)} + 1")
+    hi = F.least(F.expr(f"(_rn + {int(size)} - 1) div {int(slide)}"),
+                 F.expr(f"_nk div {int(slide)}"))  # fired windows only
+    d = (d.withColumn(
+            "window_id",
+            F.explode(F.when(lo <= hi, F.sequence(lo, hi))
+                      .otherwise(F.array().cast("array<long>")))))
+    return (d.groupBy(key, "window_id")
+            .agg(F.count("*").alias("n"),
+                 decimal_sum(value).alias("sum_value"),
+                 F.min(value).alias("min_value"),
+                 F.max(value).alias("max_value"))
+            .withColumn("trigger_rn", F.col("window_id") * slide))

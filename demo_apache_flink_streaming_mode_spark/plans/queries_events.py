@@ -393,6 +393,21 @@ def a11_count_window(spark, sf_dir):
         COUNT_WINDOW_SIZE)
 
 
+SLIDING_COUNT_SIZE, SLIDING_COUNT_SLIDE = 25, 10
+
+
+def a12_sliding_count_window(spark, sf_dir):
+    """Sliding count window per user (Flink ``countWindow(25, 10)`` —
+    CountTrigger(10) + CountEvictor(25)): a window fires at every 10th
+    record and aggregates the last 25. Batch form is a bounded explode
+    into the <= ceil(size/slide) window ids each row belongs to (see
+    operators.windows.sliding_count_window_agg); early partial windows
+    match Flink's evictor, never-fired tails are absent."""
+    return windows.sliding_count_window_agg(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"], "value",
+        SLIDING_COUNT_SIZE, SLIDING_COUNT_SLIDE)
+
+
 # --- changelog / upsert-stream semantics (Flink dynamic tables) ----------
 
 def _changelog(spark, sf_dir):
@@ -734,6 +749,26 @@ ORACLES["a11_count_window"] = f"""
            min(value) AS min_value, max(value) AS max_value
     FROM b GROUP BY 1, 2"""
 
+ORACLES["a12_sliding_count_window"] = f"""
+    WITH r AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS nk
+      FROM events),
+    x AS (
+      SELECT user_id, value,
+             unnest(generate_series(
+                 (rn - 1) // {SLIDING_COUNT_SLIDE} + 1,
+                 least((rn + {SLIDING_COUNT_SIZE} - 1) // {SLIDING_COUNT_SLIDE},
+                       nk // {SLIDING_COUNT_SLIDE}))) AS window_id
+      FROM r)
+    SELECT user_id, window_id, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value,
+           window_id * {SLIDING_COUNT_SLIDE} AS trigger_rn
+    FROM x GROUP BY 1, 2"""
+
 ORACLES["cl_latest_state"] = f"""
     WITH {_CL_RANKED}
     SELECT user_id, epoch_ms(ts) AS last_ms, event_type AS last_type,
@@ -821,6 +856,10 @@ QUERIES = [
     Query("a11_count_window", a11_count_window, ORACLES["a11_count_window"],
           "tumbling count window per key (Flink countWindow analog, "
           "trailing partial kept)"),
+    Query("a12_sliding_count_window", a12_sliding_count_window,
+          ORACLES["a12_sliding_count_window"],
+          "sliding count window per key (Flink countWindow(size, slide): "
+          "CountTrigger + CountEvictor semantics)"),
     Query("cl_latest_state", cl_latest_state, ORACLES["cl_latest_state"],
           "changelog apply: per-key last-writer-wins dynamic table "
           "(Flink upsert-stream materialization)"),

@@ -338,6 +338,32 @@ def text_token_stats(spark, sf_dir):
                      F.col("n_token_chars").cast("long").alias("n_token_chars"))
 
 
+DIVERSITY_NS = (1, 2, 3)
+LENGTH_BUCKETS = 10
+
+
+def text_ngram_diversity(spark, sf_dir):
+    """Corpus distinct-n diversity report (see operators.text.
+    ngram_diversity): low distinct-2/3 ratios flag repetitive or
+    template-collapsed corpora before they reach training."""
+    return (text.ngram_diversity(_docs(spark, sf_dir), DIVERSITY_NS)
+            .select("n", F.col("total_ngrams").cast("long").alias("total_ngrams"),
+                    F.col("distinct_ngrams").cast("long").alias("distinct_ngrams"),
+                    "diversity"))
+
+
+def text_length_buckets(spark, sf_dir):
+    """Decile-bucketed token-length profile without a global NTILE
+    (see operators.text.length_bucket_stats): exact percentile
+    boundaries broadcast from one aggregate, bucket assignment as a
+    narrow comparison fan."""
+    return (text.length_bucket_stats(_docs(spark, sf_dir), LENGTH_BUCKETS)
+            .select("bucket", F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("min_tokens").cast("long").alias("min_tokens"),
+                    F.col("max_tokens").cast("long").alias("max_tokens"),
+                    F.col("sum_tokens").cast("long").alias("sum_tokens")))
+
+
 def text_term_counts(spark, sf_dir):
     return text.term_counts(_docs(spark, sf_dir))
 
@@ -916,6 +942,37 @@ ORACLES = {
                len(list_distinct(tokens)) AS n_distinct,
                length(replace(text, ' ', '')) AS n_token_chars
         FROM toks""",
+    # distinct-n diversity: one leg per n; gram construction mirrors
+    # word_shingles (positions 1..greatest(len-n+1, 1), slices
+    # truncated at the array end), hashes mirror hex_to_long
+    "text_ngram_diversity": "\nUNION ALL\n".join(f"""
+        SELECT n, total_ngrams, distinct_ngrams,
+               distinct_ngrams / total_ngrams AS diversity
+        FROM (SELECT {n} AS n, count(*) AS total_ngrams,
+                     count(DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT)
+                         AS distinct_ngrams
+              FROM (SELECT unnest(list_transform(
+                        generate_series(1, greatest(len(tk) - {n - 1}, 1)),
+                        i -> array_to_string(list_slice(tk, i, i + {n - 1}),
+                                             ' '))) AS g
+                    FROM (SELECT {_TOKENS} AS tk FROM documents)))"""
+                                                 for n in (1, 2, 3)),
+    # decile buckets from exact interpolated percentiles
+    # (quantile_cont == Spark's percentile: same (n-1)*p definition)
+    "text_length_buckets": f"""
+        WITH l AS (SELECT len({_TOKENS}) AS tok FROM documents),
+        b AS (SELECT quantile_cont(tok,
+                  [{', '.join(repr(i / 10) for i in range(1, 10))}]) AS bs
+              FROM l)
+        SELECT bucket, count(*) AS n_docs,
+               CAST(min(tok) AS BIGINT) AS min_tokens,
+               CAST(max(tok) AS BIGINT) AS max_tokens,
+               CAST(sum(tok) AS BIGINT) AS sum_tokens
+        FROM (SELECT tok, 1 + {' + '.join(
+                  f'(CASE WHEN tok > bs[{i}] THEN 1 ELSE 0 END)'
+                  for i in range(1, 10))} AS bucket
+              FROM l CROSS JOIN b)
+        GROUP BY 1""",
     "text_term_counts": f"""
         SELECT term, COUNT(*) AS cnt
         FROM (SELECT unnest({_TOKENS}) AS term FROM documents)
@@ -1433,6 +1490,13 @@ QUERIES = [
           "winnowing rolling-hash document fingerprint"),
     Query("text_token_stats", text_token_stats, ORACLES["text_token_stats"],
           "token counting (total/distinct/chars)"),
+    Query("text_ngram_diversity", text_ngram_diversity,
+          ORACLES["text_ngram_diversity"],
+          "corpus distinct-n diversity report (repetition diagnostic)"),
+    Query("text_length_buckets", text_length_buckets,
+          ORACLES["text_length_buckets"],
+          "decile token-length profile via broadcast percentile bounds "
+          "(scale-safe NTILE replacement)"),
     Query("text_term_counts", text_term_counts, ORACLES["text_term_counts"],
           "corpus term frequencies"),
     Query("text_langid", text_langid, ORACLES["text_langid"],

@@ -229,6 +229,68 @@ def repeat_action_alert_tws(df: DataFrame, key: str, ts: str,
         timeMode="ProcessingTime")
 
 
+def count_window_stream(df: DataFrame, key: str, ts: str, value: str,
+                        size: int, slide: int, tiebreak: str = "event_id",
+                        state_ttl_ms: int = _DEFAULT_IDLE_TTL_MS) -> DataFrame:
+    """Flink ``keyBy(..).countWindow(size, slide)`` as TRUE keyed
+    streaming state (CountTrigger(slide) + CountEvictor(size)): per key,
+    a record count plus the last <= ``size`` values; every ``slide``-th
+    record emits an aggregate over the retained values. Batch twin:
+    ``operators.windows.sliding_count_window_agg`` (parity-tested in
+    tests/test_streaming.py).
+
+    State per key: one long + <= ``size`` doubles — bounded regardless
+    of stream length, exactly Flink's evictor bound. ``sum_value``
+    reproduces the batch twin's DECIMAL(38,6) math bit-for-bit: each
+    double is quantized from its shortest decimal repr (what Spark's
+    double->decimal cast does), summed exactly, rounded to double once.
+    Keys idle past ``state_ttl_ms`` are evicted — count windows have no
+    intrinsic event-time horizon, so eviction means the key's count
+    restarts, as after a Flink state-TTL purge.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+    q6 = Decimal("0.000001")
+
+    def handle(key_tuple: tuple, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cnt, vals = state.get if state.exists else (0, [])
+        vals = [float(v) for v in vals]
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values([ts, tiebreak])
+            for v in pdf[value]:
+                cnt += 1
+                vals.append(float(v))
+                if len(vals) > size:
+                    del vals[0]
+                if cnt % slide == 0:
+                    s = sum((Decimal(repr(x)).quantize(q6, ROUND_HALF_UP)
+                             for x in vals), Decimal(0))
+                    rows.append((key_tuple[0], cnt // slide, cnt, len(vals),
+                                 float(s), min(vals), max(vals)))
+        state.update((cnt, vals))
+        state.setTimeoutDuration(state_ttl_ms)
+        if rows:
+            yield pd.DataFrame(rows, columns=[key, "window_id", "trigger_rn",
+                                              "n", "sum_value", "min_value",
+                                              "max_value"])
+
+    out_schema = (f"{key} {_sql_type(df, key)}, window_id long, "
+                  "trigger_rn long, n long, sum_value double, "
+                  "min_value double, max_value double")
+    return df.groupBy(key).applyInPandasWithState(
+        handle,
+        outputStructType=out_schema,
+        stateStructType="cnt long, vals array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
               state_ttl_ms: int = _DEFAULT_IDLE_TTL_MS) -> DataFrame:

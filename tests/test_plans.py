@@ -38,7 +38,10 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 "q22_idle_balance", "q11_important_stock",
                 # 1-row broadcast total attached to the top-20 keys —
                 # the same scalar-aggregate shape as Q22/Q11
-                "events_key_skew_report"}
+                "events_key_skew_report",
+                # 1-row broadcast percentile-bounds attach (the
+                # scale-safe NTILE replacement)
+                "text_length_buckets"}
 
 
 def _plan(spark, name: str) -> str:

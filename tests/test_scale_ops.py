@@ -682,3 +682,53 @@ def test_dedup_clusters_reliable_checkpoint_parity(spark, sf_dir):
     finally:
         spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
     assert got == want and len(got) > 0
+
+
+# --- sliding count windows -------------------------------------------------
+
+def test_sliding_count_window_flink_semantics(spark):
+    """countWindow(size=3, slide=2) on one key with 7 rows: windows fire
+    at records 2, 4, 6 (CountTrigger), each holding the last <=3 records
+    (CountEvictor): [1,2], [2,3,4], [4,5,6]. Record 7 never fires."""
+    from demo_apache_flink_streaming_mode_spark.operators.windows import (
+        sliding_count_window_agg)
+    rows = [(1, i, float(10 ** i)) for i in range(1, 8)]  # value encodes rank
+    df = spark.createDataFrame(rows, "k int, seq int, value double")
+    got = {r["window_id"]: (r["n"], r["min_value"], r["max_value"],
+                            r["trigger_rn"])
+           for r in sliding_count_window_agg(
+               df, "k", ["seq"], "value", size=3, slide=2).collect()}
+    assert got == {1: (2, 10.0, 100.0, 2),
+                   2: (3, 100.0, 10000.0, 4),
+                   3: (3, 10000.0, 1000000.0, 6)}
+
+
+def test_sliding_count_window_slide_larger_than_size(spark):
+    """slide > size = sampled tumbling windows with gaps: size=2,
+    slide=3 fires at 3 and 6, each covering only records (rn-1, rn]."""
+    from demo_apache_flink_streaming_mode_spark.operators.windows import (
+        sliding_count_window_agg)
+    rows = [(1, i, float(i)) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "k int, seq int, value double")
+    got = {r["window_id"]: (r["n"], r["min_value"], r["max_value"])
+           for r in sliding_count_window_agg(
+               df, "k", ["seq"], "value", size=2, slide=3).collect()}
+    assert got == {1: (2, 2.0, 3.0), 2: (2, 5.0, 6.0)}
+
+
+def test_sliding_count_window_short_key_no_fire(spark):
+    """A key with fewer rows than one slide never fires any window."""
+    from demo_apache_flink_streaming_mode_spark.operators.windows import (
+        sliding_count_window_agg)
+    df = spark.createDataFrame([(1, 1, 1.0)], "k int, seq int, value double")
+    assert sliding_count_window_agg(
+        df, "k", ["seq"], "value", size=5, slide=2).count() == 0
+
+
+def test_sliding_count_window_rejects_nonpositive(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.windows import (
+        sliding_count_window_agg)
+    import pytest as _pt
+    df = spark.createDataFrame([(1, 1, 1.0)], "k int, seq int, value double")
+    with _pt.raises(ValueError):
+        sliding_count_window_agg(df, "k", ["seq"], "value", size=0, slide=2)
