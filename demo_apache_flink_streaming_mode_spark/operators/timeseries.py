@@ -97,3 +97,30 @@ def resample_interp(events: DataFrame, key: str, ts_ms: str, value: str,
                   / (F.col("t1") - F.col("t0")).cast("double")))
     return g01.select(key, "grid_ms", "t0", "v0", "t1", "v1",
                       interp.alias("interp_value"))
+
+
+def moving_features(df: DataFrame, key: str, order: list[str], value: str,
+                    window: int = 3) -> DataFrame:
+    """Per-key rolling feature extraction — the standard pass that turns
+    an event stream into model features: previous value, delta, and a
+    trailing ``window``-row moving sum/count (callers derive the moving
+    average; sum+count are emitted instead of ``avg`` because windowed
+    DECIMAL sums are exact and order-free on every engine, while a
+    windowed double ``avg``'s addition order is engine-internal —
+    DuckDB's segment-tree accumulation vs Spark's frame-order fold
+    could differ in the last ulp).
+
+    One shuffle on the key; every frame is bounded at ``window`` rows,
+    so no unbounded buffering at any key size — the same cost class as
+    any keyed window at 100 TB.
+    """
+    from pyspark.sql import Window as W
+    w = W.partitionBy(key).orderBy(*order)
+    wa = w.rowsBetween(-(window - 1), 0)
+    lag = F.lag(value).over(w)
+    return df.withColumn("prev_value", lag) \
+             .withColumn("delta", F.col(value) - lag) \
+             .withColumn("moving_sum",
+                         F.sum(F.col(value).cast("decimal(38,6)")).over(wa)
+                         .cast("double")) \
+             .withColumn("n_window", F.count(value).over(wa))

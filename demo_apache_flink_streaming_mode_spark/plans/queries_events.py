@@ -325,6 +325,22 @@ def j5_resample_interp_1h(spark, sf_dir):
     return timeseries.resample_interp(ev, "user_id", "ms", "value", HOUR_MS)
 
 
+MOVING_WINDOW = 3
+
+
+def j6_moving_features(spark, sf_dir):
+    """Per-user rolling features (lag / delta / trailing 3-row moving
+    sum+count) — the event-stream-to-model-features pass; bounded
+    frames, exact windowed DECIMAL sum (see
+    operators.timeseries.moving_features)."""
+    out = timeseries.moving_features(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"], "value",
+        MOVING_WINDOW)
+    return out.select("user_id", "event_id",
+                      F.unix_millis("ts").alias("ms"), "value",
+                      "prev_value", "delta", "moving_sum", "n_window")
+
+
 def j3_interval_join(spark, sf_dir):
     """Interval join: clicks within +/-10 min of each error event.
 
@@ -749,6 +765,20 @@ ORACLES["a11_count_window"] = f"""
            min(value) AS min_value, max(value) AS max_value
     FROM b GROUP BY 1, 2"""
 
+ORACLES["j6_moving_features"] = f"""
+    SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+           lag(value) OVER w AS prev_value,
+           value - lag(value) OVER w AS delta,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {MOVING_WINDOW - 1} PRECEDING
+                      AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+           COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN {MOVING_WINDOW - 1} PRECEDING
+                              AND CURRENT ROW) AS n_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
 ORACLES["a12_sliding_count_window"] = f"""
     WITH r AS (
       SELECT user_id, value,
@@ -860,6 +890,9 @@ QUERIES = [
           ORACLES["a12_sliding_count_window"],
           "sliding count window per key (Flink countWindow(size, slide): "
           "CountTrigger + CountEvictor semantics)"),
+    Query("j6_moving_features", j6_moving_features,
+          ORACLES["j6_moving_features"],
+          "per-key rolling features: lag/delta/trailing moving sum+count"),
     Query("cl_latest_state", cl_latest_state, ORACLES["cl_latest_state"],
           "changelog apply: per-key last-writer-wins dynamic table "
           "(Flink upsert-stream materialization)"),

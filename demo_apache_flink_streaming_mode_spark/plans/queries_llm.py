@@ -376,6 +376,24 @@ def text_quality(spark, sf_dir):
     return text.quality_score(_docs(spark, sf_dir))
 
 
+def text_quality_pct_rank(spark, sf_dir):
+    """Per-source percent-rank normalization of the quality score — the
+    cross-source-comparable signal for mixing sources whose raw score
+    distributions differ (a web source's 0.6 is not a books source's
+    0.6). The window is PARTITIONED by source, so it parallelizes at
+    any corpus size (never the single-task global window); the
+    (quality, doc_id) order key is unique, so rank == row_number on
+    both engines and percent_rank = (rank-1)/(n-1) is one exact
+    integer-derived division."""
+    from pyspark.sql import Window as W
+    docs = _docs(spark, sf_dir)
+    q = text.quality_score(docs).join(docs.select("doc_id", "source"),
+                                      "doc_id")
+    w = W.partitionBy("source").orderBy("quality", "doc_id")
+    return q.select("doc_id", "source", "quality",
+                    F.percent_rank().over(w).alias("q_pct_rank"))
+
+
 def text_repetition(spark, sf_dir):
     return text.repetition_stats(_docs(spark, sf_dir))
 
@@ -988,6 +1006,22 @@ ORACLES = {
                + 0.4 * (nd / n)
                + 0.2 * least((chars / n) / 8.0, 1.0) AS quality
         FROM m""",
+    "text_quality_pct_rank": f"""
+        WITH toks AS (SELECT doc_id, source, text, {_TOKENS} AS tokens
+                      FROM documents),
+        m AS (SELECT doc_id, source, len(tokens) AS n,
+                     len(list_distinct(tokens)) AS nd,
+                     length(replace(text, ' ', '')) AS chars
+              FROM toks),
+        q AS (SELECT doc_id, source,
+                     0.4 * least(n / 100.0, 1.0)
+                     + 0.4 * (nd / n)
+                     + 0.2 * least((chars / n) / 8.0, 1.0) AS quality
+              FROM m)
+        SELECT doc_id, source, quality,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY quality, doc_id) AS q_pct_rank
+        FROM q""",
     "text_repetition": f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
         base AS (
@@ -1493,6 +1527,9 @@ QUERIES = [
     Query("text_ngram_diversity", text_ngram_diversity,
           ORACLES["text_ngram_diversity"],
           "corpus distinct-n diversity report (repetition diagnostic)"),
+    Query("text_quality_pct_rank", text_quality_pct_rank,
+          ORACLES["text_quality_pct_rank"],
+          "per-source percent-rank quality normalization"),
     Query("text_length_buckets", text_length_buckets,
           ORACLES["text_length_buckets"],
           "decile token-length profile via broadcast percentile bounds "
