@@ -612,3 +612,42 @@ def quantize_int8_report(vecs: DataFrame, id_col: str = "vec_id",
         F.aggregate(chk, F.lit(0).cast("long"),
                     lambda a, x: a + x).alias("q_checksum"),
         F.aggregate(err2, F.lit(0.0), lambda a, x: a + x).alias("sse"))
+
+
+def knn_label_vote(queries: DataFrame, corpus: DataFrame, k: int,
+                   label_col: str = "label", id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
+    """kNN classification over the engine's own top-k search: each
+    query's label is the majority vote among its k nearest cosine
+    neighbors, ties broken (votes desc, label asc) for determinism.
+    The embedding-space label-propagation / auto-labeling primitive of
+    a training-data pipeline (silver-label new documents from a
+    labeled seed set); with the exact top-k used here it is also the
+    ground truth an ANN-backed variant would be measured against,
+    exactly as ``sim_recall_ann`` does for retrieval.
+
+    Shapes: the top-k result is queries*k rows (tiny), so the label
+    attach BROADCASTS it against the corpus labels; the vote is one
+    hash aggregate + a per-query argmax window over <= k rows. Swap
+    ``topk_bruteforce`` for any ``topk_*`` to classify at scale.
+
+    Returns (query_id, true_label, pred_label, votes, is_correct).
+    """
+    top = topk_bruteforce(queries, corpus, k, id_col, vec_col, dim)
+    labels = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(label_col).alias("n_label"))
+    votes = (labels.join(F.broadcast(top), "neighbor_id")
+             .groupBy("query_id", "n_label")
+             .agg(F.count("*").alias("votes")))
+    w = W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    pred = (votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("query_id", F.col("n_label").alias("pred_label"),
+                    "votes"))
+    truth = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(label_col).alias("true_label"))
+    return (pred.join(F.broadcast(truth), "query_id")
+            .select("query_id", "true_label", "pred_label", "votes",
+                    (F.col("pred_label") == F.col("true_label"))
+                    .alias("is_correct")))

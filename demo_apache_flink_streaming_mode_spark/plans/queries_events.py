@@ -332,7 +332,10 @@ def j6_moving_features(spark, sf_dir):
     """Per-user rolling features (lag / delta / trailing 3-row moving
     sum+count) — the event-stream-to-model-features pass; bounded
     frames, exact windowed DECIMAL sum (see
-    operators.timeseries.moving_features)."""
+    operators.timeseries.moving_features). Extends a10_moving_avg's
+    frame aggregate with the offset functions (lag/delta) a feature
+    pipeline needs — one window definition serves all four columns, so
+    the plan stays a single shuffle + single Window node."""
     out = timeseries.moving_features(
         _events(spark, sf_dir), "user_id", ["ts", "event_id"], "value",
         MOVING_WINDOW)

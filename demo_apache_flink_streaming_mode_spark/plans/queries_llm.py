@@ -122,6 +122,17 @@ def sim_ann_lsh(spark, sf_dir):
     return similarity.topk_lsh(queries, embs, TOPK, num_planes=NUM_PLANES, dim=DIM)
 
 
+def sim_knn_label_vote(spark, sf_dir):
+    """kNN auto-labeling over the embeddings' ground-truth labels:
+    majority vote among each sampled query's TOPK exact neighbors
+    (see operators.similarity.knn_label_vote) — the silver-labeling /
+    label-propagation primitive, with per-query correctness against
+    the true label."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.knn_label_vote(queries, embs, TOPK, dim=DIM)
+
+
 def dedup_jaccard_report(spark, sf_dir):
     """MinHash-estimate quality per candidate pair: signature-agreement
     Jaccard vs the exact n-gram Jaccard, with the signed error — the
@@ -875,6 +886,32 @@ ORACLES = {
           FROM scored)
         SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
         FROM ranked WHERE rn <= {TOPK}""",
+    "sim_knn_label_vote": f"""
+        WITH {_EMB_D},
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_cos('q.uv', 'c.uv')} AS cos_sim
+          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id % {QUERY_MOD} = 0),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+          FROM scored),
+        votes AS (
+          SELECT t.query_id, l.label AS n_label, COUNT(*) AS votes
+          FROM ranked t JOIN embeddings l ON l.vec_id = t.neighbor_id
+          WHERE t.rn <= {TOPK}
+          GROUP BY 1, 2),
+        pred AS (
+          SELECT query_id, n_label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY votes DESC, n_label ASC) AS prn
+          FROM votes)
+        SELECT p.query_id, q.label AS true_label, p.n_label AS pred_label,
+               p.votes, p.n_label = q.label AS is_correct
+        FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE p.prn = 1""",
     "sim_ann_lsh": f"""
         WITH {_EMB_D},{_PLANES_CTE},
         sigs AS (
@@ -1501,6 +1538,9 @@ QUERIES = [
           "brute-force cosine top-k (exact baseline)"),
     Query("sim_ann_lsh", sim_ann_lsh, ORACLES["sim_ann_lsh"],
           "LSH-bucketed approximate top-k (scale path)"),
+    Query("sim_knn_label_vote", sim_knn_label_vote,
+          ORACLES["sim_knn_label_vote"],
+          "kNN auto-labeling: majority label vote over exact top-k"),
     Query("dedup_cosine_lsh", dedup_cosine_lsh, ORACLES["dedup_cosine_lsh"],
           "embedding near-dup pairs behind LSH-bucket blocking (scale path)"),
     Query("sim_topk_ivf", sim_topk_ivf, ORACLES["sim_topk_ivf"],
