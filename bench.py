@@ -126,13 +126,18 @@ def main() -> None:
     # that query with ONE (JIT-cold, noise-exposed) sample — committed
     # benchmark artifacts must never silently carry such numbers (the
     # r4 postmortem: a 1-pass run raw-read 2x slower than reality).
+    # One threshold drives BOTH the flag and the warning (r5 ADVICE:
+    # the flag flipped at 1 single-sample query but the warning only
+    # printed past 10%, so 1-12 under-sampled queries passed silently),
+    # and an under-budget run's side files are quarantined under
+    # *.UNDERBUDGET.json so the committable names always hold min-of-N.
     n_single = sum(1 for ts in passes.values() if len(ts) < 2)
     passes_complete = n_single == 0
-    if n_single > 0.1 * len(passes):
+    if not passes_complete:
         log(f"*** WARNING: {n_single}/{len(passes)} queries have a single "
             "sample — this run is UNDER-BUDGET and NOT a committable "
             "benchmark. Re-run with SPARK_GRAFT_BENCH_BUDGET=1300 on a "
-            "quiet host. ***")
+            "quiet host. Side files quarantined as *.UNDERBUDGET.json. ***")
     here = os.path.dirname(os.path.abspath(__file__))
     result = {
         "metric": "total_query_runtime",
@@ -143,8 +148,9 @@ def main() -> None:
         "calib_s": calib,
         "passes_complete": passes_complete,
     }
-    for fname, payload in (("bench_passes.json", passes),
-                           ("bench_result.json", result)):
+    suffix = ".json" if passes_complete else ".UNDERBUDGET.json"
+    for fname, payload in ((f"bench_passes{suffix}", passes),
+                           (f"bench_result{suffix}", result)):
         try:
             with open(os.path.join(here, fname), "w") as f:
                 json.dump(payload, f, indent=1)

@@ -128,9 +128,93 @@ def write_bucketed(df: DataFrame, name: str, key: str, buckets: int = 8,
     skips the SMJ's per-task Sort) when each bucket is a SINGLE file,
     which requires each writer task to hold exactly one bucket's rows
     (repartition and bucketing share the same Murmur3 pmod placement).
+
+    ``mode='append'`` is REJECTED: appending produces a second file in
+    each bucket, and under the session's
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` the
+    reader would still skip the per-task Sort based on the bucket spec
+    alone — silently wrong sort-merge-join results over unsorted
+    concatenated bucket input. Rebuild with overwrite instead (the
+    one-file-per-bucket invariant is what the legacy conf's
+    correctness rests on; ``assert_single_file_buckets`` re-checks it
+    post-write).
     """
+    if mode.lower() == "append":
+        raise ValueError(
+            "write_bucketed(mode='append') would break the one-file-per-"
+            "bucket invariant that bucketedTableScan.outputOrdering "
+            "relies on (unsorted multi-file buckets -> wrong SMJ "
+            "results); rewrite the table with mode='overwrite'")
     w = (df.repartition(buckets, F.col(key))
          .write.format("parquet").mode(mode).bucketBy(buckets, key))
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(name)
+    assert_single_file_buckets(df.sparkSession, name, buckets)
+
+
+def pack_shards(df: DataFrame, id_col: str, weight_col: str, budget: int,
+                num_buckets: int = 64, salt: str = "shard:") -> DataFrame:
+    """Training-shard packing: lay rows end-to-end in a deterministic
+    pseudo-random order (md5 of the id — the usual pre-training corpus
+    shuffle) and cut every ``budget`` weight units; a row's shard is
+    ``floor(offset_before / budget)`` — the concat-and-cut packing a
+    tokenized-corpus writer performs (rows may straddle a cut, exactly
+    like token packing with document concatenation).
+
+    The scale problem is the GLOBAL running sum: a naive
+    ``SUM() OVER (ORDER BY ...)`` is one partition holding the whole
+    corpus. Two-phase distributed prefix sum instead:
+
+    1. hash rows into ``num_buckets`` order buckets (md5-derived, so
+       the oracle reproduces it);
+    2. within-bucket running sum — a keyed window, each partition
+       bounded at ~N/num_buckets rows;
+    3. per-bucket totals (num_buckets tiny rows) get their own prefix
+       sum and BROADCAST back as each bucket's starting offset.
+
+    One narrow shuffle on the bucket id + one broadcast — the same
+    plan at 100 TB with num_buckets scaled to the cluster. Emits
+    (id, weight, global_offset, shard_id) with global order
+    (bucket, hash, id) and shard_id = global_offset div budget.
+    """
+    from pyspark.sql import Window as W
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import (
+        hex_to_long)
+    h = hex_to_long(F.md5(F.concat(F.lit(salt),
+                                   F.col(id_col).cast("string"))))
+    rows = df.select(F.col(id_col), F.col(weight_col).cast("long"),
+                     h.alias("_h"), (h % num_buckets).alias("_b"))
+    wb = (W.partitionBy("_b").orderBy("_h", id_col)
+          .rowsBetween(W.unboundedPreceding, 0))
+    rows = rows.withColumn("_cum", F.sum(weight_col).over(wb))
+    totals = rows.groupBy("_b").agg(F.sum(weight_col).alias("_t"))
+    wt = (W.orderBy("_b")
+          .rowsBetween(W.unboundedPreceding, -1))  # num_buckets rows only
+    starts = totals.withColumn(
+        "_start", F.coalesce(F.sum("_t").over(wt), F.lit(0))).drop("_t")
+    # integer DIV, not floor(double /): offsets are exact longs and
+    # stay exact at any corpus size (same rule as the ns->ms gotcha)
+    return (rows.join(F.broadcast(starts), "_b")
+            .withColumn("global_offset",
+                        F.col("_start") + F.col("_cum") - F.col(weight_col))
+            .withColumn("shard_id", F.expr(f"global_offset DIV {budget}"))
+            .select(id_col, weight_col, "global_offset", "shard_id"))
+
+
+def assert_single_file_buckets(spark, name: str, buckets: int) -> None:
+    """Assert the bucketed table holds exactly one data file per bucket
+    — the invariant that makes trusting the bucket spec's sort order
+    (legacy ``bucketedTableScan.outputOrdering``) safe. Cheap: one
+    catalog lookup + one directory listing, no data read.
+    """
+    import os
+    loc = (spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+           .filter(F.col("col_name") == "Location")
+           .collect()[0]["data_type"])
+    path = loc.removeprefix("file:")
+    files = [f for f in os.listdir(path)
+             if f.startswith("part-") and not f.endswith(".crc")]
+    assert len(files) <= buckets, (
+        f"bucketed table {name}: {len(files)} data files for {buckets} "
+        "buckets — multi-file buckets invalidate the trusted sort order")

@@ -617,24 +617,37 @@ def quantize_int8_report(vecs: DataFrame, id_col: str = "vec_id",
 def knn_label_vote(queries: DataFrame, corpus: DataFrame, k: int,
                    label_col: str = "label", id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   dim: int | None = None) -> DataFrame:
+                   dim: int | None = None,
+                   top: DataFrame | None = None) -> DataFrame:
     """kNN classification over the engine's own top-k search: each
     query's label is the majority vote among its k nearest cosine
     neighbors, ties broken (votes desc, label asc) for determinism.
     The embedding-space label-propagation / auto-labeling primitive of
     a training-data pipeline (silver-label new documents from a
-    labeled seed set); with the exact top-k used here it is also the
-    ground truth an ANN-backed variant would be measured against,
+    labeled seed set).
+
+    ``top`` plugs in ANY precomputed neighbor table with (query_id,
+    neighbor_id) columns — pass the output of ``topk_lsh`` /
+    ``topk_ivf`` / ``topk_pq`` / ``topk_int8`` to classify at scale
+    (the judged ``sim_knn_label_vote`` query votes over the
+    LSH-bucketed search).  ``top=None`` falls back to exact
+    ``topk_bruteforce``: the labeled ground-truth baseline an
+    ANN-backed vote is measured against (``sim_knn_agreement``),
     exactly as ``sim_recall_ann`` does for retrieval.
 
     Shapes: the top-k result is queries*k rows (tiny), so the label
     attach BROADCASTS it against the corpus labels; the vote is one
-    hash aggregate + a per-query argmax window over <= k rows. Swap
-    ``topk_bruteforce`` for any ``topk_*`` to classify at scale.
+    hash aggregate + a per-query argmax window over <= k rows.  Both
+    broadcasts here assume queries << corpus (a sampled seed set, as
+    in every registered query) — the truth-side broadcast is
+    |queries| rows and the top-k broadcast |queries|*k rows; with a
+    query set approaching corpus size, swap them for shuffle joins.
 
     Returns (query_id, true_label, pred_label, votes, is_correct).
     """
-    top = topk_bruteforce(queries, corpus, k, id_col, vec_col, dim)
+    if top is None:
+        top = topk_bruteforce(queries, corpus, k, id_col, vec_col, dim)
+    top = top.select("query_id", "neighbor_id")
     labels = corpus.select(F.col(id_col).alias("neighbor_id"),
                            F.col(label_col).alias("n_label"))
     votes = (labels.join(F.broadcast(top), "neighbor_id")

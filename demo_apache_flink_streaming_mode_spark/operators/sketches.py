@@ -152,6 +152,36 @@ def cms_term_estimates(docs: DataFrame, d: int = 3, w: int = 256,
                       (cms - F.col("true_cnt")).alias("overcount"))
 
 
+def cms_heavy_hitters(docs: DataFrame, k: int = 10, d: int = 3,
+                      w: int = 256, text_col: str = "text") -> DataFrame:
+    """Heavy hitters from the count-min sketch: the k terms with the
+    highest ESTIMATED frequency, with the per-estimate error bound —
+    the query a CMS actually exists to answer (frequent-token /
+    frequent-URL reports without a full exact term table).
+
+    err_bound is the Markov bound floor(2N/w) on a single hash row's
+    overcount (P[over > 2N/w] < 1/2 per row, so < 2^-d after the
+    d-row min); overcount joins the true count to show the realized
+    error, always 0 <= overcount <= est.
+
+    Dataflow on top of ``cms_term_estimates``'s judged sketch: the
+    global top-k is orderBy+limit — Spark plans TakeOrderedAndProject
+    (per-partition top-k, merge k*partitions rows on the driver side
+    of the exchange), never a full vocabulary sort — then a window
+    ranks only the k survivor rows. N rides in as a 1-row broadcast
+    (the text_bm25 global-stats shape). Emits
+    (est_rank, term, cms_est, true_cnt, overcount, err_bound).
+    """
+    est = cms_term_estimates(docs, d, w, text_col)
+    tot = est.agg(F.sum("true_cnt").alias("_n"))
+    top = est.orderBy(F.desc("cms_est"), F.asc("term")).limit(k)
+    rw = W.orderBy(F.desc("cms_est"), F.asc("term"))
+    return (top.crossJoin(F.broadcast(tot))
+            .withColumn("est_rank", F.row_number().over(rw))
+            .select("est_rank", "term", "cms_est", "true_cnt", "overcount",
+                    F.floor(2 * F.col("_n") / w).alias("err_bound")))
+
+
 def cdc_chunks(docs: DataFrame, window: int = 4, divisor: int = 16,
                text_col: str = "text") -> DataFrame:
     """Content-defined chunking: split each document at positions where

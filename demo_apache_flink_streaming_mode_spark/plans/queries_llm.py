@@ -14,7 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from demo_apache_flink_streaming_mode_spark.operators import dedup, multimodal, similarity, text
+from demo_apache_flink_streaming_mode_spark.operators import (
+    dedup, multimodal, scale, similarity, text)
 from demo_apache_flink_streaming_mode_spark.plans.base import Query
 from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
 
@@ -124,13 +125,45 @@ def sim_ann_lsh(spark, sf_dir):
 
 def sim_knn_label_vote(spark, sf_dir):
     """kNN auto-labeling over the embeddings' ground-truth labels:
-    majority vote among each sampled query's TOPK exact neighbors
-    (see operators.similarity.knn_label_vote) — the silver-labeling /
-    label-propagation primitive, with per-query correctness against
-    the true label."""
+    majority vote among each sampled query's TOPK nearest neighbors
+    from the LSH-bucketed ANN search (see
+    operators.similarity.knn_label_vote) — the silver-labeling /
+    label-propagation primitive at its scale-safe shape: candidate
+    generation is an equi-join on the LSH bucket, never all-pairs.
+    The exact-top-k ground truth lives in sim_knn_label_vote_exact;
+    sim_knn_agreement reports where the two votes differ."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    top = similarity.topk_lsh(queries, embs, TOPK, num_planes=NUM_PLANES,
+                              dim=DIM)
+    return similarity.knn_label_vote(queries, embs, TOPK, dim=DIM, top=top)
+
+
+def sim_knn_label_vote_exact(spark, sf_dir):
+    """Brute-force twin of sim_knn_label_vote: majority vote among the
+    TOPK EXACT cosine neighbors — the labeled ground-truth baseline
+    (all-pairs by definition, BNLJ-allowlisted, out of the verify
+    window like sim_topk_bruteforce)."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
     return similarity.knn_label_vote(queries, embs, TOPK, dim=DIM)
+
+
+def sim_knn_agreement(spark, sf_dir):
+    """Vote-agreement report: for every query, the exact-kNN label vs
+    the ANN(LSH)-kNN label and whether they agree — the classification
+    analog of sim_recall_ann (the ANN path measuring itself against
+    the exact baseline it replaces). Queries whose LSH bucket held no
+    candidates surface with a NULL pred_ann (agrees=false)."""
+    exact = (sim_knn_label_vote_exact(spark, sf_dir)
+             .select("query_id", "true_label",
+                     F.col("pred_label").alias("pred_exact")))
+    ann = (sim_knn_label_vote(spark, sf_dir)
+           .select("query_id", F.col("pred_label").alias("pred_ann")))
+    return (exact.join(ann, "query_id", "left")
+            .select("query_id", "true_label", "pred_exact", "pred_ann",
+                    F.col("pred_ann").eqNullSafe(F.col("pred_exact"))
+                    .alias("ann_agrees")))
 
 
 def dedup_jaccard_report(spark, sf_dir):
@@ -351,6 +384,23 @@ def text_token_stats(spark, sf_dir):
 
 DIVERSITY_NS = (1, 2, 3)
 LENGTH_BUCKETS = 10
+SHARD_BUDGET = 4096     # tokens per training shard
+SHARD_BUCKETS = 16      # prefix-sum order buckets (scale with cluster)
+
+
+def text_pack_shards(spark, sf_dir):
+    """Training-shard packing: every document gets a global token
+    offset in a deterministic md5-shuffled corpus order and a shard id
+    from cutting that order every SHARD_BUDGET tokens — the
+    concat-and-cut layout pass of a tokenized-corpus writer. The
+    global running sum is a two-phase distributed prefix sum
+    (within-bucket keyed window + broadcast bucket starts), never a
+    single-partition global window — see operators.scale.pack_shards.
+    """
+    toks = text.token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+    return scale.pack_shards(toks, "doc_id", "n_tokens", SHARD_BUDGET,
+                             num_buckets=SHARD_BUCKETS)
 
 
 def text_ngram_diversity(spark, sf_dir):
@@ -887,6 +937,37 @@ ORACLES = {
         SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
         FROM ranked WHERE rn <= {TOPK}""",
     "sim_knn_label_vote": f"""
+        WITH {_EMB_D},{_PLANES_CTE},
+        sigs AS (
+          SELECT vec_id, uv,
+                 CAST(SUM(CASE WHEN {_DOT.format(a='v', b='p')} >= 0
+                          THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+          FROM e, planes GROUP BY vec_id, v, uv),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_cos('q.uv', 'c.uv')} AS cos_sim
+          FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id % {QUERY_MOD} = 0),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+          FROM scored),
+        votes AS (
+          SELECT t.query_id, l.label AS n_label, COUNT(*) AS votes
+          FROM ranked t JOIN embeddings l ON l.vec_id = t.neighbor_id
+          WHERE t.rn <= {TOPK}
+          GROUP BY 1, 2),
+        pred AS (
+          SELECT query_id, n_label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY votes DESC, n_label ASC) AS prn
+          FROM votes)
+        SELECT p.query_id, q.label AS true_label, p.n_label AS pred_label,
+               p.votes, p.n_label = q.label AS is_correct
+        FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE p.prn = 1""",
+    "sim_knn_label_vote_exact": f"""
         WITH {_EMB_D},
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -997,6 +1078,25 @@ ORACLES = {
                len(list_distinct(tokens)) AS n_distinct,
                length(replace(text, ' ', '')) AS n_token_chars
         FROM toks""",
+    # the oracle's single global window is the CORRECT-at-sf0.01 twin
+    # of the Spark side's two-phase prefix sum (same (bucket, hash,
+    # id) total order); the asymmetry is the module-docstring feature
+    "text_pack_shards": f"""
+        WITH toks AS (SELECT doc_id, len({_TOKENS}) AS n_tokens
+                      FROM documents),
+        h AS (SELECT doc_id, n_tokens,
+                     ('0x' || substr(md5('shard:' || doc_id::VARCHAR),
+                                     1, 15))::BIGINT AS hh
+              FROM toks),
+        o AS (SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                         ORDER BY hh % {SHARD_BUCKETS}, hh, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS global_offset
+              FROM h)
+        SELECT doc_id, n_tokens, global_offset,
+               global_offset // {SHARD_BUDGET} AS shard_id
+        FROM o""",
     # distinct-n diversity: one leg per n; gram construction mirrors
     # word_shingles (positions 1..greatest(len-n+1, 1), slices
     # truncated at the array end), hashes mirror hex_to_long
@@ -1303,6 +1403,17 @@ ORACLES = {
 }
 
 ORACLES["sim_topk_ivf_trained"] = _ivf_trained_oracle(KMEANS_ITERS)
+
+# vote-agreement report: both pred legs embedded verbatim as CTEs so
+# the agreement definition cannot drift from the judged legs; NULL-safe
+# compare mirrors eqNullSafe (bucket-empty queries -> pred_ann NULL).
+ORACLES["sim_knn_agreement"] = f"""
+    WITH exact AS ({ORACLES["sim_knn_label_vote_exact"]}),
+         ann AS ({ORACLES["sim_knn_label_vote"]})
+    SELECT e.query_id, e.true_label, e.pred_label AS pred_exact,
+           a.pred_label AS pred_ann,
+           a.pred_label IS NOT DISTINCT FROM e.pred_label AS ann_agrees
+    FROM exact e LEFT JOIN ann a USING (query_id)"""
 ORACLES["sim_topk_ivf_probe2"] = _ivf_trained_oracle(KMEANS_ITERS,
                                                      nprobe=IVF_NPROBE)
 ORACLES["sim_topk_pq"] = _pq_oracle(PQ_ITERS)
@@ -1540,7 +1651,13 @@ QUERIES = [
           "LSH-bucketed approximate top-k (scale path)"),
     Query("sim_knn_label_vote", sim_knn_label_vote,
           ORACLES["sim_knn_label_vote"],
-          "kNN auto-labeling: majority label vote over exact top-k"),
+          "kNN auto-labeling: majority label vote over LSH ANN top-k"),
+    Query("sim_knn_label_vote_exact", sim_knn_label_vote_exact,
+          ORACLES["sim_knn_label_vote_exact"],
+          "kNN label vote over exact top-k (ground-truth baseline)"),
+    Query("sim_knn_agreement", sim_knn_agreement,
+          ORACLES["sim_knn_agreement"],
+          "ANN-vote vs exact-vote agreement per query"),
     Query("dedup_cosine_lsh", dedup_cosine_lsh, ORACLES["dedup_cosine_lsh"],
           "embedding near-dup pairs behind LSH-bucket blocking (scale path)"),
     Query("sim_topk_ivf", sim_topk_ivf, ORACLES["sim_topk_ivf"],
@@ -1562,6 +1679,9 @@ QUERIES = [
           "BPE-style regex pre-tokenization counts"),
     Query("text_winnow", text_winnow, ORACLES["text_winnow"],
           "winnowing rolling-hash document fingerprint"),
+    Query("text_pack_shards", text_pack_shards, ORACLES["text_pack_shards"],
+          "fixed-token-budget training-shard assignment (distributed "
+          "two-phase prefix sum)"),
     Query("text_token_stats", text_token_stats, ORACLES["text_token_stats"],
           "token counting (total/distinct/chars)"),
     Query("text_ngram_diversity", text_ngram_diversity,

@@ -24,6 +24,7 @@ from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
 
 HLL_M = sketches.HLL_M
 CMS_D, CMS_W = 3, 256
+HH_K = 10               # heavy-hitter report size
 CDC_WINDOW, CDC_DIVISOR = 4, 16
 
 # inlined float literals: repr() round-trips, so DuckDB parses the bits
@@ -69,6 +70,15 @@ def sketch_hll_merge(spark, sf_dir):
 def sketch_cms_terms(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return sketches.cms_term_estimates(docs, d=CMS_D, w=CMS_W)
+
+
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    """Top-HH_K terms by ESTIMATED frequency with the floor(2N/w)
+    Markov error bound and the realized overcount — the report a CMS
+    exists to produce (see operators.sketches.cms_heavy_hitters for
+    the TakeOrderedAndProject top-k shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.cms_heavy_hitters(docs, k=HH_K, d=CMS_D, w=CMS_W)
 
 
 def _chunks(spark, sf_dir):
@@ -536,6 +546,18 @@ def _llm_oracles() -> dict[str, str]:
     return queries_llm.ORACLES
 
 
+# heavy hitters on top of the judged sketch oracle (embedded verbatim
+# so the two cannot drift); INT cast matches Spark row_number's int
+ORACLES["sketch_cms_heavy_hitters"] = f"""
+    WITH est AS ({ORACLES["sketch_cms_terms"]}),
+    n AS (SELECT SUM(true_cnt) AS _n FROM est),
+    top AS (SELECT * FROM est ORDER BY cms_est DESC, term ASC LIMIT {HH_K})
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cms_est DESC, term ASC) AS INT)
+               AS est_rank,
+           term, cms_est, true_cnt, overcount,
+           CAST(FLOOR(2 * _n / {CMS_W}) AS BIGINT) AS err_bound
+    FROM top CROSS JOIN n"""
+
 ORACLES["corpus_report"] = f"""
     WITH q AS ({_llm_oracles()['text_quality']}),
     d AS ({_llm_oracles()['corpus_clean']})
@@ -565,6 +587,9 @@ QUERIES = [
           "decimal register sum) vs exact count"),
     Query("sketch_cms_terms", sketch_cms_terms, ORACLES["sketch_cms_terms"],
           "count-min sketch term frequencies (d=3, w=256) vs true counts"),
+    Query("sketch_cms_heavy_hitters", sketch_cms_heavy_hitters,
+          ORACLES["sketch_cms_heavy_hitters"],
+          "top-k estimated-frequency terms with floor(2N/w) error bound"),
     Query("sketch_hll_merge", sketch_hll_merge, ORACLES["sketch_hll_merge"],
           "HLL register-max union across data halves == direct estimate"),
     Query("text_cdc_chunks", text_cdc_chunks, ORACLES["text_cdc_chunks"],

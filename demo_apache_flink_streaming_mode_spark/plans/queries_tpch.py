@@ -243,10 +243,10 @@ def q_salted_join_priority(spark, sf_dir):
 def _bucketed_orders_lineitem(spark, sf_dir):
     """Persist orders + lineitem bucketed AND bucket-sorted by the join
     key (``operators.scale.write_bucketed``, 8 buckets), once per
-    (warehouse, sf) — the declare-the-layout-once scale path. Table
+    (session, sf) — the declare-the-layout-once scale path. Table
     names carry the sf tag so sf0.001 warmup and sf0.1 bench runs keep
-    separate layouts; ``tableExists`` makes repeated calls (bench
-    passes, driver re-runs) reuse the files instead of rewriting.
+    separate layouts, plus the pid (see below); ``tableExists`` makes
+    repeated calls within a session (bench passes) reuse the files.
     Returns (orders_table, lineitem_table) DataFrames whose merge join
     needs NO Exchange on either side (asserted in
     tests/test_bucketing.py)."""
@@ -258,14 +258,23 @@ def _bucketed_orders_lineitem(spark, sf_dir):
         write_bucketed)
     tag = re.sub(r"[^0-9a-z]", "_",
                  os.path.basename(sf_dir.rstrip("/")).lower())
-    ot, lt = f"b5_orders_{tag}", f"b5_lineitem_{tag}"
+    # pid-scoped names (r5 ADVICE): the in-memory catalog is
+    # per-session, so a fresh session always rewrote anyway — but two
+    # LIVE sessions sharing one warehouse dir (bench and driver_check
+    # in parallel) could rmtree each other's files mid-read under a
+    # shared name. A pid suffix makes collision impossible; dead
+    # sessions' leftover dirs are reclaimed on pid reuse below, and
+    # the warehouse is disposable test state.
+    ot = f"b5_orders_{tag}_{os.getpid()}"
+    lt = f"b5_lineitem_{tag}_{os.getpid()}"
 
     def ensure(name, df, key):
         if spark.catalog.tableExists(name):
             return
-        # a PREVIOUS session's files may survive in the warehouse while
-        # the in-memory catalog forgot the table — saveAsTable then
-        # refuses (LOCATION_ALREADY_EXISTS); clear the stale location
+        # pid reuse: an earlier dead process with this pid may have
+        # left files while this session's catalog lacks the table —
+        # saveAsTable would refuse (LOCATION_ALREADY_EXISTS); the name
+        # is pid-scoped, so only dead-session leftovers are removed
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
         write_bucketed(df, name, key, buckets=8)

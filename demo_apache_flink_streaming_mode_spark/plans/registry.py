@@ -77,7 +77,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # proven by sim_ann_lsh, slot goes to events_key_skew_report) -----
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_clusters",
+    # (dedup_clusters demoted r6: connected-components proven by two
+    # driver rounds and still exercised in-window through corpus_clean,
+    # which embeds the cluster pipeline; slot goes to the never-attested
+    # SimHash pigeonhole-band family)
+    "dedup_simhash_pairs",
     "dedup_cdc_chunks",
     # -- operational diagnostics (promoted r5) -------------------------
     "events_key_skew_report",
@@ -85,12 +89,19 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # proven by sim_topk_ivf_trained + the recall report's ivf2 leg) ---
     "sim_ann_lsh",
     "sim_topk_ivf_trained",
-    "sim_topk_pq",
-    "sim_recall_ann",
-    # -- time-series resampling (j4 ffill demoted r5 for the j5
-    # interpolation leg — same grid + single-shuffle carry machinery,
-    # plus the lerp; ffill stays property-tested + tail-checked) ------
-    "j5_resample_interp_1h",
+    # (sim_topk_pq demoted r6: PQ/ADC proven by the r5 driver row and
+    # its ADC leg still runs in-window inside nothing — pytest + tail;
+    # slot goes to the never-attested int8-quantization family)
+    "sim_topk_int8",
+    # (sim_recall_ann demoted r6: driver-green r4+r5 and inherently the
+    # most expensive verify row — its four legs are each proven
+    # separately; slot goes to the re-registered ANN-backed kNN vote,
+    # whose LSH path has never had a driver row)
+    "sim_knn_label_vote",
+    # -- time-series family (j5 interp demoted r6 after its r5 green
+    # row — grid+carry machinery proven; slot goes to the never-
+    # attested rolling-feature extraction) ----------------------------
+    "j6_moving_features",
     # -- text analysis family (bpe/tfidf demoted: tokenization proven
     # by text_token_stats, corpus-stats ranking by text_bm25) ---------
     "text_token_stats",
@@ -103,25 +114,36 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # text_token_stats / text_lm_familiarity and exercised end-to-end
     # by corpus_clean/corpus_report; slots go to a11_count_window and
     # the new bucketed-join family)
-    "a11_count_window",
+    # (a11_count_window demoted r6 after its r5 green row; slot goes
+    # to the never-attested sliding-count-window sibling, which embeds
+    # a11's bucketing plus the slide explode)
+    "a12_sliding_count_window",
     # (text_decontam demoted r5 for its Bloom-prefiltered variant —
     # both share ONE oracle, so the green row now proves the 128 KiB
     # bitmap probe path AND, by identity, the exact path)
     "text_decontam_bloom",
-    "text_bm25",
+    # (text_bm25 demoted r6: driver-green r3-r5, postings machinery
+    # also exercised by text_lm_familiarity's corpus stats; slot goes
+    # to the never-attested per-source percent-rank normalizer)
+    "text_quality_pct_rank",
     "text_split_assign",
     "text_pii_redact",
     # (text_cdc_chunks demoted r4: the CDC family keeps its window rep
     # via dedup_cdc_chunks; slot goes to the new graph family)
-    # -- graph analytics (new family, r4) -----------------------------
-    "graph_pagerank",
+    # -- graph analytics (pagerank demoted r6 after r4+r5 green rows;
+    # slot goes to the degree-oriented triangle rewrite, which has
+    # never had a driver row since the r5 Suri-Vassilvitskii rework) --
+    "graph_triangles",
     # -- sketches (hll_windowed demoted r5: windowed registers proven
     # by sketch_hll_users + the streaming parity test; the merge row
     # proves register-max union semantics — the distributed-combine
     # contract — which no other row covers) ---------------------------
     "sketch_hll_users",
     "sketch_hll_merge",
-    "sketch_cms_terms",
+    # (sketch_cms_terms demoted r6 after r3-r5 green rows; slot goes to
+    # the new heavy-hitters report, which embeds the identical sketch
+    # CTE verbatim — its green row re-proves the sketch AND the top-k)
+    "sketch_cms_heavy_hitters",
     # -- quantiles -----------------------------------------------------
     "events_value_quantiles",
     # -- changelog / upsert-stream semantics (cl_latest_state rotated
@@ -135,7 +157,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # uses, plus frame indexing); wav stays pytest + tail-checked) ----
     "mm_decode_features",
     "mm_decode_video",
-    "mm_decode_image",
+    # (mm_decode_image demoted r6 after its r4+r5 green rows — the DIB
+    # codec family keeps two window reps; slot goes to the new
+    # training-shard packing op so the distributed prefix sum gets a
+    # driver row in its first round)
+    "text_pack_shards",
     # -- corpus curation ----------------------------------------------
     "corpus_clean",
     "corpus_report",
@@ -158,6 +184,94 @@ ALL_QUERIES: list[Query] = (
 _BY_NAME: dict[str, Query] = {q.name: q for q in ALL_QUERIES}
 
 FLAGSHIP = "a4_tumbling_count_keyed"
+
+# --- Coverage SLO (round 6) ----------------------------------------------
+# The registry outgrew the fixed 50-slot verify window (131 queries at
+# r6), so tail coverage is now governed by a written SLO instead of ad
+# hoc rotation: every operator FAMILY below must have at least one
+# member with a driver CORRECTNESS row within the last
+# ``SLO_MAX_STALE_ROUNDS`` rounds, or a member in the CURRENT window
+# (which earns its row this round).  ``tests/test_registry_slo.py``
+# parses the committed ``CORRECTNESS_r*.json`` history and fails the
+# suite when a family ages out — growth without rotation is no longer
+# silent.  FAMILIES partitions the registry exactly (asserted below),
+# so adding a query without assigning a family is also a test failure.
+SLO_MAX_STALE_ROUNDS = 4
+
+FAMILIES: dict[str, tuple[str, ...]] = {
+    "core_transforms": ("t1_parse_project", "t2_filter", "t3_split_main",
+                        "t3_split_side", "t4_merge", "t5_json_props_stats"),
+    "core_windows": ("a2_running_total", "a3_tumbling_count_global",
+                     "a4_tumbling_count_keyed", "a5_sliding_stats",
+                     "a6_session_stats", "a7_keyed_agg",
+                     "a9_value_histogram", "a10_moving_avg"),
+    "count_windows": ("a11_count_window", "a12_sliding_count_window"),
+    "keyed_state": ("st1_repeat_action_alert", "st2_action_durations",
+                    "a8_state_intervals", "w3_late_classify"),
+    "cep": ("cep_funnel", "cep_funnel_rates", "cep_action_bigrams"),
+    "stream_joins": ("j1_window_join", "j1_window_join_left",
+                     "j2_asof_click_view", "j3_interval_join"),
+    "timeseries": ("j4_resample_1h", "j5_resample_interp_1h",
+                   "j6_moving_features"),
+    "tpch": ("q1_pricing_summary", "q2_min_cost_supplier",
+             "q3_shipping_priority", "q4_late_shipments",
+             "q5_local_supplier_volume", "q6_forecast_revenue",
+             "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+             "q10_returned_items", "q11_important_stock",
+             "q12_priority_by_returnflag", "q13_order_distribution",
+             "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
+             "q17_small_quantity_revenue", "q18_large_orders",
+             "q19_disjunctive_pricing", "q20_promotion_candidates",
+             "q21_waiting_supplier", "q22_idle_balance",
+             "q_top3_parts_per_brand", "q_customers_with_big_order",
+             "q_customers_without_orders", "q_distinct_parts_per_supplier",
+             "q_rollup_status", "q_cube_status", "q_pivot_status",
+             "q_set_ops", "q_sql_text_interface"),
+    "join_layout": ("q_bucketed_join_priority", "q_salted_join_priority"),
+    "dedup_exact": ("dedup_exact", "dedup_quality_keeper"),
+    "dedup_minhash": ("dedup_minhash_lsh", "dedup_ngram_jaccard",
+                      "dedup_jaccard_report"),
+    "dedup_clusters": ("dedup_clusters",),
+    "dedup_simhash": ("dedup_simhash", "dedup_simhash_pairs"),
+    "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh"),
+    "decontam": ("text_decontam", "text_decontam_bloom"),
+    "ann_topk": ("sim_topk_bruteforce", "sim_ann_lsh", "sim_topk_ivf",
+                 "sim_topk_ivf_trained", "sim_topk_ivf_probe2",
+                 "sim_topk_pq", "sim_recall_ann"),
+    "ann_int8": ("sim_topk_int8", "sim_quantize_int8"),
+    "knn_label": ("sim_knn_label_vote", "sim_knn_label_vote_exact",
+                  "sim_knn_agreement"),
+    "text_tokens": ("text_token_stats", "text_term_counts",
+                    "text_bpe_stats", "text_tfidf", "text_bm25",
+                    "text_lm_familiarity"),
+    "text_signals": ("text_langid", "text_quality", "text_quality_pct_rank",
+                     "text_repetition", "text_ngram_diversity",
+                     "text_length_buckets"),
+    "text_fingerprint": ("text_fingerprint", "text_winnow"),
+    "text_sampling": ("text_split_assign", "text_mixture_sample",
+                      "text_stratified_sample", "text_pack_shards"),
+    "pii": ("text_pii_redact",),
+    "curation": ("corpus_clean", "corpus_report"),
+    "sketches_hll": ("sketch_hll_users", "sketch_hll_merge",
+                     "sketch_hll_windowed"),
+    "sketches_cms": ("sketch_cms_terms", "sketch_cms_heavy_hitters"),
+    "cdc_chunking": ("text_cdc_chunks", "dedup_cdc_chunks"),
+    "quantiles": ("events_value_quantiles", "events_value_quantiles_approx"),
+    "events_ops": ("events_anomalies", "events_retention_cohorts",
+                   "events_key_skew_report", "orders_fingerprint"),
+    "changelog": ("cl_latest_state", "cl_state_summary"),
+    "multimodal": ("mm_manifest", "mm_decode_features", "mm_decode_wav",
+                   "mm_decode_image", "mm_decode_video", "mm_resize",
+                   "mm_frames"),
+    "graph": ("graph_pagerank", "graph_triangles"),
+}
+
+_FAM_MEMBERS = [n for members in FAMILIES.values() for n in members]
+assert len(_FAM_MEMBERS) == len(set(_FAM_MEMBERS)), (
+    "a query appears in more than one family")
+assert set(_FAM_MEMBERS) == set(_BY_NAME), (
+    "FAMILIES must partition the registry exactly; diff: "
+    f"{set(_FAM_MEMBERS) ^ set(_BY_NAME)}")
 
 
 def get(name: str) -> Query:

@@ -291,6 +291,79 @@ def count_window_stream(df: DataFrame, key: str, ts: str, value: str,
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
 
 
+def moving_features_stream(df: DataFrame, key: str, ts: str, value: str,
+                           window: int = 3, tiebreak: str = "event_id",
+                           state_ttl_ms: int = _DEFAULT_IDLE_TTL_MS
+                           ) -> DataFrame:
+    """J6 streaming — per-key rolling feature extraction (lag / delta /
+    trailing ``window``-row moving sum+count) as TRUE keyed state.
+    Batch twin: ``operators.timeseries.moving_features`` (parity test
+    in tests/test_streaming.py); this is the online form of the
+    event-stream-to-model-features pass, emitting one feature row per
+    input record.
+
+    State per key: one long + one double + <= ``window`` doubles —
+    bounded regardless of stream length, same evictor bound as
+    ``count_window_stream``. ``moving_sum`` reproduces the batch
+    twin's windowed DECIMAL(38,6) sum bit-for-bit (quantize each
+    double from its shortest decimal repr, sum exactly, round to
+    double once). First row per key emits NULL prev_value/delta,
+    exactly like the batch ``lag``. Keys idle past ``state_ttl_ms``
+    are evicted (feature frames restart, as after a Flink state-TTL
+    purge).
+
+    Ordering contract (same as ST1/ST2/count_window_stream): per-key
+    arrival order across micro-batches must follow (ts, tiebreak)
+    order; within a micro-batch the handler sorts.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+    q6 = Decimal("0.000001")
+
+    def handle(key_tuple: tuple, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cnt, prev, vals = state.get if state.exists else (0, 0.0, [])
+        vals = [float(v) for v in vals]
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values([ts, tiebreak])
+            for tb, v in zip(pdf[tiebreak], pdf[value]):
+                v = float(v)
+                vals.append(v)
+                if len(vals) > window:
+                    del vals[0]
+                s = sum((Decimal(repr(x)).quantize(q6, ROUND_HALF_UP)
+                         for x in vals), Decimal(0))
+                rows.append((key_tuple[0], tb, v,
+                             prev if cnt else None,
+                             v - prev if cnt else None,
+                             float(s), len(vals)))
+                prev, cnt = v, cnt + 1
+        state.update((cnt, prev, vals))
+        state.setTimeoutDuration(state_ttl_ms)
+        if rows:
+            # NaN (from the None firsts in a float64 column) converts
+            # to null on the Arrow hop — matching the batch lag's NULL
+            yield pd.DataFrame(rows, columns=[key, tiebreak, value,
+                                              "prev_value", "delta",
+                                              "moving_sum", "n_window"])
+
+    out_schema = (f"{key} {_sql_type(df, key)}, "
+                  f"{tiebreak} {_sql_type(df, tiebreak)}, "
+                  f"{value} double, prev_value double, delta double, "
+                  "moving_sum double, n_window long")
+    return df.groupBy(key).applyInPandasWithState(
+        handle,
+        outputStructType=out_schema,
+        stateStructType="cnt long, prev double, vals array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
               state_ttl_ms: int = _DEFAULT_IDLE_TTL_MS) -> DataFrame:

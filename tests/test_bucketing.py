@@ -76,6 +76,29 @@ def test_judged_bucketed_query_join_no_exchange(spark, no_broadcast):
     assert fplan.count("Exchange") <= 2, fplan
 
 
+def test_write_bucketed_rejects_append(spark):
+    """mode='append' would put a second file in each bucket; under the
+    session's legacy bucketedTableScan.outputOrdering=true the reader
+    would skip the per-task Sort over unsorted concatenated input —
+    silently wrong SMJ results. write_bucketed must refuse up front
+    (r5 ADVICE)."""
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    with pytest.raises(ValueError, match="one-file-per-bucket"):
+        write_bucketed(li, "b_reject_append", "l_orderkey", buckets=8,
+                       mode="append")
+    assert not spark.catalog.tableExists("b_reject_append")
+
+
+def test_write_bucketed_asserts_single_file_buckets(spark, bucketed_tables):
+    """The post-write invariant check runs and passes on a proper
+    repartition-first write; a hand-broken multi-file layout fails it."""
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        assert_single_file_buckets)
+    assert_single_file_buckets(spark, "b_lineitem", 8)  # passes
+    with pytest.raises(AssertionError, match="multi-file buckets"):
+        assert_single_file_buckets(spark, "b_lineitem", 1)
+
+
 def test_bucketed_agg_no_shuffle(spark, no_broadcast, bucketed_tables):
     """groupBy on the bucket key also exploits the layout: the partial/
     final aggregate pair collapses to one stage, no exchange."""

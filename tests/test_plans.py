@@ -29,9 +29,12 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 "sim_topk_int8", "sim_topk_ivf",
                 "sim_topk_ivf_trained", "sim_topk_ivf_probe2", "text_bm25",
                 "text_tfidf",
-                # embeds the brute-force baseline by definition (it is
-                # the recall reference being measured against)
-                "sim_recall_ann",
+                # embed the brute-force baseline by definition (they
+                # ARE the exact references being measured against);
+                # the judged sim_knn_label_vote itself votes over the
+                # LSH equi-join path and stays OFF this list
+                "sim_recall_ann", "sim_knn_label_vote_exact",
+                "sim_knn_agreement",
                 # scalar-subquery threshold: a 1-row broadcast average
                 # attached to every customer row (TPC-H Q22 shape) /
                 # per-part value row (Q11 shape)
@@ -39,6 +42,8 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 # 1-row broadcast total attached to the top-20 keys —
                 # the same scalar-aggregate shape as Q22/Q11
                 "events_key_skew_report",
+                # 1-row broadcast token total N for the err_bound column
+                "sketch_cms_heavy_hitters",
                 # 1-row broadcast percentile-bounds attach (the
                 # scale-safe NTILE replacement)
                 "text_length_buckets"}

@@ -732,3 +732,38 @@ def test_sliding_count_window_rejects_nonpositive(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], "k int, seq int, value double")
     with _pt.raises(ValueError):
         sliding_count_window_agg(df, "k", ["seq"], "value", size=0, slide=2)
+
+
+def test_pack_shards_offsets_are_exact_prefix_sums(spark):
+    """pack_shards lays rows end-to-end: sorted by global_offset, each
+    row starts exactly where the previous ended, offsets start at 0,
+    and shard_id is offset DIV budget — regardless of how rows were
+    spread across the prefix-sum order buckets."""
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        pack_shards)
+    rows = [(i, (i * 7) % 13 + 1) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = sorted(pack_shards(df, "id", "w", budget=20, num_buckets=8)
+                 .collect(), key=lambda r: r.global_offset)
+    assert out[0].global_offset == 0
+    for prev, cur in zip(out, out[1:]):
+        assert cur.global_offset == prev.global_offset + prev.w
+    assert all(r.shard_id == r.global_offset // 20 for r in out)
+    assert len({r.id for r in out}) == 100
+
+
+def test_pack_shards_input_partitioning_invariant(spark):
+    """The layout is a pure function of (ids, weights, budget,
+    num_buckets): re-arranging the INPUT partitioning (the thing that
+    varies between a 32-core laptop and a 1000-executor cluster) must
+    not move a single row's offset or shard."""
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        pack_shards)
+    rows = [(i, (i * 3) % 7 + 1) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    a = {r.id: (r.global_offset, r.shard_id)
+         for r in pack_shards(df, "id", "w", 15, num_buckets=8).collect()}
+    b = {r.id: (r.global_offset, r.shard_id)
+         for r in pack_shards(df.repartition(13), "id", "w", 15,
+                              num_buckets=8).collect()}
+    assert a == b and len(a) == 60
