@@ -121,6 +121,24 @@ def cms_buckets(term: Column, row: int, w: int) -> Column:
     return hex_to_long(F.md5(F.concat(F.lit(f"{row}:"), term)), 1, 4) % w
 
 
+def cms_sketch(terms: DataFrame, d: int = 3, w: int = 256,
+               term_col: str = "term") -> DataFrame:
+    """The d*w counter build of the count-min sketch: one (row, bucket)
+    pair per term occurrence, map-side-combined into at most d*w
+    counter rows. A plain keyed count, so the SAME expressions run
+    unchanged as an update-mode streaming aggregate (parity test in
+    tests/test_streaming.py) — the live-frequency sketch a pipeline
+    maintains over an event feed, mergeable across partitions/workers
+    by counter addition. Emits (row, bucket, cnt).
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
+    return (terms.select(F.col(term_col).alias("term"), rows)
+            .withColumn("bucket",
+                        hex_to_long(F.md5(F.concat_ws(":", "row", "term")),
+                                    1, 4) % w)
+            .groupBy("row", "bucket").agg(F.count("*").alias("cnt")))
+
+
 def cms_term_estimates(docs: DataFrame, d: int = 3, w: int = 256,
                        text_col: str = "text") -> DataFrame:
     """Count-min sketch over corpus term frequencies, joined back to the
@@ -134,12 +152,7 @@ def cms_term_estimates(docs: DataFrame, d: int = 3, w: int = 256,
     """
     terms = docs.select(F.explode(word_tokens(F.col(text_col))).alias("term"))
     truth = terms.groupBy("term").agg(F.count("*").alias("true_cnt"))
-    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
-    sketch = (terms.select("term", rows)
-              .withColumn("bucket",
-                          hex_to_long(F.md5(F.concat_ws(":", "row", "term")), 1, 4)
-                          % w)
-              .groupBy("row", "bucket").agg(F.count("*").alias("cnt")))
+    sketch = cms_sketch(terms, d, w)
     est = truth
     for i in range(d):
         row_counts = (sketch.filter(F.col("row") == i)

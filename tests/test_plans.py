@@ -121,3 +121,52 @@ def test_doc_counts_match_registry():
     sgot = re.findall(r"\((\d+) registry queries", skill)
     assert sgot and all(int(g) == n for g in sgot), (
         f"SKILL.md counts {sgot} != registry {n}")
+
+
+def test_pack_shards_prefix_sum_is_two_phase(spark):
+    """text_pack_shards' scale claim, plan-asserted: the corpus-sized
+    running sum is a KEYED window (partitioned on the order bucket —
+    each partition bounded at ~N/num_buckets rows), the only
+    SinglePartition exchange feeds the num_buckets-row bucket-starts
+    window, and the starts attach back as a broadcast hash join. A
+    global ORDER BY cumsum over the corpus would show up here as a
+    second SinglePartition exchange."""
+    plan = _plan(spark, "text_pack_shards")
+    assert re.search(r"windowspecdefinition\(_b#\d+L?, _h#", plan), (
+        "corpus running sum is not partitioned by the order bucket:\n"
+        + plan)
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """At 100 TB a fact x filtered-dim join runs as a shuffle join
+    (both sides past any broadcast threshold) and Catalyst's runtime
+    bloom filter (on by default in the session) builds a filter from
+    the dim side's selective predicate and applies it to the fact
+    side BEFORE the shuffle — rows that cannot match never leave the
+    scan stage. The default size thresholds sit far above the test
+    fixture, so this test recreates the 100 TB plan shape at sf0.001
+    (threshold down, broadcast off) and asserts the injection actually
+    fires with this engine's readers and session confs."""
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+    app = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bc = "spark.sql.autoBroadcastJoinThreshold"
+    old_app, old_bc = spark.conf.get(app), spark.conf.get(bc)
+    try:
+        spark.conf.set(app, "1b")
+        spark.conf.set(bc, "-1")
+        li = load_table(spark, SF, "lineitem")
+        orders = (load_table(spark, SF, "orders")
+                  .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, (
+            "runtime bloom filter not injected:\n" + opt)
+        # the filter must sit on the FACT side (probe l_orderkey)
+        assert "might_contain" in opt and "l_orderkey" in (
+            opt.split("might_contain")[1][:200]), opt
+    finally:
+        spark.conf.set(app, old_app)
+        spark.conf.set(bc, old_bc)

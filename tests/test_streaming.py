@@ -665,6 +665,28 @@ def test_hll_registers_streaming_parity(spark, batch_events, stream_events):
     assert final == want
 
 
+def test_cms_sketch_streaming_parity(spark, batch_events, stream_events):
+    """CMS counter build (operators.sketches.cms_sketch) is a plain
+    keyed count -> runs unchanged as an update-mode streaming agg; the
+    final per-(row, bucket) counters must equal the batch sketch over
+    the same rows (counter addition is what makes the sketch mergeable
+    across workers, so equality here proves the distributed-combine
+    contract too)."""
+    from demo_apache_flink_streaming_mode_spark.operators import sketches
+    from pyspark.sql import functions as SF_
+
+    _drain(sketches.cms_sketch(
+        stream_events.select(SF_.col("event_type").alias("term")),
+        d=3, w=64), "t_cms", mode="update")
+    got = {(r["row"], r["bucket"]): r["cnt"]
+           for r in spark.table("t_cms").collect()}
+    want = {(r["row"], r["bucket"]): r["cnt"]
+            for r in sketches.cms_sketch(
+                batch_events.select(SF_.col("event_type").alias("term")),
+                d=3, w=64).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_cep_funnel_streaming_parity(spark, batch_events, stream_events):
     """Streaming CEP funnel (k-long keyed state) == batch window form."""
     from demo_apache_flink_streaming_mode_spark.operators import cep
