@@ -618,6 +618,20 @@ def mm_decode_image(spark, sf_dir):
     return multimodal.bmp_decode_features(media)
 
 
+def mm_decode_png(spark, sf_dir):
+    """REAL COMPRESSED image decode: stdlib ``zlib`` PNG round-trip.
+
+    The payload is containerized as an adaptively-filtered grayscale
+    PNG (32-px rows, filters None/Sub/Up/Average/Paeth cycling per
+    row, DEFLATE-compressed IDAT, CRC32 on every chunk) and decoded
+    back the real way (operators.multimodal.png_decode_features). The
+    reconstructed pixels are the payload bytes plus zero padding, so
+    the oracle over the text's byte values proves the whole
+    compress -> CRC -> decompress -> unfilter path is lossless."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return multimodal.png_decode_features(media)
+
+
 def mm_decode_video(spark, sf_dir):
     """REAL video decode: stdlib ``struct`` RIFF/AVI container round-trip.
 
@@ -1369,6 +1383,30 @@ ORACLES = {
                          / (h * {multimodal.BMP_WIDTH})
                     ELSE 0.0 END AS mean_px
         FROM d""",
+    # pixels == payload bytes + zero pad to a full 32-px row: the
+    # lossless-roundtrip proof for the zlib/PNG codec (same byte-list
+    # machinery as mm_decode_image, PNG_WIDTH instead of BMP_WIDTH)
+    "mm_decode_png": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 list_transform(range(0, octet_length(encode(text))),
+                                i -> ('0x' || substr(hex(encode(text)),
+                                                     2*i + 1, 2))::BIGINT)
+                   AS bytes
+          FROM documents),
+        d AS (SELECT doc_id, n, bytes,
+                     CAST(ceil(n / {float(multimodal.PNG_WIDTH)}) AS BIGINT)
+                       AS h
+              FROM b)
+        SELECT doc_id, {multimodal.PNG_WIDTH} AS width, CAST(h AS INT) AS height,
+               8 AS bit_depth, 0 AS color_type, h * {multimodal.PNG_WIDTH} AS n_px,
+               CAST(COALESCE(list_max(bytes), 0) AS INT) AS max_px,
+               CASE WHEN h > 0
+                    THEN list_aggregate(bytes, 'sum')::DOUBLE
+                         / (h * {multimodal.PNG_WIDTH})
+                    ELSE 0.0 END AS mean_px
+        FROM d""",
     "mm_resize": f"""
         WITH h AS (
           SELECT doc_id, hex(encode(text)) AS hx,
@@ -1733,6 +1771,9 @@ QUERIES = [
           "REAL audio decode: stdlib wave RIFF round-trip via mapInPandas"),
     Query("mm_decode_image", mm_decode_image, ORACLES["mm_decode_image"],
           "REAL image decode: stdlib struct BMP round-trip via mapInPandas"),
+    Query("mm_decode_png", mm_decode_png, ORACLES["mm_decode_png"],
+          "REAL COMPRESSED decode: zlib PNG (CRC + DEFLATE + 5-filter "
+          "reconstruction) round-trip"),
     Query("mm_decode_video", mm_decode_video, ORACLES["mm_decode_video"],
           "REAL video decode: stdlib struct RIFF/AVI round-trip, 1->N frames"),
     Query("sim_recall_ann", sim_recall_ann, ORACLES["sim_recall_ann"],

@@ -156,7 +156,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # mm_decode_video (AVI — which embeds the same RIFF walking wav
     # uses, plus frame indexing); wav stays pytest + tail-checked) ----
     "mm_decode_features",
-    "mm_decode_video",
+    # (mm_decode_video demoted r6 after its r5 green row; slot goes to
+    # the new zlib/PNG codec so the compressed-format path — CRC,
+    # DEFLATE, five-filter reconstruction — gets a driver row in its
+    # first round)
+    "mm_decode_png",
     # (mm_decode_image demoted r6 after its r4+r5 green rows — the DIB
     # codec family keeps two window reps; slot goes to the new
     # training-shard packing op so the distributed prefix sum gets a
@@ -261,8 +265,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "events_key_skew_report", "orders_fingerprint"),
     "changelog": ("cl_latest_state", "cl_state_summary"),
     "multimodal": ("mm_manifest", "mm_decode_features", "mm_decode_wav",
-                   "mm_decode_image", "mm_decode_video", "mm_resize",
-                   "mm_frames"),
+                   "mm_decode_image", "mm_decode_png", "mm_decode_video",
+                   "mm_resize", "mm_frames"),
     "graph": ("graph_pagerank", "graph_triangles"),
 }
 
