@@ -164,7 +164,7 @@ def main() -> None:
         "sf": sf,
         "calib_s": calib,
         "passes_complete": passes_complete,
-        "queries_file": "bench_result.json",
+        "queries_file": f"bench_result{suffix}",
     }))
 
 
