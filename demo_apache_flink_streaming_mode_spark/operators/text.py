@@ -446,9 +446,11 @@ def length_bucket_stats(docs: DataFrame, n_buckets: int = 10,
     lens = docs.select(F.size(word_tokens(F.col(text_col))).alias("tok"))
     ps = [i / n_buckets for i in range(1, n_buckets)]
     bounds = lens.agg(F.percentile("tok", F.lit(ps)).alias("bs"))
-    bucket = F.lit(1)
-    for i in range(len(ps)):
-        bucket = bucket + (F.col("tok") > F.col("bs")[i]).cast("int")
+    # width_bucket over the boundary array: 1 + #boundaries strictly
+    # below tok, coincident boundaries each counted (that is what puts
+    # ties in the highest qualifying bucket) — one array pass instead
+    # of the old n-1 unrolled comparisons (r5 ADVICE #8)
+    bucket = F.lit(1) + F.size(F.filter("bs", lambda b: F.col("tok") > b))
     return (lens.crossJoin(F.broadcast(bounds))
             .select(bucket.alias("bucket"), "tok")
             .groupBy("bucket")
