@@ -71,6 +71,55 @@ def dedup_minhash_lsh(spark, sf_dir):
                                      num_hashes=NUM_HASHES)
 
 
+INC_MOD = 10            # incremental batch = doc_id % INC_MOD == 0
+
+
+def dedup_incremental(spark, sf_dir):
+    """Increment-vs-corpus dedup — the production shape of exact
+    dedup: a NEW batch (docs with doc_id % INC_MOD == 0 stand in for
+    today's crawl) is checked against the accumulated corpus (the
+    rest) by text hash. Each new doc classifies as dup_of_corpus
+    (hash already in the corpus), dup_in_batch (fresh hash, but a
+    lower-id batch doc has it first), or unique. One 16-byte-hash
+    shuffle; the corpus side collapses to DISTINCT hashes before the
+    join, so join input is bounded by corpus hash cardinality, not
+    row count — at 100 TB the corpus leg is the persisted hash store
+    a daily pipeline maintains."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("h"))
+    batch = docs.filter(F.col("doc_id") % INC_MOD == 0)
+    corpus = (docs.filter(F.col("doc_id") % INC_MOD != 0)
+              .select("h").distinct().withColumn("in_corpus", F.lit(True)))
+    first = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    return (batch.join(corpus, "h", "left").join(first, "h")
+            .select("doc_id",
+                    F.when(F.col("in_corpus"), "dup_of_corpus")
+                    .when(F.col("doc_id") != F.col("first_id"),
+                          "dup_in_batch")
+                    .otherwise("unique").alias("status")))
+
+
+def dedup_source_overlap(spark, sf_dir):
+    """Source-overlap matrix: MinHash-LSH near-duplicate candidate
+    pairs rolled up by (unordered) source pair — the curation
+    dashboard showing WHICH sources duplicate each other (crawl
+    snapshot vs mirror, wiki dump vs scrape). Pair count plus the max
+    signature-agreement estimate per cell; max (not a float sum) so
+    the aggregate is order-free on every engine."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)    # doc_a, doc_b, est_jaccard
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"),
+                   F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"),
+                   F.col("source").alias("src_b"))
+    return (pairs.join(a, "doc_a").join(b, "doc_b")
+            .select(F.least("src_a", "src_b").alias("source_lo"),
+                    F.greatest("src_a", "src_b").alias("source_hi"),
+                    "est_jaccard")
+            .groupBy("source_lo", "source_hi")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.max("est_jaccard").alias("max_est_jaccard")))
+
+
 def dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
 
@@ -401,6 +450,20 @@ def text_pack_shards(spark, sf_dir):
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
     return scale.pack_shards(toks, "doc_id", "n_tokens", SHARD_BUDGET,
                              num_buckets=SHARD_BUCKETS)
+
+
+def text_shard_report(spark, sf_dir):
+    """Per-shard manifest over the packing layout: docs assigned, the
+    shard's starting offset, and the member-token sum (straddling docs
+    count toward the shard that STARTS them, so member sums can exceed
+    SHARD_BUDGET — the writer-side view of the concat-and-cut
+    layout). A bounded groupBy on shard_id — corpus_tokens/budget
+    groups."""
+    sh = text_pack_shards(spark, sf_dir)
+    return (sh.groupBy("shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("global_offset").alias("first_offset"),
+                 F.sum("n_tokens").alias("member_tokens")))
 
 
 def text_ngram_diversity(spark, sf_dir):
@@ -892,6 +955,30 @@ ORACLES = {
                len(list_filter(range(1, {NUM_HASHES}+1), i -> sig_a[i] = sig_b[i]))
                  / {float(NUM_HASHES)} AS est_jaccard
         FROM pairs""",
+    "dedup_incremental": f"""
+        WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        b AS (SELECT * FROM d WHERE doc_id % {INC_MOD} = 0),
+        c AS (SELECT DISTINCT h FROM d WHERE doc_id % {INC_MOD} <> 0),
+        f AS (SELECT h, MIN(doc_id) AS first_id FROM b GROUP BY 1)
+        SELECT b.doc_id,
+               CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                    WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+                    ELSE 'unique' END AS status
+        FROM b LEFT JOIN c ON b.h = c.h JOIN f ON b.h = f.h""",
+    "dedup_source_overlap": f"""
+        WITH {_MINHASH_CTES},
+        p AS (SELECT doc_a, doc_b,
+                     len(list_filter(range(1, {NUM_HASHES}+1),
+                                     i -> sig_a[i] = sig_b[i]))
+                       / {float(NUM_HASHES)} AS est_jaccard
+              FROM pairs),
+        s AS (SELECT doc_id, source FROM documents)
+        SELECT least(sa.source, sb.source) AS source_lo,
+               greatest(sa.source, sb.source) AS source_hi,
+               COUNT(*) AS n_pairs, MAX(est_jaccard) AS max_est_jaccard
+        FROM p JOIN s sa ON sa.doc_id = p.doc_a
+               JOIN s sb ON sb.doc_id = p.doc_b
+        GROUP BY 1, 2""",
     "dedup_simhash": f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
         th AS (SELECT doc_id,
@@ -1442,6 +1529,14 @@ ORACLES = {
 
 ORACLES["sim_topk_ivf_trained"] = _ivf_trained_oracle(KMEANS_ITERS)
 
+# shard manifest on top of the packing oracle (embedded verbatim)
+ORACLES["text_shard_report"] = f"""
+    WITH p AS ({ORACLES["text_pack_shards"]})
+    SELECT shard_id, COUNT(*) AS n_docs,
+           MIN(global_offset) AS first_offset,
+           CAST(SUM(n_tokens) AS BIGINT) AS member_tokens
+    FROM p GROUP BY 1"""
+
 # vote-agreement report: both pred legs embedded verbatim as CTEs so
 # the agreement definition cannot drift from the judged legs; NULL-safe
 # compare mirrors eqNullSafe (bucket-empty queries -> pred_ann NULL).
@@ -1674,6 +1769,15 @@ QUERIES = [
           "exact dedup via hash-groupBy (keeper + group size)"),
     Query("dedup_minhash_lsh", dedup_minhash_lsh, ORACLES["dedup_minhash_lsh"],
           "MinHash signatures + LSH banding -> candidate near-dup pairs"),
+    Query("dedup_incremental", dedup_incremental,
+          ORACLES["dedup_incremental"],
+          "increment-vs-corpus exact dedup (batch status per new doc)"),
+    Query("dedup_source_overlap", dedup_source_overlap,
+          ORACLES["dedup_source_overlap"],
+          "near-dup pair counts by unordered source pair (overlap matrix)"),
+    Query("text_shard_report", text_shard_report,
+          ORACLES["text_shard_report"],
+          "per-shard packing manifest (docs, start offset, member tokens)"),
     Query("dedup_simhash", dedup_simhash, ORACLES["dedup_simhash"],
           "SimHash 16-bit fingerprints (bitwise majority)"),
     Query("dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLES["dedup_ngram_jaccard"],

@@ -232,9 +232,10 @@ FAMILIES: dict[str, tuple[str, ...]] = {
              "q_rollup_status", "q_cube_status", "q_pivot_status",
              "q_set_ops", "q_sql_text_interface"),
     "join_layout": ("q_bucketed_join_priority", "q_salted_join_priority"),
-    "dedup_exact": ("dedup_exact", "dedup_quality_keeper"),
+    "dedup_exact": ("dedup_exact", "dedup_quality_keeper",
+                    "dedup_incremental"),
     "dedup_minhash": ("dedup_minhash_lsh", "dedup_ngram_jaccard",
-                      "dedup_jaccard_report"),
+                      "dedup_jaccard_report", "dedup_source_overlap"),
     "dedup_clusters": ("dedup_clusters",),
     "dedup_simhash": ("dedup_simhash", "dedup_simhash_pairs"),
     "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh"),
@@ -253,7 +254,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                      "text_length_buckets"),
     "text_fingerprint": ("text_fingerprint", "text_winnow"),
     "text_sampling": ("text_split_assign", "text_mixture_sample",
-                      "text_stratified_sample", "text_pack_shards"),
+                      "text_stratified_sample", "text_pack_shards",
+                      "text_shard_report"),
     "pii": ("text_pii_redact",),
     "curation": ("corpus_clean", "corpus_report"),
     "sketches_hll": ("sketch_hll_users", "sketch_hll_merge",
