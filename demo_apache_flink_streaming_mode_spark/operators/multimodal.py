@@ -238,22 +238,37 @@ def _encode_png(payload: bytes) -> bytes:
     scanlines run through the full adaptive filter set (row r uses
     filter r % 5, so None/Sub/Up/Average/Paeth all appear), the
     filtered stream is zlib-DEFLATEd into IDAT, and every chunk
-    carries its real CRC32."""
+    carries its real CRC32.
+
+    Filtering is numpy-vectorized: every prediction reads ORIGINAL
+    pixel values (unlike decode there is no sequential dependency),
+    so a/b/c are just shifted views of the pixel matrix."""
     import zlib
+
+    import numpy as np
     w = PNG_WIDTH
     h = (len(payload) + w - 1) // w
-    prev = bytes(w)
-    raw = bytearray()
-    for r in range(h):
-        row = payload[r * w:(r + 1) * w].ljust(w, b"\x00")
-        ft = r % 5
-        raw.append(ft)
-        for i in range(w):
-            a = row[i - 1] if i else 0
-            b, c = prev[i], (prev[i - 1] if i else 0)
-            pred = (0, a, b, (a + b) >> 1, _paeth(a, b, c))[ft]
-            raw.append((row[i] - pred) & 0xFF)
-        prev = row
+    if h:
+        px = np.frombuffer(payload.ljust(h * w, b"\x00"),
+                           dtype=np.uint8).reshape(h, w).astype(np.int16)
+        a = np.zeros_like(px)
+        a[:, 1:] = px[:, :-1]                       # left
+        b = np.zeros_like(px)
+        b[1:, :] = px[:-1, :]                       # up
+        c = np.zeros_like(px)
+        c[1:, 1:] = px[:-1, :-1]                    # up-left
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        paeth = np.where((pa <= pb) & (pa <= pc), a,
+                         np.where(pb <= pc, b, c))
+        preds = (np.zeros_like(px), a, b, (a + b) >> 1, paeth)
+        ft = (np.arange(h) % 5)
+        pred = np.choose(ft[:, None], preds)
+        filtered = ((px - pred) & 0xFF).astype(np.uint8)
+        raw = np.hstack([ft[:, None].astype(np.uint8),
+                         filtered]).tobytes()
+    else:
+        raw = b""
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         import zlib as _z
@@ -262,7 +277,7 @@ def _encode_png(payload: bytes) -> bytes:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IDAT", zlib.compress(raw, 6))
             + chunk(b"IEND", b""))
 
 
@@ -333,22 +348,37 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, int, bytes]:
     raw = zlib.decompress(idat)
     if len(raw) != h * (w + 1):
         raise ValueError("IDAT length != h*(w+1) scanlines")
-    px = bytearray()
-    prev = bytes(w)
+    import numpy as np
+    if h == 0:
+        return w, h, bd, ct, b""
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int16)
     for r in range(h):
-        ft = raw[r * (w + 1)]
-        if ft > 4:
+        ft = int(scan[r, 0])
+        line = scan[r, 1:].astype(np.int16)
+        # None/Sub/Up reconstruct vectorized (Sub's left-to-right
+        # carry is a plain prefix sum mod 256); Average/Paeth read the
+        # RECONSTRUCTED left neighbor through a nonlinear predictor,
+        # so those rows walk pixel-by-pixel
+        if ft == 0:
+            rec = line
+        elif ft == 1:
+            rec = np.cumsum(line) & 0xFF
+        elif ft == 2:
+            rec = (line + prev) & 0xFF
+        elif ft in (3, 4):
+            rec = np.zeros(w, dtype=np.int16)
+            for i in range(w):
+                a = int(rec[i - 1]) if i else 0
+                b, c = int(prev[i]), (int(prev[i - 1]) if i else 0)
+                pred = (a + b) >> 1 if ft == 3 else _paeth(a, b, c)
+                rec[i] = (int(line[i]) + pred) & 0xFF
+        else:
             raise ValueError(f"bad PNG filter type {ft}")
-        line = raw[r * (w + 1) + 1:(r + 1) * (w + 1)]
-        rec = bytearray()
-        for i in range(w):
-            a = rec[i - 1] if i else 0
-            b, c = prev[i], (prev[i - 1] if i else 0)
-            pred = (0, a, b, (a + b) >> 1, _paeth(a, b, c))[ft]
-            rec.append((line[i] + pred) & 0xFF)
-        px += rec
-        prev = bytes(rec)
-    return w, h, bd, ct, bytes(px)
+        out[r] = rec.astype(np.uint8)
+        prev = rec.astype(np.int16)
+    return w, h, bd, ct, out.tobytes()
 
 
 AVI_SCHEMA = ("doc_id bigint, frame_idx int, n_frames int, width int, "
