@@ -115,6 +115,87 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
                     .alias("sig")))
 
 
+def _band_table(signatures: DataFrame, bands: int,
+                rows_per_band: int) -> DataFrame:
+    """(doc_id, sig, band, band_hash): one row per (doc, band), the LSH
+    index shape shared by the self-join, the increment-vs-corpus probe,
+    and the streaming near-dup form. Stateless expressions only."""
+    return signatures.select(
+        "doc_id", "sig",
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws("|", *[
+                F.col("sig")[b * rows_per_band + r]
+                for r in range(rows_per_band)
+            ])) for b in range(bands)
+        ])).alias("band", "band_hash"),
+    )
+
+
+def minhash_signature_stateless(docs: DataFrame, text_col: str = "text",
+                                shingle_n: int = 3,
+                                num_hashes: int = 8) -> DataFrame:
+    """``minhash_signature`` as a PURE per-row expression: the mins
+    fold over the in-row shingle array instead of explode + groupBy.
+
+    Bit-identical output (same md5 hash math over the same distinct
+    shingle set — parity-tested), but one row in -> one row out with
+    NO aggregation, which is what an APPEND-mode stream needs: the
+    batch formulation's groupBy would be an unbounded keyed streaming
+    aggregate. Batch pipelines should keep ``minhash_signature``
+    (map-side-combinable partial mins beat the per-row O(grams *
+    num_hashes) fold when docs are large).
+    """
+    grams = F.array_distinct(
+        word_shingles(word_tokens(F.col(text_col)), shingle_n))
+
+    # closure factory, NOT `lambda g, i=i:` — a 2-arg transform lambda
+    # would receive the array INDEX as its second argument, silently
+    # shadowing the hash-row number (the documented HOF-arity gotcha)
+    def _min_hash(i: int) -> Column:
+        return F.array_min(F.transform(
+            grams,
+            lambda g: hex_to_long(F.md5(F.concat(F.lit(f"{i}:"), g)))))
+
+    sig = F.array(*[_min_hash(i) for i in range(num_hashes)])
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def lsh_candidates_against(new_sigs: DataFrame, corpus_sigs: DataFrame,
+                           bands: int = 4, rows_per_band: int = 2,
+                           num_hashes: int | None = None) -> DataFrame:
+    """Increment-vs-corpus LSH: candidate (new doc, corpus doc) pairs —
+    a NEW batch's signatures probed against the standing corpus's band
+    table, the near-dup analog of exact incremental dedup. At 100 TB
+    the corpus band table is the persisted LSH index a daily pipeline
+    maintains; each day ships one band-equi-join of the increment
+    against it, never a corpus self-join. The probe is stateless
+    expressions + an equi join, so the SAME dataflow runs stream-static
+    (``streaming.pipelines.near_dup_stream``).
+
+    Output: (doc_id, corpus_doc_id, est_jaccard) — one row per
+    candidate pair, est as in ``lsh_candidate_pairs``.
+    """
+    if num_hashes is not None and num_hashes != bands * rows_per_band:
+        raise ValueError(
+            f"banding {bands}x{rows_per_band} does not cover a "
+            f"{num_hashes}-hash signature")
+    a = _band_table(new_sigs, bands, rows_per_band).alias("a")
+    b = (_band_table(corpus_sigs, bands, rows_per_band)
+         .hint("shuffle_hash").alias("b"))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y), lambda e: e))
+           / F.size("sig_a").cast("double"))
+    scored = (a.join(b, ["band", "band_hash"])
+              .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+              .select(F.col("a.doc_id").alias("doc_id"),
+                      F.col("b.doc_id").alias("corpus_doc_id"),
+                      F.col("a.sig").alias("sig_a"),
+                      F.col("b.sig").alias("sig_b"))
+              .select("doc_id", "corpus_doc_id", est.alias("est_jaccard")))
+    return (scored.groupBy("doc_id", "corpus_doc_id")
+            .agg(F.min("est_jaccard").alias("est_jaccard")))
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
                         rows_per_band: int = 2,
                         num_hashes: int | None = None) -> DataFrame:
@@ -135,14 +216,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
         raise ValueError(
             f"banding {bands}x{rows_per_band} does not cover a "
             f"{num_hashes}-hash signature")
-    banded = signatures.select(
-        "doc_id", "sig",
-        F.posexplode(F.array(*[
-            F.md5(F.concat_ws("|", *[
-                F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)
-            ])) for b in range(bands)
-        ])).alias("band", "band_hash"),
-    )
+    banded = _band_table(signatures, bands, rows_per_band)
     # the bucket self-join MUST be a shuffle join: both sides grow with
     # the corpus, and Catalyst's size estimate after a Generate is
     # unreliable (it would happily broadcast the exploded side through

@@ -98,6 +98,24 @@ def dedup_incremental(spark, sf_dir):
                     .otherwise("unique").alias("status")))
 
 
+def dedup_incremental_near(spark, sf_dir):
+    """Increment-vs-corpus NEAR dedup: the new batch (doc_id %
+    INC_MOD == 0) MinHash-probed against the standing corpus's LSH
+    band index (operators.dedup.lsh_candidates_against) — the near-dup
+    counterpart of dedup_incremental, and the batch twin of the
+    streaming probe (streaming.pipelines.near_dup_stream,
+    parity-tested). One band equi-join of increment x corpus, never a
+    corpus self-join."""
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signature(docs, shingle_n=SHINGLE_N,
+                                  num_hashes=NUM_HASHES)
+    new = sigs.filter(F.col("doc_id") % INC_MOD == 0)
+    corpus = sigs.filter(F.col("doc_id") % INC_MOD != 0)
+    return dedup.lsh_candidates_against(new, corpus, bands=BANDS,
+                                        rows_per_band=ROWS_PER_BAND,
+                                        num_hashes=NUM_HASHES)
+
+
 def dedup_source_overlap(spark, sf_dir):
     """Source-overlap matrix: MinHash-LSH near-duplicate candidate
     pairs rolled up by (unordered) source pair — the curation
@@ -965,6 +983,19 @@ ORACLES = {
                     WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
                     ELSE 'unique' END AS status
         FROM b LEFT JOIN c ON b.h = c.h JOIN f ON b.h = f.h""",
+    "dedup_incremental_near": f"""
+        WITH {_MINHASH_CTES},
+        np AS (
+          SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_doc_id,
+                          a.sig AS sig_a, b.sig AS sig_b
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.band_hash = b.band_hash
+           AND a.doc_id % {INC_MOD} = 0 AND b.doc_id % {INC_MOD} <> 0)
+        SELECT doc_id, corpus_doc_id,
+               len(list_filter(range(1, {NUM_HASHES}+1),
+                               i -> sig_a[i] = sig_b[i]))
+                 / {float(NUM_HASHES)} AS est_jaccard
+        FROM np""",
     "dedup_source_overlap": f"""
         WITH {_MINHASH_CTES},
         p AS (SELECT doc_a, doc_b,
@@ -1772,6 +1803,9 @@ QUERIES = [
     Query("dedup_incremental", dedup_incremental,
           ORACLES["dedup_incremental"],
           "increment-vs-corpus exact dedup (batch status per new doc)"),
+    Query("dedup_incremental_near", dedup_incremental_near,
+          ORACLES["dedup_incremental_near"],
+          "increment-vs-corpus MinHash-LSH near-dup probe"),
     Query("dedup_source_overlap", dedup_source_overlap,
           ORACLES["dedup_source_overlap"],
           "near-dup pair counts by unordered source pair (overlap matrix)"),

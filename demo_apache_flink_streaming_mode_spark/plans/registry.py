@@ -235,7 +235,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "dedup_exact": ("dedup_exact", "dedup_quality_keeper",
                     "dedup_incremental"),
     "dedup_minhash": ("dedup_minhash_lsh", "dedup_ngram_jaccard",
-                      "dedup_jaccard_report", "dedup_source_overlap"),
+                      "dedup_jaccard_report", "dedup_source_overlap",
+                      "dedup_incremental_near"),
     "dedup_clusters": ("dedup_clusters",),
     "dedup_simhash": ("dedup_simhash", "dedup_simhash_pairs"),
     "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh"),

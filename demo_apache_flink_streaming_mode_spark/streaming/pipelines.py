@@ -91,6 +91,47 @@ def dedup_stream(df: DataFrame, keys: list[str], ts: str | None = None,
     return df.dropDuplicates(keys)
 
 
+def near_dup_stream(docs: DataFrame, corpus_sigs: DataFrame,
+                    shingle_n: int = 3, num_hashes: int = 8,
+                    bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Online NEAR-duplicate detection: each arriving document is
+    MinHash-signed and its LSH bands probed against the STATIC corpus
+    band index — the streaming form of
+    ``operators.dedup.lsh_candidates_against`` (the daily-increment
+    probe), running per record instead of per batch.
+
+    Append-safe by construction: the signature is the STATELESS
+    per-row fold (``minhash_signature_stateless`` — the batch
+    explode+groupBy formulation would be an unbounded streaming
+    aggregate), the band explode is a generator, and the probe is a
+    stream-static equi join (re-resolved per micro-batch, like
+    ``anomaly_stream``'s stats side). Emits one row per (doc, corpus
+    doc, band) match — downstream consumers dedup per pair exactly as
+    the batch operator's final groupBy does; doing that dedup here
+    would mean unbounded pair-keyed state.
+
+    Output: (doc_id, corpus_doc_id, band, est_jaccard).
+    """
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        _band_table, minhash_signature_stateless)
+    sigs = minhash_signature_stateless(docs, shingle_n=shingle_n,
+                                       num_hashes=num_hashes)
+    a = _band_table(sigs, bands, rows_per_band).alias("a")
+    b = _band_table(corpus_sigs, bands, rows_per_band).alias("b")
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y), lambda e: e))
+           / F.size("sig_a").cast("double"))
+    return (a.join(b, ["band", "band_hash"])
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("b.doc_id").alias("corpus_doc_id"),
+                    "band",
+                    F.col("a.sig").alias("sig_a"),
+                    F.col("b.sig").alias("sig_b"))
+            .select("doc_id", "corpus_doc_id", "band",
+                    est.alias("est_jaccard")))
+
+
 def window_join(left: DataFrame, right: DataFrame, key: str, ts: str,
                 width: str, delay: str, how: str = "inner") -> DataFrame:
     """J1 streaming — tumbling-window equi-join of two streams.

@@ -860,6 +860,57 @@ def test_text_quality_pipeline_streaming_parity(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_near_dup_stream_parity(spark, sf_dir, tmp_path):
+    """Online near-dup detection: documents streamed through the
+    stateless MinHash + LSH band probe against a static corpus index
+    must flag exactly the pairs the batch increment-vs-corpus operator
+    flags (per-pair dedup applied downstream, as documented)."""
+    from demo_apache_flink_streaming_mode_spark.operators import dedup
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        BANDS, INC_MOD, NUM_HASHES, ROWS_PER_BAND, SHINGLE_N)
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+    from pyspark.sql.types import StructType
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % INC_MOD == 0)
+    corpus_sigs = dedup.minhash_signature(
+        docs.filter(F.col("doc_id") % INC_MOD != 0),
+        shingle_n=SHINGLE_N, num_hashes=NUM_HASHES)
+
+    d = str(tmp_path / "new_docs")
+    new.coalesce(2).write.mode("overwrite").json(d)
+    schema = StructType([docs.schema["doc_id"], docs.schema["text"]])
+    stream = sources.file_stream(spark, d + "/part-*", schema, fmt="json")
+    _drain(pipelines.near_dup_stream(
+        stream, corpus_sigs, shingle_n=SHINGLE_N, num_hashes=NUM_HASHES,
+        bands=BANDS, rows_per_band=ROWS_PER_BAND), "t_ndup")
+    got = {(r["doc_id"], r["corpus_doc_id"]): r["est_jaccard"]
+           for r in spark.table("t_ndup").collect()}  # min == the value
+    want = {(r["doc_id"], r["corpus_doc_id"]): r["est_jaccard"]
+            for r in dedup.lsh_candidates_against(
+                dedup.minhash_signature(new, shingle_n=SHINGLE_N,
+                                        num_hashes=NUM_HASHES),
+                corpus_sigs, bands=BANDS, rows_per_band=ROWS_PER_BAND,
+                num_hashes=NUM_HASHES).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_minhash_stateless_equals_batch(spark, sf_dir):
+    """The per-row fold signature (append-mode streaming form) is
+    bit-identical to the explode+groupBy batch signature on every
+    document — the equivalence near_dup_stream's correctness rests
+    on."""
+    from demo_apache_flink_streaming_mode_spark.operators import dedup
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {r["doc_id"]: r["sig"]
+           for r in dedup.minhash_signature_stateless(docs).collect()}
+    want = {r["doc_id"]: r["sig"]
+            for r in dedup.minhash_signature(docs).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_upsert_state_parity(spark, batch_events, stream_events):
     """Changelog upsert stream (Flink dynamic-table analog): the FINAL
     update-mode emission per key — payload, n_changes, tombstone flag —
