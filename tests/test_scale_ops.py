@@ -808,3 +808,60 @@ def test_aqe_skew_join_split_fires(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_pack_shards_budget_larger_than_corpus(spark):
+    """A budget above the total weight puts everything in shard 0 —
+    the degenerate small-corpus case a report pipeline still hits."""
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        pack_shards)
+    df = spark.createDataFrame([(1, 5), (2, 7), (3, 2)], "id long, w long")
+    rows = pack_shards(df, "id", "w", budget=1000, num_buckets=4).collect()
+    assert {r.shard_id for r in rows} == {0}
+    offs = sorted((r.global_offset, r.w) for r in rows)
+    assert offs[0][0] == 0 and all(
+        offs[i + 1][0] == offs[i][0] + offs[i][1] for i in range(len(offs) - 1))
+
+
+def test_cms_heavy_hitters_k_exceeds_vocab(spark):
+    """k larger than the vocabulary returns every term exactly once,
+    ranks contiguous from 1 — the top-k never fabricates rows."""
+    from demo_apache_flink_streaming_mode_spark.operators.sketches import (
+        cms_heavy_hitters)
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c b")], "doc_id long, text string")
+    rows = sorted(cms_heavy_hitters(docs, k=100).collect(),
+                  key=lambda r: r.est_rank)
+    assert [r.term for r in rows] != [] and len(rows) == 3
+    assert [r.est_rank for r in rows] == [1, 2, 3]
+    assert all(r.overcount >= 0 and r.cms_est >= r.true_cnt for r in rows)
+
+
+def test_lsh_candidates_against_validates_banding(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        lsh_candidates_against)
+    sigs = spark.createDataFrame([(1, [1, 2, 3, 4])],
+                                 "doc_id long, sig array<long>")
+    with pytest.raises(ValueError, match="does not cover"):
+        lsh_candidates_against(sigs, sigs, bands=3, rows_per_band=2,
+                               num_hashes=4)
+
+
+def test_lsh_candidates_against_excludes_self_and_finds_dups(spark):
+    """A new doc identical to a corpus doc is flagged with est 1.0;
+    sharing an id with a corpus doc never yields a self-pair."""
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        lsh_candidates_against, minhash_signature)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different document about spark engines"),
+         (3, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    sigs = minhash_signature(docs)
+    new = sigs.filter(F.col("doc_id") == 3)
+    corpus = sigs.filter(F.col("doc_id") < 3)
+    rows = lsh_candidates_against(new, corpus, bands=4, rows_per_band=2,
+                                  num_hashes=8).collect()
+    got = {(r.doc_id, r.corpus_doc_id): r.est_jaccard for r in rows}
+    assert got.get((3, 1)) == 1.0          # exact text twin flagged
+    assert (3, 3) not in got and (3, 2) not in got
