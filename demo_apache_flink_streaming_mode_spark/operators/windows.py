@@ -86,6 +86,28 @@ def session_stats(df: DataFrame, ts: str, gap: str, key: str) -> DataFrame:
             .select(key, F.col("min_ts").alias("session_start"), "n", "min_ts", "max_ts"))
 
 
+def dynamic_session_stats(df: DataFrame, ts: str, key: str,
+                          gap: Column) -> DataFrame:
+    """A13 — session windows with a PER-RECORD gap (Flink
+    ``SessionWindows.withDynamicGap`` / ``SessionWindowTimeGapExtractor``,
+    the dynamic-session feature of ``chapter3/About Windowing.md``):
+    each event holds its session open for its OWN gap — e.g. an error
+    event keeps the session alive longer than a click. Spark-first:
+    native ``session_window(ts, gap_expr)`` builds the per-event
+    [ts, ts+gap) interval and merges overlaps, batch (hash agg) and
+    streaming (state store) alike; a session closes when the next
+    event starts at-or-after the running max of prior interval ends.
+
+    Same output shape as ``session_stats``.
+    """
+    return (df.groupBy(key, F.session_window(ts, gap).alias("w"))
+            .agg(F.count("*").alias("n"),
+                 F.min(epoch_ms(F.col(ts))).alias("min_ts"),
+                 F.max(epoch_ms(F.col(ts))).alias("max_ts"))
+            .select(key, F.col("min_ts").alias("session_start"), "n",
+                    "min_ts", "max_ts"))
+
+
 def keyed_agg(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     """A1+A7 — plain keyed aggregation (sum/min/max/count in one pass)."""
     return (df.groupBy(*keys)

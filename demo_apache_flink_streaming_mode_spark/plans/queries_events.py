@@ -96,6 +96,28 @@ def a6_session_stats(spark, sf_dir):
     return windows.session_stats(_events(spark, sf_dir), "ts", "6 hours", "user_id")
 
 
+A13_ERROR_GAP_MS = 10 * 3_600_000   # error events hold sessions 10h
+A13_BASE_GAP_MS = 4 * 3_600_000     # everything else 4h
+
+
+def a13_dynamic_session(spark, sf_dir):
+    """Per-record session gap (Flink SessionWindows.withDynamicGap):
+    an error event keeps the user's session open for 10 hours, any
+    other event for 4 — the session survives long silences after a
+    failure but closes quickly in normal traffic. Native
+    session_window(ts, gap_expr); the oracle reproduces the interval
+    merge with a running max of per-event interval ends (a plain lag
+    is wrong under variable gaps: an old long-gap event can span past
+    its successors)."""
+    # session_window wants CalendarIntervalType: interval-string
+    # literals cast there; DayTimeIntervalType (INTERVAL 10 HOURS
+    # expressions) is rejected
+    gap = (F.when(F.col("event_type") == "error", F.lit("10 hours"))
+           .otherwise(F.lit("4 hours")).cast("interval"))
+    return windows.dynamic_session_stats(_events(spark, sf_dir), "ts",
+                                         "user_id", gap)
+
+
 def a7_keyed_agg(spark, sf_dir):
     return windows.keyed_agg(_events(spark, sf_dir), ["user_id", "event_type"], "value")
 
@@ -524,6 +546,33 @@ ORACLES = {
         SELECT user_id, MIN(ms) AS session_start, COUNT(*) AS n,
                MIN(ms) AS min_ts, MAX(ms) AS max_ts
         FROM s GROUP BY user_id, sess""",
+    "a13_dynamic_session": f"""
+        WITH o AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                 CASE WHEN event_type = 'error' THEN {A13_ERROR_GAP_MS}
+                      ELSE {A13_BASE_GAP_MS} END AS gap
+          FROM events),
+        e AS (
+          SELECT user_id, event_id, ms,
+                 MAX(ms + gap) OVER (PARTITION BY user_id
+                                     ORDER BY ms, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS prev_end
+          FROM o),
+        f AS (
+          SELECT user_id, event_id, ms,
+                 CASE WHEN prev_end IS NULL OR ms >= prev_end
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+        s AS (
+          SELECT user_id, ms,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ms, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+          FROM f)
+        SELECT user_id, MIN(ms) AS session_start, COUNT(*) AS n,
+               MIN(ms) AS min_ts, MAX(ms) AS max_ts
+        FROM s GROUP BY user_id, sess""",
     "a7_keyed_agg": """
         SELECT user_id, event_type, count(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
@@ -838,6 +887,9 @@ QUERIES = [
           "A5 sliding window count/min/max (WindowOperations.java:85-100)"),
     Query("a6_session_stats", a6_session_stats, ORACLES["a6_session_stats"],
           "A6 session window aggregate (WindowOperations.java:124-138)"),
+    Query("a13_dynamic_session", a13_dynamic_session,
+          ORACLES["a13_dynamic_session"],
+          "per-record session gap (Flink SessionWindows.withDynamicGap)"),
     Query("a7_keyed_agg", a7_keyed_agg, ORACLES["a7_keyed_agg"],
           "A1/A7 keyed multi-aggregate (reduce lambdas -> built-in aggs)"),
     Query("j1_window_join", j1_window_join, ORACLES["j1_window_join"],

@@ -208,7 +208,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "core_windows": ("a2_running_total", "a3_tumbling_count_global",
                      "a4_tumbling_count_keyed", "a5_sliding_stats",
                      "a6_session_stats", "a7_keyed_agg",
-                     "a9_value_histogram", "a10_moving_avg"),
+                     "a9_value_histogram", "a10_moving_avg",
+                     "a13_dynamic_session"),
     "count_windows": ("a11_count_window", "a12_sliding_count_window"),
     "keyed_state": ("st1_repeat_action_alert", "st2_action_durations",
                     "a8_state_intervals", "w3_late_classify"),

@@ -105,6 +105,23 @@ def test_session_stats_parity(spark, batch_events, stream_events):
     assert got == want
 
 
+def test_dynamic_session_parity(spark, batch_events, stream_events):
+    """A13: per-record session gaps (Flink withDynamicGap analog) run
+    as the SAME session_window expressions on the stream; the merged
+    sessions must match the batch result exactly — including merges
+    driven by a long-gap event spanning past its successors."""
+    gap = (F.when(F.col("event_type") == "error", F.lit("10 hours"))
+           .otherwise(F.lit("4 hours")).cast("interval"))
+    _drain(windows.dynamic_session_stats(stream_events, "ts", "user_id",
+                                         gap),
+           "t_a13", mode="complete")
+    got = _rows(spark.table("t_a13"), "user_id", "session_start")
+    want = _rows(windows.dynamic_session_stats(batch_events, "ts",
+                                               "user_id", gap),
+                 "user_id", "session_start")
+    assert got == want and len(got) > 0
+
+
 def test_running_total_update_mode(spark, batch_events, stream_events):
     """A2: last update per key == the key's batch total."""
     _drain(pipelines.running_total(stream_events, "user_id", "value"),
