@@ -865,3 +865,24 @@ def test_lsh_candidates_against_excludes_self_and_finds_dups(spark):
     got = {(r.doc_id, r.corpus_doc_id): r.est_jaccard for r in rows}
     assert got.get((3, 1)) == 1.0          # exact text twin flagged
     assert (3, 3) not in got and (3, 2) not in got
+
+
+def test_dynamic_session_long_gap_spans_past_successors(spark):
+    """The a13 oracle merges sessions with a RUNNING MAX of per-event
+    interval ends; pin that this matches Spark's session_window on the
+    constructed case where the rule differs from a plain lag: a
+    long-gap event at t=0 (end 100) followed by a short-gap event at
+    t=10 (end 20) must still absorb an event at t=50 — under lag
+    semantics t=50 would wrongly start a new session (50 >= 20)."""
+    from demo_apache_flink_streaming_mode_spark.operators.windows import (
+        dynamic_session_stats)
+    rows = [(1, 0, "long"), (1, 10_000, "short"), (1, 50_000, "short"),
+            (1, 200_000, "short")]  # 200s: past 0+100s -> new session
+    df = spark.createDataFrame(rows, "user_id long, ms long, kind string") \
+        .select("user_id", "kind",
+                F.timestamp_millis(F.col("ms")).alias("ts"))
+    gap = (F.when(F.col("kind") == "long", F.lit("100 seconds"))
+           .otherwise(F.lit("10 seconds")).cast("interval"))
+    got = sorted((r.session_start, r.n) for r in
+                 dynamic_session_stats(df, "ts", "user_id", gap).collect())
+    assert got == [(0, 3), (200_000, 1)]
