@@ -13,14 +13,19 @@ parsing (``wav_decode_features``), images via ``struct`` BMP/DIB
 parsing (``bmp_decode_features``: file header, BITMAPINFOHEADER,
 palette, bottom-up padded rows), video via ``struct`` RIFF/AVI chunk
 walking (``avi_decode_frames``: hdrl/avih header, movi '00db' frame
-chunks, even-byte padding). Images additionally have a REAL
-COMPRESSED path: PNG via stdlib ``zlib`` (``png_decode_features``:
-chunk walk + CRC32 verification, DEFLATE decompression, full
-five-filter scanline reconstruction). Remaining compressed formats
-(JPEG/H.264/MP3) need codec libraries not present in this container,
-so the generic ``decode_features``/``resize_media``/``sample_frames``
-kernels keep their ``codec="fake"`` deterministic byte-math path and
-raise NotImplementedError for ``codec="real"``. Everything around the
+chunks, even-byte padding). Images additionally have TWO REAL
+COMPRESSED paths: lossless PNG via stdlib ``zlib``
+(``png_decode_features``: chunk walk + CRC32 verification, DEFLATE
+decompression, full five-filter scanline reconstruction) and lossy
+baseline JPEG built from scratch on stdlib ``struct`` + numpy
+(``jpeg_decode_features``: per-block DCT, quantization, zigzag +
+DC-differential RLE, Annex-K standard-table Huffman entropy coding,
+0xFF byte stuffing — with a provable reconstruction-error bound).
+Remaining compressed formats (H.264/MP3) need codec libraries not
+present in this container, so the generic
+``decode_features``/``resize_media``/``sample_frames`` kernels keep
+their ``codec="fake"`` deterministic byte-math path and raise
+NotImplementedError for ``codec="real"``. Everything around the
 kernels — binary ingest, chunk manifest, Arrow batching, output
 schemas — is real.
 """
@@ -543,3 +548,389 @@ def sample_frames(media: DataFrame, frame_bytes: int = 1024,
                                 "frame": frames, "n_frames": totals})
 
     return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+# --- JPEG: real lossy transform codec, pure stdlib + numpy ----------------
+
+JPEG_W = 32          # pixels per row in the JPEG containerization (8|32)
+# Quantization table: DC step 1, every AC step 2.  The AC step of 2 is
+# what makes the worst case provable: an orthonormal-DCT coefficient of
+# an 8x8 block with pixels in [-128,127] can reach +-1024, and the
+# standard Annex K AC Huffman table tops out at magnitude category 10
+# (|v| <= 1023) -- step 2 halves the quantized range to +-512, category
+# 10 always suffices, for ANY input bytes.
+JPEG_Q_DC, JPEG_Q_AC = 1, 2
+# Provable reconstruction bound (see jpeg_decode_features docstring):
+# |err| <= q_ac/2 * (sum_u c(u))^2 - (q_ac - q_dc)/2 * c(0)^2 + 0.5
+#       =  1.0 * 3.8536^2 - 0.0625 + 0.5  ~= 15.3  < 16
+JPEG_ERR_BOUND = 16
+
+JPEG_SCHEMA = ("doc_id bigint, width int, height int, n_px bigint, "
+               "n_blocks int, err_le_16 boolean")
+
+# JPEG zigzag scan order (ISO/IEC 10918-1 Figure 5): natural index of
+# each zigzag position.
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+# Standard luminance Huffman tables (ISO/IEC 10918-1 Annex K.3): the
+# (BITS, HUFFVAL) pairs embedded verbatim in the DHT segments, so the
+# decoder reconstructs its codes from the stream, not from these
+# constants.
+_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALS = tuple(range(12))
+_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA)
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman codes from a (BITS, HUFFVAL) pair
+    (ISO/IEC 10918-1 Annex C): symbol -> (code, length)."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    """Orthonormal 8-point DCT-II matrix == the JPEG FDCT normalization
+    ((1/2)C(u) with C(0)=1/sqrt(2) folds into the same scaling)."""
+    import numpy as np
+    i = np.arange(8)
+    t = np.cos((2 * i[None, :] + 1) * i[:, None] * np.pi / 16) / 2.0
+    t[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return t
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)   # stuffing: literal FF in scan data
+        self.acc &= (1 << self.nbits) - 1
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.put(0xFF, 8 - self.nbits)  # 1-pad the final byte
+        return bytes(self.buf)
+
+
+def _jpeg_dims(n: int) -> tuple[int, int]:
+    """(width, height) of the containerized image: rows of JPEG_W,
+    height rounded up to a whole number of 8-px block rows."""
+    rows = (n + JPEG_W - 1) // JPEG_W
+    return JPEG_W, ((rows + 7) // 8) * 8
+
+
+def _encode_jpeg(payload: bytes) -> bytes:
+    """Containerize payload bytes as a REAL baseline JPEG (JFIF): 8-bit
+    grayscale, one byte per pixel in rows of JPEG_W (zero-padded to a
+    whole block grid), forward DCT per 8x8 block, quantization (DC step
+    1 / AC step 2), zigzag + DC-differential run-length coding, and
+    Annex K standard-table Huffman entropy coding with 0xFF byte
+    stuffing.  The DCT over all blocks is one numpy einsum; only the
+    entropy coder walks blocks in Python.
+    """
+    import numpy as np
+    w, h = _jpeg_dims(len(payload))
+    nb = (w // 8) * (h // 8)
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+
+    quant = np.full(64, JPEG_Q_AC, dtype=np.int32)
+    quant[0] = JPEG_Q_DC
+
+    writer = _BitWriter()
+    if nb:
+        px = np.frombuffer(payload.ljust(h * w, b"\x00"), dtype=np.uint8)
+        blocks = (px.reshape(h // 8, 8, w // 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(nb, 8, 8)
+                    .astype(np.float64) - 128.0)
+        t = _dct_matrix()
+        coef = np.einsum("ui,nij,vj->nuv", t, blocks, t)
+        zz = np.rint(coef.reshape(nb, 64)[:, _ZIGZAG]
+                     / quant[list(_ZIGZAG)]).astype(np.int64)
+
+        prev_dc = 0
+        for b in range(nb):
+            row = zz[b]
+            diff = int(row[0]) - prev_dc
+            prev_dc = int(row[0])
+            size = diff.bit_length() if diff else 0
+            code, ln = dc_codes[size]
+            writer.put(code, ln)
+            if size:
+                writer.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(row[1:])[0]) + 1) \
+                if np.any(row[1:]) else 0
+            for k in range(1, last_nz + 1):
+                v = int(row[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]      # ZRL: 16 zeros
+                    writer.put(code, ln)
+                    run -= 16
+                size = v.bit_length() if v > 0 else (-v).bit_length()
+                code, ln = ac_codes[(run << 4) | size]
+                writer.put(code, ln)
+                writer.put(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]          # EOB
+                writer.put(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(quant[z]) for z in _ZIGZAG))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = (seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0]))
+    return (b"\xFF\xD8" + app0 + dqt + sof + dht + sos
+            + writer.done() + b"\xFF\xD9")
+
+
+class _BitReader:
+    """MSB-first bit reader over JPEG scan data with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if not self.nbits:
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1          # stuffed literal FF
+                else:
+                    raise ValueError("unexpected marker inside scan data")
+            self.acc, self.nbits = byte, 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan data")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG magnitude-category sign extension (F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg(blob: bytes):
+    """Real baseline JPEG decode, factored out so tests can drive it on
+    corrupted streams directly: marker walk (SOI/APP0/DQT/SOF0/DHT/SOS),
+    Huffman tables rebuilt from the DHT segments, entropy decode with
+    byte unstuffing, dequantization, de-zigzag, and one vectorized
+    inverse DCT over all blocks.  Returns (width, height, pixels) with
+    pixels a (h, w) uint8 ndarray."""
+    import numpy as np
+    if blob[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    quant = None
+    w = h = None
+    dc_tab: dict = {}
+    ac_tab: dict = {}
+    scan_at = None
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = struct.unpack_from(">H", blob, pos)[0]
+        if marker == 0xFFD9:
+            break
+        ln = struct.unpack_from(">H", blob, pos + 2)[0]
+        body = blob[pos + 4:pos + 2 + ln]
+        if marker == 0xFFDB:
+            if body[0] != 0x00:
+                raise ValueError("only 8-bit quant table 0 supported")
+            q = np.zeros(64, dtype=np.int32)
+            for zzi, natural in enumerate(_ZIGZAG):
+                q[natural] = body[1 + zzi]
+            quant = q
+        elif marker == 0xFFC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1 or body[7] != 0x11:
+                raise ValueError("only 8-bit single-component 1x1 baseline")
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("non-baseline JPEG (progressive/extended)")
+        elif marker == 0xFFC4:
+            at = 0
+            while at < len(body):
+                cls, tid = body[at] >> 4, body[at] & 0x0F
+                bits = body[at + 1:at + 17]
+                nvals = sum(bits)
+                vals = body[at + 17:at + 17 + nvals]
+                tab = {}
+                code = 0
+                vi = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        tab[(length, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                if tid != 0:
+                    raise ValueError("only table id 0 supported")
+                if cls == 0:
+                    dc_tab = tab
+                else:
+                    ac_tab = tab
+                at += 17 + nvals
+        elif marker == 0xFFDA:
+            scan_at = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if quant is None or w is None or scan_at is None:
+        raise ValueError("incomplete JPEG header")
+    nb = (w // 8) * (h // 8)
+    if nb == 0:
+        return w, h, np.zeros((h, w), dtype=np.uint8)
+    reader = _BitReader(blob, scan_at)
+    zz = np.zeros((nb, 64), dtype=np.float64)
+    prev_dc = 0
+    for b in range(nb):
+        size = _huff_decode(reader, dc_tab)
+        prev_dc += _extend(reader.bits(size), size) if size else 0
+        zz[b, 0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _huff_decode(reader, ac_tab)
+            if sym == 0x00:            # EOB
+                break
+            if sym == 0xF0:            # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            zz[b, k] = _extend(reader.bits(size), size)
+            k += 1
+    coef = np.zeros((nb, 64), dtype=np.float64)
+    coef[:, list(_ZIGZAG)] = zz
+    coef = (coef * quant[None, :].astype(np.float64)).reshape(nb, 8, 8)
+    t = _dct_matrix()
+    blocks = np.einsum("ui,nuv,vj->nij", t, coef, t) + 128.0
+    px = np.clip(np.rint(blocks), 0, 255).astype(np.uint8)
+    out = (px.reshape(h // 8, w // 8, 8, 8)
+             .transpose(0, 2, 1, 3)
+             .reshape(h, w))
+    return w, h, out
+
+
+def jpeg_decode_features(media: DataFrame) -> DataFrame:
+    """REAL LOSSY image decode, pure stdlib + numpy: baseline JPEG.
+
+    Extends the compressed-format coverage past PNG's lossless DEFLATE
+    to a real *transform* codec: each payload is containerized as an
+    8-bit grayscale baseline JFIF (``_encode_jpeg``: per-block forward
+    DCT, DC-step-1/AC-step-2 quantization, zigzag + DC-differential
+    RLE, Annex-K standard-table Huffman coding, 0xFF stuffing) and
+    decoded back the real way (``_decode_jpeg``: marker walk, Huffman
+    tables rebuilt from the stream's own DHT segments, entropy decode,
+    dequantize, de-zigzag, inverse DCT).  Same Arrow-batched
+    mapInPandas shape as the other codecs.  H.264/MP3 remain
+    external-library-blocked.
+
+    A lossy codec cannot be oracled by byte equality, so the judged
+    output is the exactly-SQL-expressible geometry (width / height /
+    n_px / n_blocks are pure functions of the byte count) plus a
+    reconstruction-error flag whose bound is PROVABLE, not empirical:
+    dequantization error is at most q/2 per orthonormal-DCT
+    coefficient (q_dc=1, q_ac=2), each coefficient's basis amplitude
+    is c(u)c(v) with c(0)=1/(2*sqrt(2)), c(u>0)=1/2, so
+    |pixel err| <= 1.0*(sum_u c(u))^2 - 0.5*c(0)^2 + 0.5(rounding)
+               ~= 14.8 + 0.5 < JPEG_ERR_BOUND = 16
+    for ANY input bytes (clamping only shrinks it).  The oracle
+    asserts the flag is true for every document; tests additionally
+    pin the empirical error far below the bound and the exact
+    roundtrip of constant blocks.
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_px",
+                                   "n_blocks", "err_le_16")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(payload)
+                w, h, px = _decode_jpeg(_encode_jpeg(payload))
+                orig = np.frombuffer(payload.ljust(h * w, b"\x00"),
+                                     dtype=np.uint8).reshape(h, w) \
+                    if h else np.zeros((0, w), dtype=np.uint8)
+                err = int(np.max(np.abs(px.astype(np.int32)
+                                        - orig.astype(np.int32)))) if h else 0
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(w * h)
+                out["n_blocks"].append((w // 8) * (h // 8))
+                out["err_le_16"].append(err <= JPEG_ERR_BOUND)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=JPEG_SCHEMA)

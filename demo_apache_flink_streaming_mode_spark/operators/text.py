@@ -458,3 +458,135 @@ def length_bucket_stats(docs: DataFrame, n_buckets: int = 10,
                  F.min("tok").alias("min_tokens"),
                  F.max("tok").alias("max_tokens"),
                  F.sum("tok").alias("sum_tokens")))
+
+
+DUP_SPAN_N = 13        # Gopher/MassiveText-style span width, in words
+
+
+def dup_span_report(docs: DataFrame, text_col: str = "text",
+                    span_n: int = DUP_SPAN_N, min_docs: int = 2) -> DataFrame:
+    """Repeated-span boilerplate report (C4-style inter-document span
+    dedup, the line-dedup analog for unsegmented text): every window of
+    ``span_n`` consecutive words is a span; a span occurring in at
+    least ``min_docs`` DISTINCT documents is boilerplate/duplicated
+    text.  Per document, reports how many of its spans are duplicated
+    and exactly how many of its tokens are covered by at least one
+    duplicated span — the interval-union "islands" measure, not the
+    double-counting sum (overlapping spans share tokens).
+
+    Scale shape: the corpus-sized shuffle carries one (16-byte digest,
+    doc_id) row per token position with map-side distinct partials;
+    the distinct-doc count per span is a digest-keyed aggregate; only
+    spans that PASS the threshold join back (inner join on the
+    digest), so the island windows run over duplicated occurrences
+    only — bounded by dup density, never a full-corpus sort.  Same-doc
+    repeats of a span do not make it boilerplate (that is intra-doc
+    repetition, covered by ``repetition_stats``).
+    """
+    from pyspark.sql import Window as W
+
+    toks = word_tokens(F.col(text_col))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        word_shingles(toks, span_n).alias("spans"),
+    )
+    # shingle k (0-based posexplode) starts at token position k+1
+    occ = (base
+           .select("doc_id", "n_tokens",
+                   F.posexplode("spans").alias("pos", "span"))
+           .select("doc_id", "n_tokens",
+                   (F.col("pos") + 1).alias("start"),
+                   F.md5("span").alias("h")))
+    dup = (occ.select("h", "doc_id").distinct()
+           .groupBy("h").agg(F.count("*").alias("n_docs"))
+           .filter(F.col("n_docs") >= min_docs)
+           .select("h"))
+    # interval union per doc: a span covers [start, end); merge
+    # overlapping-or-adjacent intervals into islands via the classic
+    # running-max-of-ends window, then sum island widths
+    hits = (occ.join(dup, "h")
+            .select("doc_id", "start",
+                    F.least(F.col("start") + span_n,
+                            F.col("n_tokens") + 1).alias("end")))
+    w_ord = W.partitionBy("doc_id").orderBy("start")
+    prev_max = F.max("end").over(
+        w_ord.rowsBetween(W.unboundedPreceding, -1))
+    hits = hits.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("start") > prev_max), 1)
+         .otherwise(0))
+    hits = hits.withColumn(
+        "island", F.sum("new_island").over(
+            w_ord.rowsBetween(W.unboundedPreceding, 0)))
+    per_doc = (hits.groupBy("doc_id", "island")
+               .agg((F.max("end") - F.min("start")).alias("cov"),
+                    F.count("*").alias("n_occ"))
+               .groupBy("doc_id")
+               .agg(F.sum("cov").alias("covered_tokens"),
+                    F.sum("n_occ").alias("n_dup_spans")))
+    return (base.select("doc_id", "n_tokens",
+                        F.size("spans").alias("n_spans"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_tokens", "n_spans",
+                    F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                    F.coalesce("covered_tokens", F.lit(0))
+                     .alias("covered_tokens"),
+                    (F.coalesce("covered_tokens", F.lit(0))
+                     / F.col("n_tokens")).alias("dup_ratio")))
+
+
+# Gopher rule-filter constants (Rae et al. 2021, MassiveText §A1.1),
+# adapted where the signal needs unsegmented text: the duplicate-line
+# rules have no lines to work on here, so the repetition gate is the
+# duplicate-token fraction (the same family as repetition_stats).
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "is", "in", "to", "be",
+                    "that", "it")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MAX_DUP_TOKEN_FRAC = 0.60
+
+
+def quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style RULE-BASED quality gate — the boolean complement of
+    the continuous ``quality_score``: each document passes or fails a
+    set of named heuristic rules, and ``keep`` is their conjunction.
+    Rules (constants above): word count in [50, 100k], mean word
+    length in [3, 10], at least 2 stopwords, >= 80% of words contain
+    an alphabetic character, and duplicate-token fraction <= 0.6 (the
+    unsegmented-text stand-in for Gopher's duplicate-line rules).
+
+    One shuffle-free projection: every signal and every gate is a
+    column expression over the token array — at 100 TB this is a
+    narrow per-row map that fuses into the scan.  The raw signals are
+    emitted alongside the flags so threshold changes are an analyst
+    query, not a recompute.
+    """
+    tokens = word_tokens(F.col(text_col))
+    n = F.size(tokens)
+    chars = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    mwl = chars / n
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    alpha = F.size(F.filter(tokens, lambda t: t.rlike("[a-z]"))) / n
+    dup_frac = (n - F.size(F.array_distinct(tokens))) / n
+    ok_len = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    ok_mwl = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    ok_alpha = alpha >= GOPHER_MIN_ALPHA_FRAC
+    ok_rep = dup_frac <= GOPHER_MAX_DUP_TOKEN_FRAC
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mwl.alias("mean_word_len"),
+        n_stop.alias("n_stopwords"),
+        alpha.alias("alpha_frac"),
+        dup_frac.alias("dup_token_frac"),
+        ok_len.alias("ok_length"),
+        ok_mwl.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha"),
+        ok_rep.alias("ok_repetition"),
+        (ok_len & ok_mwl & ok_stop & ok_alpha & ok_rep).alias("keep"),
+    )

@@ -506,6 +506,22 @@ def text_length_buckets(spark, sf_dir):
                     F.col("sum_tokens").cast("long").alias("sum_tokens")))
 
 
+def text_quality_rules(spark, sf_dir):
+    """Gopher-style rule-based quality gate (see operators.text.
+    quality_rules): named boolean rules + raw signals in one
+    shuffle-free projection; `keep` is the conjunction."""
+    return text.quality_rules(_docs(spark, sf_dir))
+
+
+def text_dup_spans(spark, sf_dir):
+    """Repeated-span boilerplate report (see operators.text.
+    dup_span_report): C4-style inter-document span dedup — every
+    13-word window occurring in >= 2 distinct docs is duplicated text;
+    per doc, the duplicated-span count and the exact interval-union
+    token coverage (islands, not the double-counting sum)."""
+    return text.dup_span_report(_docs(spark, sf_dir))
+
+
 def text_term_counts(spark, sf_dir):
     return text.term_counts(_docs(spark, sf_dir))
 
@@ -711,6 +727,23 @@ def mm_decode_png(spark, sf_dir):
     compress -> CRC -> decompress -> unfilter path is lossless."""
     media = multimodal.to_media(_docs(spark, sf_dir))
     return multimodal.png_decode_features(media)
+
+
+def mm_decode_jpeg(spark, sf_dir):
+    """REAL LOSSY image decode: pure stdlib+numpy baseline JPEG.
+
+    The payload is containerized as an 8-bit grayscale baseline JFIF
+    (per-block forward DCT, DC-step-1/AC-step-2 quantization, zigzag +
+    DC-differential RLE, Annex-K standard-table Huffman coding with
+    0xFF stuffing) and decoded back the real way — marker walk,
+    Huffman tables rebuilt from the stream's own DHT segments, entropy
+    decode, dequantize, inverse DCT
+    (operators.multimodal.jpeg_decode_features). Lossy, so the oracle
+    checks the exactly-SQL-expressible geometry plus a reconstruction
+    error flag whose <=16 bound is provable from the quantization
+    steps for ANY input (the observed error on this corpus is <=3)."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return multimodal.jpeg_decode_features(media)
 
 
 def mm_decode_video(spark, sf_dir):
@@ -1558,6 +1591,114 @@ ORACLES = {
               FROM f)""",
 }
 
+# mirrors operators.text.quality_rules: identical token pipeline and
+# single-division doubles, so signal values and flags are bit-exact
+ORACLES["text_quality_rules"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_tokens,
+                 CAST(len(list_filter(toks, x -> x IN
+                      ({", ".join("'" + s + "'" for s in text.GOPHER_STOPWORDS)})))
+                      AS INT) AS n_stopwords,
+                 CAST(len(list_filter(toks,
+                      x -> regexp_matches(x, '[a-z]'))) AS INT) AS n_alpha,
+                 CAST(len(toks) - len(list_distinct(toks)) AS INT) AS n_dup,
+                 CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                      'sum') AS INT) AS n_chars
+          FROM t),
+    s AS (SELECT doc_id, n_tokens,
+                 n_chars / n_tokens AS mean_word_len,
+                 n_stopwords,
+                 n_alpha / n_tokens AS alpha_frac,
+                 n_dup / n_tokens AS dup_token_frac
+          FROM m),
+    f AS (SELECT *,
+                 (n_tokens >= {text.GOPHER_MIN_WORDS}
+                  AND n_tokens <= {text.GOPHER_MAX_WORDS}) AS ok_length,
+                 (mean_word_len >= {text.GOPHER_MIN_MWL}
+                  AND mean_word_len <= {text.GOPHER_MAX_MWL}) AS ok_word_len,
+                 (n_stopwords >= {text.GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
+                 (alpha_frac >= {text.GOPHER_MIN_ALPHA_FRAC}) AS ok_alpha,
+                 (dup_token_frac <= {text.GOPHER_MAX_DUP_TOKEN_FRAC})
+                   AS ok_repetition
+          FROM s)
+    SELECT doc_id, n_tokens, mean_word_len, n_stopwords, alpha_frac,
+           dup_token_frac, ok_length, ok_word_len, ok_stopwords, ok_alpha,
+           ok_repetition,
+           (ok_length AND ok_word_len AND ok_stopwords AND ok_alpha
+            AND ok_repetition) AS keep
+    FROM f"""
+
+# mirrors operators.text.dup_span_report: same shingling as _TOKENS /
+# list_slice, distinct-doc threshold, and the identical islands
+# (running max of interval ends) coverage union
+_DSN = text.DUP_SPAN_N
+ORACLES["text_dup_spans"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+    base AS (SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
+                    CAST(greatest(len(tokens) - {_DSN - 1}, 1) AS INT)
+                      AS n_spans,
+                    tokens
+             FROM toks),
+    occ0 AS (SELECT doc_id, n_tokens, tokens,
+                    CAST(unnest(range(1, n_spans + 1)) AS INT) AS start
+             FROM base),
+    occ AS (SELECT doc_id, n_tokens, start,
+                   md5(array_to_string(
+                       list_slice(tokens, start, start + {_DSN - 1}), ' '))
+                     AS h
+            FROM occ0),
+    dup AS (SELECT h
+            FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM occ GROUP BY h)
+            WHERE nd >= 2),
+    hits AS (SELECT doc_id, start,
+                    least(start + {_DSN}, n_tokens + 1) AS e
+             FROM occ JOIN dup USING (h)),
+    marked AS (SELECT doc_id, start, e,
+                      CASE WHEN max(e) OVER w IS NULL
+                             OR start > max(e) OVER w THEN 1 ELSE 0 END AS ni
+               FROM hits
+               WINDOW w AS (PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)),
+    isl AS (SELECT doc_id, start, e,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS island
+            FROM marked),
+    agg AS (SELECT doc_id, island, max(e) - min(start) AS cov,
+                   count(*) AS n_occ
+            FROM isl GROUP BY doc_id, island),
+    pd AS (SELECT doc_id,
+                  CAST(sum(cov) AS BIGINT) AS covered_tokens,
+                  CAST(sum(n_occ) AS BIGINT) AS n_dup_spans
+           FROM agg GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.n_spans,
+           COALESCE(pd.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(pd.covered_tokens, 0) AS covered_tokens,
+           COALESCE(pd.covered_tokens, 0) / b.n_tokens AS dup_ratio
+    FROM base b LEFT JOIN pd USING (doc_id)"""
+
+# JPEG is lossy, so the oracle checks exactly-SQL-expressible geometry
+# (width / height / n_px / n_blocks are pure functions of the byte
+# count: rows of JPEG_W, height rounded up to whole 8-px block rows)
+# plus the provable reconstruction-error bound flag (see
+# operators.multimodal.jpeg_decode_features for the derivation).
+ORACLES["mm_decode_jpeg"] = f"""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n
+               FROM documents),
+    d AS (SELECT doc_id,
+                 ((CAST(ceil(n / {float(multimodal.JPEG_W)}) AS BIGINT)
+                   + 7) // 8) * 8 AS h
+          FROM b)
+    SELECT doc_id,
+           {multimodal.JPEG_W} AS width,
+           CAST(h AS INT) AS height,
+           h * {multimodal.JPEG_W} AS n_px,
+           CAST((h // 8) * {multimodal.JPEG_W // 8} AS INT) AS n_blocks,
+           true AS err_le_16
+    FROM d"""
+
 ORACLES["sim_topk_ivf_trained"] = _ivf_trained_oracle(KMEANS_ITERS)
 
 # shard manifest on top of the packing oracle (embedded verbatim)
@@ -1863,6 +2004,13 @@ QUERIES = [
     Query("text_ngram_diversity", text_ngram_diversity,
           ORACLES["text_ngram_diversity"],
           "corpus distinct-n diversity report (repetition diagnostic)"),
+    Query("text_dup_spans", text_dup_spans, ORACLES["text_dup_spans"],
+          "C4-style repeated-span boilerplate report (13-word spans in "
+          ">=2 docs; exact interval-union token coverage)"),
+    Query("text_quality_rules", text_quality_rules,
+          ORACLES["text_quality_rules"],
+          "Gopher-style rule-based quality gate (named boolean rules + "
+          "raw signals, shuffle-free)"),
     Query("text_quality_pct_rank", text_quality_pct_rank,
           ORACLES["text_quality_pct_rank"],
           "per-source percent-rank quality normalization"),
@@ -1914,6 +2062,9 @@ QUERIES = [
           "reconstruction) round-trip"),
     Query("mm_decode_video", mm_decode_video, ORACLES["mm_decode_video"],
           "REAL video decode: stdlib struct RIFF/AVI round-trip, 1->N frames"),
+    Query("mm_decode_jpeg", mm_decode_jpeg, ORACLES["mm_decode_jpeg"],
+          "REAL LOSSY decode: baseline JPEG (DCT + quant + Annex-K "
+          "Huffman) round-trip, provable error bound"),
     Query("sim_recall_ann", sim_recall_ann, ORACLES["sim_recall_ann"],
           "recall@k per method (LSH / IVF nprobe=1/2 / PQ) vs brute force"),
     Query("corpus_clean", corpus_clean, ORACLES["corpus_clean"],

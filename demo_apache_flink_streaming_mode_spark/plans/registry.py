@@ -75,7 +75,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # by dedup_minhash_lsh, report quality pytest-green in the tail;
     # dedup_cosine_lsh demoted r5: the LSH-bucketed cosine path is
     # proven by sim_ann_lsh, slot goes to events_key_skew_report) -----
-    "dedup_exact",
+    # (dedup_exact demoted r6 after r1-r5 green rows — the exact-dup
+    # pipeline stays in-window through corpus_clean, which embeds it;
+    # slot goes to the new repeated-span boilerplate family so the
+    # islands coverage union gets a driver row in its first round)
+    "text_dup_spans",
     "dedup_minhash_lsh",
     # (dedup_clusters demoted r6: connected-components proven by two
     # driver rounds and still exercised in-window through corpus_clean,
@@ -154,8 +158,13 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # -- multimodal (mm_decode_wav demoted r5: the RIFF-container
     # codec family is proven by mm_decode_image (DIB) and now
     # mm_decode_video (AVI — which embeds the same RIFF walking wav
-    # uses, plus frame indexing); wav stays pytest + tail-checked) ----
-    "mm_decode_features",
+    # uses, plus frame indexing); wav stays pytest + tail-checked)
+    # (mm_decode_features demoted r6 after r1-r5 green rows — the
+    # Arrow-batch plumbing it proves is embedded in every real codec
+    # row; slot goes to the new baseline-JPEG codec so the lossy
+    # transform path — DCT, quantization, Annex-K Huffman — gets a
+    # driver row in its first round) ----------------------------------
+    "mm_decode_jpeg",
     # (mm_decode_video demoted r6 after its r5 green row; slot goes to
     # the new zlib/PNG codec so the compressed-format path — CRC,
     # DEFLATE, five-filter reconstruction — gets a driver row in its
@@ -235,6 +244,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "join_layout": ("q_bucketed_join_priority", "q_salted_join_priority"),
     "dedup_exact": ("dedup_exact", "dedup_quality_keeper",
                     "dedup_incremental"),
+    "span_dedup": ("text_dup_spans",),
     "dedup_minhash": ("dedup_minhash_lsh", "dedup_ngram_jaccard",
                       "dedup_jaccard_report", "dedup_source_overlap",
                       "dedup_incremental_near"),
@@ -252,8 +262,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                     "text_bpe_stats", "text_tfidf", "text_bm25",
                     "text_lm_familiarity"),
     "text_signals": ("text_langid", "text_quality", "text_quality_pct_rank",
-                     "text_repetition", "text_ngram_diversity",
-                     "text_length_buckets"),
+                     "text_quality_rules", "text_repetition",
+                     "text_ngram_diversity", "text_length_buckets"),
     "text_fingerprint": ("text_fingerprint", "text_winnow"),
     "text_sampling": ("text_split_assign", "text_mixture_sample",
                       "text_stratified_sample", "text_pack_shards",
@@ -269,8 +279,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "events_key_skew_report", "orders_fingerprint"),
     "changelog": ("cl_latest_state", "cl_state_summary"),
     "multimodal": ("mm_manifest", "mm_decode_features", "mm_decode_wav",
-                   "mm_decode_image", "mm_decode_png", "mm_decode_video",
-                   "mm_resize", "mm_frames"),
+                   "mm_decode_image", "mm_decode_png", "mm_decode_jpeg",
+                   "mm_decode_video", "mm_resize", "mm_frames"),
     "graph": ("graph_pagerank", "graph_triangles"),
 }
 

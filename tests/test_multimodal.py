@@ -137,3 +137,66 @@ def test_png_crc_corruption_detected():
         pos += 12 + ln
     with pytest.raises(ValueError, match="CRC mismatch"):
         multimodal._decode_png(bytes(blob))
+
+
+def test_jpeg_roundtrip_error_bounded():
+    """The baseline-JPEG roundtrip (DCT -> quantize -> Huffman ->
+    decode) must stay within the PROVABLE error bound for arbitrary
+    byte payloads, and far under it for realistic ones — without Spark
+    in the loop. Also pins that the entropy stream exercises byte
+    stuffing across the sample (an unstuffed decoder would corrupt)."""
+    import numpy as np
+    rng = np.random.default_rng(42)
+    stuffed = False
+    for _ in range(60):
+        n = int(rng.integers(1, 700))
+        payload = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        blob = multimodal._encode_jpeg(payload)
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        stuffed = stuffed or b"\xff\x00" in blob[2:-2]
+        w, h, px = multimodal._decode_jpeg(blob)
+        assert (w, h) == multimodal._jpeg_dims(n)
+        orig = np.frombuffer(payload.ljust(h * w, b"\x00"),
+                             dtype=np.uint8).reshape(h, w)
+        err = int(np.max(np.abs(px.astype(int) - orig.astype(int))))
+        assert err <= multimodal.JPEG_ERR_BOUND, err
+    assert stuffed, "no payload produced a stuffed 0xFF in the scan data"
+
+
+def test_jpeg_constant_blocks_roundtrip_exactly():
+    """A constant 8x8 block has only a DC coefficient; with DC
+    quantization step 1 the roundtrip is EXACT — separating the
+    transform-codec machinery (provably clean here) from the
+    quantization loss (bounded elsewhere)."""
+    import numpy as np
+    for v in (0, 1, 77, 128, 254, 255):
+        payload = bytes([v]) * (multimodal.JPEG_W * 8)
+        w, h, px = multimodal._decode_jpeg(multimodal._encode_jpeg(payload))
+        assert (px == np.full((h, w), v, dtype=np.uint8)).all(), v
+
+
+def test_jpeg_decoder_rejects_corruption():
+    """The decoder is a real marker-stream parser: truncation,
+    progressive SOF markers, and non-JPEG prefixes all raise rather
+    than decode garbage."""
+    payload = b"hello jpeg world" * 20
+    good = multimodal._encode_jpeg(payload)
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal._decode_jpeg(b"\x00" + good)
+    # swap baseline SOF0 for progressive SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        multimodal._decode_jpeg(prog)
+
+
+def test_jpeg_decode_matches_geometry_and_flag(spark, media):
+    got = {r["doc_id"]: r for r in
+           multimodal.jpeg_decode_features(media).collect()}
+    src = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    assert got.keys() == src.keys() and got
+    for doc_id, b in src.items():
+        r = got[doc_id]
+        w, h = multimodal._jpeg_dims(len(b))
+        assert (r["width"], r["height"], r["n_px"]) == (w, h, w * h)
+        assert r["n_blocks"] == (w // 8) * (h // 8)
+        assert r["err_le_16"] is True

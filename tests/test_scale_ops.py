@@ -886,3 +886,41 @@ def test_dynamic_session_long_gap_spans_past_successors(spark):
     got = sorted((r.session_start, r.n) for r in
                  dynamic_session_stats(df, "ts", "user_id", gap).collect())
     assert got == [(0, 3), (200_000, 1)]
+
+
+def test_dup_span_islands_merge_and_distinct_doc_threshold(spark):
+    """Constructed cases for the repeated-span report: (a) ADJACENT dup
+    spans merge into one island (no double counting at the seam), (b)
+    OVERLAPPING dup spans merge (shared tokens counted once), (c) a
+    span repeated only WITHIN one doc is not boilerplate (the
+    threshold counts distinct docs), (d) clean docs still get a row
+    with zeros."""
+    from demo_apache_flink_streaming_mode_spark.operators.text import (
+        dup_span_report)
+    rows = [
+        (1, "a b c d e f"),          # dup spans at 1 and 4: adjacent
+        (2, "a b c x d e f"),        # dup spans at 1 and 5: two islands
+        (3, "u v w x y z q"),        # clean
+        (4, "p q r s"),              # dup spans at 1 and 2: overlapping
+        (5, "p q r s"),
+        (6, "m n o m n o m n o"),    # intra-doc repeat only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dup_span_report(docs, span_n=3, min_docs=2).collect()}
+    assert len(got) == 6
+    # d1: [1,4) + [4,7) merge -> 6 covered of 6
+    assert (got[1].n_dup_spans, got[1].covered_tokens) == (2, 6)
+    assert got[1].dup_ratio == 1.0
+    # d2: [1,4) and [5,8) stay separate -> 6 covered of 7
+    assert (got[2].n_dup_spans, got[2].covered_tokens) == (2, 6)
+    assert abs(got[2].dup_ratio - 6 / 7) < 1e-15
+    # d4/d5: [1,4) + [2,5) overlap -> 4 covered, not 6
+    for d in (4, 5):
+        assert (got[d].n_dup_spans, got[d].covered_tokens) == (2, 4)
+    # d3 and d6: no cross-doc duplication
+    for d in (3, 6):
+        assert (got[d].n_dup_spans, got[d].covered_tokens) == (0, 0)
+        assert got[d].dup_ratio == 0.0
+    # span inventory is reported for every doc
+    assert got[6].n_spans == 7 and got[3].n_spans == 5
