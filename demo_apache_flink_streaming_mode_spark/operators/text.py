@@ -590,3 +590,114 @@ def quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ok_rep.alias("ok_repetition"),
         (ok_len & ok_mwl & ok_stop & ok_alpha & ok_rep).alias("keep"),
     )
+
+
+BPE_MERGES = 5
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text",
+              merges: int = BPE_MERGES) -> DataFrame:
+    """BPE tokenizer TRAINING as pure DataFrame dataflow (no driver-side
+    data loop): learn ``merges`` byte-pair merges over the corpus and
+    return the ranked merge table (rank, left_sym, right_sym, weight).
+    (``_bpe_fit`` below also exposes the fitted per-word sequences for
+    ``bpe_encode``.)
+
+    Classic scalable formulation: train on the WORD-FREQUENCY DICT,
+    not the raw corpus — one corpus scan builds (word, count), then
+    every iteration is vocabulary-bounded.  Each round: (1) explode
+    each distinct word's current symbol sequence into adjacent pairs
+    weighted by word count, (2) pick the heaviest pair (ties: weight
+    desc, then left/right symbol asc — deterministic on any engine),
+    (3) apply the merge to every sequence as a LEFT FOLD over the
+    symbols (``F.aggregate``), which gives the standard greedy
+    non-overlapping semantics ("aaa" + (a,a) -> [aa, a]).  The chosen
+    pair stays a 1-row broadcast DataFrame — the merge constant never
+    passes through the driver, so the whole training is one lazy plan
+    per round.
+
+    Scale shape: corpus scanned ONCE (the dict is checkpointed);
+    per round, the pair shuffle is vocab-bounded with map-side
+    partials, the argmax is a 1-row TakeOrdered, and the merge
+    application is a narrow per-row fold.  ``cut_lineage`` between
+    rounds keeps plans linear (same pattern as ``kmeans_centroids``).
+    """
+    return _bpe_fit(docs, text_col, merges)[0]
+
+
+def _bpe_fit(docs: DataFrame, text_col: str,
+             merges: int) -> tuple[DataFrame, DataFrame]:
+    """Shared trainer: returns (ranked merge table, fitted per-word
+    sequences (w, cnt, seq) after all merges)."""
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        cut_lineage)
+
+    words = (docs.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("cnt")))
+    seqs = cut_lineage(words.select("w", "cnt",
+                                    F.split("w", "").alias("seq")))
+
+    ranked = []
+    for rank in range(1, merges + 1):
+        tail = F.slice("seq", 2, F.greatest(F.size("seq") - 1, F.lit(0)))
+        prs = F.filter(
+            F.zip_with("seq", tail,
+                       lambda a, b: F.struct(a.alias("a"), b.alias("b"))),
+            lambda s: s["b"].isNotNull())
+        best = cut_lineage(
+            seqs.select("cnt", F.explode(prs).alias("p"))
+                .groupBy(F.col("p.a").alias("lhs"), F.col("p.b").alias("rhs"))
+                .agg(F.sum("cnt").alias("weight"))
+                .orderBy(F.col("weight").desc(), F.col("lhs").asc(),
+                         F.col("rhs").asc())
+                .limit(1))
+        ranked.append(best.select(F.lit(rank).alias("rank"),
+                                  F.col("lhs").alias("left_sym"),
+                                  F.col("rhs").alias("right_sym"), "weight"))
+        merged = F.aggregate(
+            "seq", F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("_ml"))
+                & (x == F.col("_mr")),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.concat(F.col("_ml"), F.col("_mr")))))
+             .otherwise(F.concat(acc, F.array(x))))
+        seqs = cut_lineage(
+            seqs.crossJoin(F.broadcast(
+                best.select(F.col("lhs").alias("_ml"),
+                            F.col("rhs").alias("_mr"))))
+                .select("w", "cnt", merged.alias("seq")))
+
+    table = ranked[0]
+    for nxt in ranked[1:]:
+        table = table.unionByName(nxt)
+    return table, seqs
+
+
+def bpe_encode(docs: DataFrame, text_col: str = "text",
+               merges: int = BPE_MERGES) -> DataFrame:
+    """Apply a freshly-trained BPE tokenizer back to the corpus: per
+    document, word count, character count, BPE token count, and the
+    tokens-per-character compression ratio — the train-then-apply
+    round trip of a real tokenizer pipeline.
+
+    The fitted vocabulary is (word -> symbol count), vocab-bounded, so
+    the encode is one equi-join of the exploded corpus against the
+    dict on the word (AQE broadcasts it when small) plus one per-doc
+    aggregate.  At 100 TB the dict comes from a persisted training
+    run; here it is fit in-line for a self-contained, oracle-exact
+    query.
+    """
+    _, seqs = _bpe_fit(docs, text_col, merges)
+    dict_len = seqs.select("w", F.size("seq").alias("n_sym"))
+    doc_words = docs.select(
+        "doc_id", F.explode(word_tokens(F.col(text_col))).alias("w"))
+    return (doc_words.join(dict_len, "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum(F.length("w")).alias("n_chars"),
+                 F.sum("n_sym").alias("n_bpe_tokens"))
+            .select("doc_id", "n_words", "n_chars", "n_bpe_tokens",
+                    (F.col("n_bpe_tokens") / F.col("n_chars"))
+                    .alias("bpe_ratio")))

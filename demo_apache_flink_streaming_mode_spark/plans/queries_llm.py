@@ -513,6 +513,23 @@ def text_quality_rules(spark, sf_dir):
     return text.quality_rules(_docs(spark, sf_dir))
 
 
+def text_bpe_train(spark, sf_dir):
+    """BPE tokenizer training (see operators.text.bpe_train): learn 5
+    ranked merges over the corpus word-frequency dict; the oracle
+    re-runs the ENTIRE training in SQL (unrolled rounds; the greedy
+    merge fold is a list_reduce over a separator-joined accumulator),
+    so every rank, pair, and weight is cross-engine exact."""
+    return text.bpe_train(_docs(spark, sf_dir))
+
+
+def text_bpe_encode(spark, sf_dir):
+    """Apply the freshly-trained BPE tokenizer back to the corpus (see
+    operators.text.bpe_encode): per-doc word/char/BPE-token counts and
+    the tokens-per-character compression ratio — the train-then-apply
+    round trip, oracle-exact end to end."""
+    return text.bpe_encode(_docs(spark, sf_dir))
+
+
 def text_dup_spans(spark, sf_dir):
     """Repeated-span boilerplate report (see operators.text.
     dup_span_report): C4-style inter-document span dedup — every
@@ -759,6 +776,17 @@ def mm_decode_video(spark, sf_dir):
     """
     media = multimodal.to_media(_docs(spark, sf_dir))
     return multimodal.avi_decode_frames(media)
+
+
+def mm_decode_mjpeg(spark, sf_dir):
+    """REAL COMPRESSED video decode: Motion-JPEG in AVI — the RIFF
+    container walk composed with the from-scratch baseline-JPEG frame
+    decode (operators.multimodal.mjpeg_decode_frames), 1 -> N frame
+    fan-out over variable-size '00dc' chunks. Geometry is exact; the
+    per-frame reconstruction-error flag carries the same provable <=16
+    bound as mm_decode_jpeg."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return multimodal.mjpeg_decode_frames(media)
 
 
 def mm_resize(spark, sf_dir):
@@ -1591,6 +1619,66 @@ ORACLES = {
               FROM f)""",
 }
 
+def _bpe_cte_blocks(merges: int) -> str:
+    """The full BPE training re-run in SQL: per round, a pair-count CTE
+    (p), a 1-row argmax CTE (b, ties weight desc then symbols asc),
+    and the merge applied to every word sequence (s) as a
+    ``list_reduce`` left fold over a chr(31)-joined accumulator —
+    bit-for-bit the same greedy non-overlapping semantics as the
+    engine's ``F.aggregate`` fold.  The s CTEs carry the word so the
+    encode oracle can join the fitted dict back to the corpus."""
+    blocks = [f"""w0 AS (SELECT w, count(*) AS cnt
+           FROM (SELECT unnest({_TOKENS}) AS w FROM documents)
+           GROUP BY w),
+    s0 AS (SELECT w, cnt, list_transform(range(1, length(w)+1),
+                   i -> substr(w, i, 1)) AS seq FROM w0)"""]
+    for r in range(1, merges + 1):
+        p = r - 1
+        blocks.append(f"""p{r} AS (SELECT sp.a AS lhs, sp.b AS rhs,
+                    CAST(sum(cnt) AS BIGINT) AS weight
+             FROM (SELECT cnt,
+                          unnest(list_transform(range(1, len(seq)),
+                                 i -> {{'a': seq[i], 'b': seq[i+1]}})) AS sp
+                   FROM s{p})
+             GROUP BY 1, 2),
+    b{r} AS (SELECT lhs, rhs, weight FROM p{r}
+             ORDER BY weight DESC, lhs ASC, rhs ASC LIMIT 1),
+    s{r} AS (SELECT w, cnt,
+                    string_split(list_reduce(seq, (acc, x) -> CASE
+                        WHEN string_split(acc, chr(31))[-1] = b.lhs
+                             AND x = b.rhs
+                        THEN array_to_string(list_append(
+                               list_slice(string_split(acc, chr(31)), 1,
+                                          len(string_split(acc, chr(31))) - 1),
+                               b.lhs || b.rhs), chr(31))
+                        ELSE acc || chr(31) || x END), chr(31)) AS seq
+             FROM s{p}, b{r} b)""")
+    return "WITH " + ",\n    ".join(blocks)
+
+
+def _bpe_train_oracle(merges: int) -> str:
+    selects = [f"SELECT {r} AS rank, lhs AS left_sym, "
+               f"rhs AS right_sym, weight FROM b{r}"
+               for r in range(1, merges + 1)]
+    return _bpe_cte_blocks(merges) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def _bpe_encode_oracle(merges: int) -> str:
+    return _bpe_cte_blocks(merges) + f""",
+    dw AS (SELECT doc_id, unnest({_TOKENS}) AS w FROM documents)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+           CAST(sum(len(s.seq)) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(len(s.seq)) AS BIGINT)
+             / CAST(sum(length(d.w)) AS BIGINT) AS bpe_ratio
+    FROM dw d JOIN s{merges} s USING (w)
+    GROUP BY d.doc_id"""
+
+
+ORACLES["text_bpe_train"] = _bpe_train_oracle(text.BPE_MERGES)
+ORACLES["text_bpe_encode"] = _bpe_encode_oracle(text.BPE_MERGES)
+
 # mirrors operators.text.quality_rules: identical token pipeline and
 # single-division doubles, so signal values and flags are bit-exact
 ORACLES["text_quality_rules"] = f"""
@@ -1678,6 +1766,23 @@ ORACLES["text_dup_spans"] = f"""
            COALESCE(pd.covered_tokens, 0) AS covered_tokens,
            COALESCE(pd.covered_tokens, 0) / b.n_tokens AS dup_ratio
     FROM base b LEFT JOIN pd USING (doc_id)"""
+
+# frame fan-out geometry is a pure function of the byte count
+# (256-byte frames, min 1); error flag bound as in mm_decode_jpeg
+ORACLES["mm_decode_mjpeg"] = f"""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n
+               FROM documents),
+    f AS (SELECT doc_id,
+                 greatest(1, CAST(ceil(
+                     n / {float(multimodal.MJPEG_W * multimodal.MJPEG_H)})
+                   AS BIGINT)) AS nf
+          FROM b)
+    SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+           {multimodal.MJPEG_W} AS width, {multimodal.MJPEG_H} AS height,
+           true AS err_le_16
+    FROM (SELECT doc_id, nf, unnest(range(0, nf, {multimodal.MJPEG_EVERY_N}))
+                 AS i
+          FROM f)"""
 
 # JPEG is lossy, so the oracle checks exactly-SQL-expressible geometry
 # (width / height / n_px / n_blocks are pure functions of the byte
@@ -1994,6 +2099,12 @@ QUERIES = [
           "SimHash near-dup pairs via pigeonhole band-blocking"),
     Query("text_bpe_stats", text_bpe_stats, ORACLES["text_bpe_stats"],
           "BPE-style regex pre-tokenization counts"),
+    Query("text_bpe_train", text_bpe_train, ORACLES["text_bpe_train"],
+          "BPE tokenizer training: 5 ranked merges over the word-"
+          "frequency dict (oracle re-runs the full training in SQL)"),
+    Query("text_bpe_encode", text_bpe_encode, ORACLES["text_bpe_encode"],
+          "BPE train-then-apply: per-doc BPE token counts + compression "
+          "ratio via the fitted vocab join"),
     Query("text_winnow", text_winnow, ORACLES["text_winnow"],
           "winnowing rolling-hash document fingerprint"),
     Query("text_pack_shards", text_pack_shards, ORACLES["text_pack_shards"],
@@ -2065,6 +2176,9 @@ QUERIES = [
     Query("mm_decode_jpeg", mm_decode_jpeg, ORACLES["mm_decode_jpeg"],
           "REAL LOSSY decode: baseline JPEG (DCT + quant + Annex-K "
           "Huffman) round-trip, provable error bound"),
+    Query("mm_decode_mjpeg", mm_decode_mjpeg, ORACLES["mm_decode_mjpeg"],
+          "REAL COMPRESSED video decode: Motion-JPEG frames in AVI "
+          "(variable-size 00dc chunks), 1->N fan-out"),
     Query("sim_recall_ann", sim_recall_ann, ORACLES["sim_recall_ann"],
           "recall@k per method (LSH / IVF nprobe=1/2 / PQ) vs brute force"),
     Query("corpus_clean", corpus_clean, ORACLES["corpus_clean"],

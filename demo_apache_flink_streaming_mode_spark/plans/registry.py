@@ -130,7 +130,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # also exercised by text_lm_familiarity's corpus stats; slot goes
     # to the never-attested per-source percent-rank normalizer)
     "text_quality_pct_rank",
-    "text_split_assign",
+    # (text_split_assign demoted r6 after r1-r5 green rows — hash-split
+    # machinery also proven by text_mixture_sample + the in-window
+    # text_pack_shards; slot goes to the new BPE tokenizer training so
+    # the iterative merge dataflow gets a driver row in its first
+    # round)
+    "text_bpe_train",
     "text_pii_redact",
     # (text_cdc_chunks demoted r4: the CDC family keeps its window rep
     # via dedup_cdc_chunks; slot goes to the new graph family)
@@ -259,8 +264,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "knn_label": ("sim_knn_label_vote", "sim_knn_label_vote_exact",
                   "sim_knn_agreement"),
     "text_tokens": ("text_token_stats", "text_term_counts",
-                    "text_bpe_stats", "text_tfidf", "text_bm25",
-                    "text_lm_familiarity"),
+                    "text_bpe_stats", "text_bpe_train", "text_bpe_encode",
+                    "text_tfidf", "text_bm25", "text_lm_familiarity"),
     "text_signals": ("text_langid", "text_quality", "text_quality_pct_rank",
                      "text_quality_rules", "text_repetition",
                      "text_ngram_diversity", "text_length_buckets"),
@@ -280,7 +285,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "changelog": ("cl_latest_state", "cl_state_summary"),
     "multimodal": ("mm_manifest", "mm_decode_features", "mm_decode_wav",
                    "mm_decode_image", "mm_decode_png", "mm_decode_jpeg",
-                   "mm_decode_video", "mm_resize", "mm_frames"),
+                   "mm_decode_video", "mm_decode_mjpeg", "mm_resize",
+                   "mm_frames"),
     "graph": ("graph_pagerank", "graph_triangles"),
 }
 

@@ -200,3 +200,55 @@ def test_jpeg_decode_matches_geometry_and_flag(spark, media):
         assert (r["width"], r["height"], r["n_px"]) == (w, h, w * h)
         assert r["n_blocks"] == (w // 8) * (h // 8)
         assert r["err_le_16"] is True
+
+
+def test_mjpeg_frames_decode_within_bound():
+    """MJPEG = independent JPEG bitstreams inside the RIFF container:
+    frame chunks must have VARYING sizes (real compression), every
+    sampled frame must reconstruct its payload slice within the JPEG
+    bound, and a corrupted frame bitstream must raise."""
+    import struct
+
+    import numpy as np
+    payload = bytes(range(256)) * 3 + b"tail bytes beyond a frame"
+    blob = multimodal._encode_mjpeg_avi(payload)
+    sizes, frames = [], []
+    pos, end = 12, 8 + struct.unpack_from("<I", blob, 4)[0]
+    while pos + 8 <= end:
+        fourcc = blob[pos:pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = pos + 8
+        if fourcc == b"LIST":
+            kind = blob[body:body + 4]
+            if kind in (b"hdrl", b"movi"):
+                pos = body + 4
+                continue
+            pos = body + size + (size % 2)
+            continue
+        if fourcc == b"00dc":
+            sizes.append(size)
+            frames.append(blob[body:body + size])
+        pos = body + size + (size % 2)
+    fs = multimodal.MJPEG_W * multimodal.MJPEG_H
+    assert len(frames) == (len(payload) + fs - 1) // fs
+    assert len(set(sizes)) > 1, "all frame chunks same size - not compressed?"
+    for i, fr in enumerate(frames):
+        w, h, px = multimodal._decode_jpeg(fr)
+        assert (w, h) == (multimodal.MJPEG_W, multimodal.MJPEG_H)
+        orig = np.frombuffer(payload[i * fs:(i + 1) * fs].ljust(fs, b"\x00"),
+                             dtype=np.uint8).reshape(h, w)
+        assert int(np.max(np.abs(px.astype(int) - orig.astype(int)))) \
+            <= multimodal.JPEG_ERR_BOUND
+    with pytest.raises(ValueError):
+        multimodal._decode_jpeg(frames[0][:40])  # truncated bitstream
+
+
+def test_mjpeg_kernel_fanout_and_flags(spark, media):
+    rows = multimodal.mjpeg_decode_frames(media).collect()
+    src = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    assert len(rows) >= len(src)
+    fs = multimodal.MJPEG_W * multimodal.MJPEG_H
+    for r in rows:
+        nf = max(1, (len(src[r["doc_id"]]) + fs - 1) // fs)
+        assert r["n_frames"] == nf and r["frame_idx"] % multimodal.MJPEG_EVERY_N == 0
+        assert r["err_le_16"] is True

@@ -924,3 +924,41 @@ def test_dup_span_islands_merge_and_distinct_doc_threshold(spark):
         assert got[d].dup_ratio == 0.0
     # span inventory is reported for every doc
     assert got[6].n_spans == 7 and got[3].n_spans == 5
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """bpe_train against a direct Python reference (word-frequency
+    dict, greedy non-overlapping left-to-right merge): every rank,
+    pair, and weight must agree — including the overlap case ("aaa"
+    + (a,a) -> [aa, a]) and deterministic tie-breaks."""
+    from collections import Counter
+
+    from demo_apache_flink_streaming_mode_spark.operators.text import bpe_train
+
+    texts = ["the fast the fast lane", "faster than the fastest sloth",
+             "sloth sloth fast", "then the lane", "aaa aaab baaa"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = [(r.rank, r.left_sym, r.right_sym, r.weight)
+           for r in bpe_train(docs, merges=6).orderBy("rank").collect()]
+
+    wc = Counter(w for t in texts for w in t.split())
+    seqs = {w: list(w) for w in wc}
+    want = []
+    for rank in range(1, 7):
+        pc = Counter()
+        for w, c in wc.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        (a, b), wt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, wt))
+        for w, s in seqs.items():
+            ns = []
+            for x in s:
+                if ns and ns[-1] == a and x == b:
+                    ns[-1] = a + b
+                else:
+                    ns.append(x)
+            seqs[w] = ns
+    assert got == want

@@ -982,3 +982,25 @@ def test_window_join_left_outer_streaming(spark, batch_events, stream_events):
     assert got <= want
     assert inner <= got                      # all matches emitted
     assert any(t[3] is None for t in got)    # closed-window tombstones emitted
+
+
+def test_quality_rules_gate_streaming_parity(spark, sf_dir, tmp_path):
+    """The Gopher rule gate is the ingest-filter shape: a stateless
+    projection + filter that must behave identically as a streaming
+    admission gate and as a batch pass — same kept doc set, same
+    signal values."""
+    from demo_apache_flink_streaming_mode_spark.operators import text
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+    from pyspark.sql.types import StructType
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = str(tmp_path / "docs_json")
+    docs.coalesce(2).write.mode("overwrite").json(d)
+
+    schema = StructType([docs.schema["doc_id"], docs.schema["text"]])
+    stream = sources.file_stream(spark, d + "/part-*", schema, fmt="json")
+    gated = text.quality_rules(stream).filter("keep")
+    _drain(gated, "t_docrules")
+    got = _rows(spark.table("t_docrules"), "doc_id")
+    want = _rows(text.quality_rules(docs).filter("keep"), "doc_id")
+    assert got == want and 0 < len(got) < docs.count()
