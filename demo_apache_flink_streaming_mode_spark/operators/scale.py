@@ -218,3 +218,48 @@ def assert_single_file_buckets(spark, name: str, buckets: int) -> None:
     assert len(files) <= buckets, (
         f"bucketed table {name}: {len(files)} data files for {buckets} "
         "buckets — multi-file buckets invalidate the trusted sort order")
+
+
+ZORDER_BITS = 8
+
+
+def zorder_key(cols: list, bits: int = ZORDER_BITS):
+    """Z-order (Morton) key: interleave the low ``bits`` bits of each
+    dimension column into one long — the multi-dimensional clustering
+    key behind lakehouse OPTIMIZE ZORDER.  Rows close in Z are close
+    in EVERY dimension, so range-partitioning + sorting by Z gives
+    each output file a bounded min/max envelope on all dimensions at
+    once and data-skipping works for predicates on any of them
+    (a plain sort only helps its leading column).
+
+    Pure unrolled bit expressions (shift/and/or), whole-stage-codegen
+    friendly; dimensions must already be bucketized to [0, 2^bits)
+    integers (integer math only, so the key is reproducible on any
+    engine).
+    """
+    terms = []
+    n = len(cols)
+    for b in range(bits):
+        for d, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, b * n + d))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z.bitwiseOR(t)
+    return z
+
+
+def write_zordered(df: DataFrame, cols: list, path: str,
+                   bits: int = ZORDER_BITS, n_files: int = 8) -> None:
+    """Materialize a Z-ordered layout: compute the Morton key, range-
+    partition on it (one global sample pass, no total sort), sort
+    within partitions, and write one file per range — every file gets
+    a disjoint Z interval and therefore a bounded envelope on every
+    dimension.  At 100 TB this is the layout job you run once so that
+    later scans skip files on any dimension's predicate.
+    """
+    z = zorder_key(cols, bits).alias("_z")
+    (df.withColumn("_z", z)
+       .repartitionByRange(n_files, "_z")
+       .sortWithinPartitions("_z")
+       .write.mode("overwrite").parquet(path))

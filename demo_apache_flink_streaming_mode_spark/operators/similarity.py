@@ -664,3 +664,48 @@ def knn_label_vote(queries: DataFrame, corpus: DataFrame, k: int,
             .select("query_id", "true_label", "pred_label", "votes",
                     (F.col("pred_label") == F.col("true_label"))
                     .alias("is_correct")))
+
+
+def retrieval_eval(queries: DataFrame, corpus: DataFrame, k: int,
+                   top: DataFrame, label_col: str = "label",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Ranking-quality evaluation of ANY top-k search result (ANN or
+    exact) against label relevance: a retrieved neighbor is RELEVANT
+    when it carries the query's own label.  Per query emits
+    n_retrieved, n_relevant, precision@k, and the reciprocal rank of
+    the first relevant hit (0.0 when none) — the standard
+    search-eval metrics that are RATIONAL (1/rank, hits/k), so both
+    engines produce bit-identical doubles; NDCG's log2 gain weights
+    are deliberately omitted (libm-dependent across engines).
+
+    Queries whose search returned nothing (e.g. an empty LSH bucket)
+    stay in the report with zeros — silent query dropout is exactly
+    what an eval must surface.
+
+    Shapes: top-k is |queries|*k rows, broadcast against the corpus
+    labels (queries << corpus, as in knn_label_vote); the metrics are
+    one hash aggregate over <= k rows per query.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(label_col).alias("true_label"))
+    labels = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(label_col).alias("n_label"))
+    hits = (labels.join(F.broadcast(top.select("query_id", "rank",
+                                               "neighbor_id")),
+                        "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .withColumn("rel", (F.col("n_label") == F.col("true_label"))
+                        .cast("int")))
+    per = (hits.groupBy("query_id")
+           .agg(F.count("*").alias("n_retrieved"),
+                F.sum("rel").alias("n_relevant"),
+                F.min(F.when(F.col("rel") == 1, F.col("rank")))
+                 .alias("first_rel")))
+    return (q.join(per, "query_id", "left")
+            .select("query_id", "true_label",
+                    F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+                    F.coalesce("n_relevant", F.lit(0)).alias("n_relevant"),
+                    (F.coalesce("n_relevant", F.lit(0)) / F.lit(k))
+                    .alias("precision_at_k"),
+                    F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0))
+                    .alias("mrr")))

@@ -233,6 +233,20 @@ def sim_knn_agreement(spark, sf_dir):
                     .alias("ann_agrees")))
 
 
+def sim_eval_retrieval(spark, sf_dir):
+    """Search-quality evaluation of the LSH ANN path against label
+    relevance (see operators.similarity.retrieval_eval): per query,
+    precision@k and MRR over the TOPK LSH neighbors — the
+    label-based eval that complements sim_recall_ann's overlap-based
+    recall. Rational metrics only, so cross-engine exact; empty-bucket
+    queries surface with zeros."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    top = similarity.topk_lsh(queries, embs, TOPK, num_planes=NUM_PLANES,
+                              dim=DIM)
+    return similarity.retrieval_eval(queries, embs, TOPK, top)
+
+
 def dedup_jaccard_report(spark, sf_dir):
     """MinHash-estimate quality per candidate pair: signature-agreement
     Jaccard vs the exact n-gram Jaccard, with the signed error — the
@@ -1804,6 +1818,34 @@ ORACLES["mm_decode_jpeg"] = f"""
            true AS err_le_16
     FROM d"""
 
+# wraps the sim_ann_lsh top-k CTE: relevance = neighbor shares the
+# query's label; rational metrics (hits/k, 1/rank) stay bit-exact
+ORACLES["sim_eval_retrieval"] = f"""
+    WITH topk AS ({{LSH_TOPK}}),
+    q AS (SELECT vec_id AS query_id, label AS true_label
+          FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+    lab AS (SELECT vec_id AS neighbor_id, label AS n_label
+            FROM embeddings),
+    hits AS (SELECT t.query_id, t.rank,
+                    CASE WHEN l.n_label = q.true_label THEN 1 ELSE 0 END
+                      AS rel
+             FROM topk t
+             JOIN lab l USING (neighbor_id)
+             JOIN q USING (query_id)),
+    per AS (SELECT query_id,
+                   CAST(count(*) AS BIGINT) AS n_retrieved,
+                   CAST(sum(rel) AS BIGINT) AS n_relevant,
+                   min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+            FROM hits GROUP BY query_id)
+    SELECT q.query_id, q.true_label,
+           COALESCE(per.n_retrieved, 0) AS n_retrieved,
+           COALESCE(per.n_relevant, 0) AS n_relevant,
+           COALESCE(per.n_relevant, 0) / {TOPK} AS precision_at_k,
+           COALESCE(1.0 / per.first_rel, 0.0) AS mrr
+    FROM q LEFT JOIN per USING (query_id)"""
+ORACLES["sim_eval_retrieval"] = ORACLES["sim_eval_retrieval"].replace(
+    "{LSH_TOPK}", ORACLES["sim_ann_lsh"])
+
 ORACLES["sim_topk_ivf_trained"] = _ivf_trained_oracle(KMEANS_ITERS)
 
 # shard manifest on top of the packing oracle (embedded verbatim)
@@ -2080,6 +2122,10 @@ QUERIES = [
     Query("sim_knn_agreement", sim_knn_agreement,
           ORACLES["sim_knn_agreement"],
           "ANN-vote vs exact-vote agreement per query"),
+    Query("sim_eval_retrieval", sim_eval_retrieval,
+          ORACLES["sim_eval_retrieval"],
+          "label-relevance search eval of the LSH ANN path: per-query "
+          "precision@k + MRR (rational metrics, bit-exact)"),
     Query("dedup_cosine_lsh", dedup_cosine_lsh, ORACLES["dedup_cosine_lsh"],
           "embedding near-dup pairs behind LSH-bucket blocking (scale path)"),
     Query("sim_topk_ivf", sim_topk_ivf, ORACLES["sim_topk_ivf"],

@@ -331,6 +331,36 @@ def events_key_skew_report(spark, sf_dir):
             .select("rank", "user_id", "n_rows", "share_ppm"))
 
 
+def events_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) clustering audit — the layout analysis behind
+    lakehouse OPTIMIZE ZORDER (``operators.scale.zorder_key`` /
+    ``write_zordered``): interleave the bits of two dimensions
+    (user bucket, hour-of-epoch bucket) into one key, cut the key
+    space into 64 ranges (one range ~ one output file), and report
+    each range's row count and min/max ENVELOPE on every dimension —
+    the bounded envelopes are exactly why a Z-layout lets scans skip
+    files on predicates over ANY dimension, where a plain sort only
+    serves its leading column.  All integer bit math, so the oracle is
+    exact; one hash aggregation on the 64 ranges.
+    """
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        ZORDER_BITS, zorder_key)
+    ev = load_table(spark, sf_dir, "events")
+    d1 = F.pmod(F.col("user_id"), F.lit(256)).cast("long")
+    d2 = F.pmod(F.expr("unix_millis(ts) div 3600000"), F.lit(256))
+    z = zorder_key([d1, d2], bits=ZORDER_BITS)
+    return (ev.select(d1.alias("d_user"), d2.alias("d_hour"),
+                      z.alias("z"))
+            .withColumn("z_range", F.expr("z div 1024"))
+            .groupBy("z_range")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("z").alias("z_min"), F.max("z").alias("z_max"),
+                 F.min("d_user").alias("user_min"),
+                 F.max("d_user").alias("user_max"),
+                 F.min("d_hour").alias("hour_min"),
+                 F.max("d_hour").alias("hour_max")))
+
+
 def orders_fingerprint(spark, sf_dir):
     """Order-insensitive table fingerprint — the migration-validation
     utility for exactly this engine's situation: prove two systems hold
@@ -581,6 +611,25 @@ ORACLES["events_key_skew_report"] = """
     SELECT rank, user_id, n_rows, (1000000 * n_rows) // total AS share_ppm
     FROM top CROSS JOIN t WHERE rank <= 20"""
 
+# Morton interleave as unrolled integer bit ops — identical expression
+# shape to operators.scale.zorder_key
+_Z_EXPR = " | ".join(
+    f"(((d{d + 1} >> {b}) & 1) << {b * 2 + d})"
+    for b in range(8) for d in range(2))
+
+ORACLES["events_zorder_stats"] = f"""
+    WITH dims AS (
+      SELECT user_id % 256 AS d1,
+             (epoch_ms(ts) // 3600000) % 256 AS d2
+      FROM events),
+    zed AS (SELECT d1 AS d_user, d2 AS d_hour, {_Z_EXPR} AS z FROM dims)
+    SELECT z // 1024 AS z_range,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(z) AS z_min, max(z) AS z_max,
+           min(d_user) AS user_min, max(d_user) AS user_max,
+           min(d_hour) AS hour_min, max(d_hour) AS hour_max
+    FROM zed GROUP BY 1"""
+
 QUERIES = [
     Query("sketch_hll_users", sketch_hll_users, ORACLES["sketch_hll_users"],
           "HyperLogLog distinct-user estimate per event type (m=64, exact "
@@ -612,6 +661,10 @@ QUERIES = [
     Query("orders_fingerprint", orders_fingerprint,
           ORACLES["orders_fingerprint"],
           "order-insensitive bit_xor table checksum (migration validation)"),
+    Query("events_zorder_stats", events_zorder_stats,
+          ORACLES["events_zorder_stats"],
+          "Z-order (Morton) clustering audit: per-z-range row counts + "
+          "min/max envelopes on every dimension"),
     Query("events_key_skew_report", events_key_skew_report,
           ORACLES["events_key_skew_report"],
           "key-skew diagnostic: top-20 heaviest shuffle keys with ppm "

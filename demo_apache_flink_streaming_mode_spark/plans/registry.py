@@ -259,7 +259,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "decontam": ("text_decontam", "text_decontam_bloom"),
     "ann_topk": ("sim_topk_bruteforce", "sim_ann_lsh", "sim_topk_ivf",
                  "sim_topk_ivf_trained", "sim_topk_ivf_probe2",
-                 "sim_topk_pq", "sim_recall_ann"),
+                 "sim_topk_pq", "sim_recall_ann", "sim_eval_retrieval"),
     "ann_int8": ("sim_topk_int8", "sim_quantize_int8"),
     "knn_label": ("sim_knn_label_vote", "sim_knn_label_vote_exact",
                   "sim_knn_agreement"),
@@ -281,7 +281,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "cdc_chunking": ("text_cdc_chunks", "dedup_cdc_chunks"),
     "quantiles": ("events_value_quantiles", "events_value_quantiles_approx"),
     "events_ops": ("events_anomalies", "events_retention_cohorts",
-                   "events_key_skew_report", "orders_fingerprint"),
+                   "events_key_skew_report", "events_zorder_stats",
+                   "orders_fingerprint"),
     "changelog": ("cl_latest_state", "cl_state_summary"),
     "multimodal": ("mm_manifest", "mm_decode_features", "mm_decode_wav",
                    "mm_decode_image", "mm_decode_png", "mm_decode_jpeg",

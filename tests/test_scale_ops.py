@@ -962,3 +962,49 @@ def test_bpe_train_matches_reference_implementation(spark):
                     ns.append(x)
             seqs[w] = ns
     assert got == want
+
+
+def test_zorder_layout_gives_disjoint_ranges_and_bounded_envelopes(
+        spark, tmp_path):
+    """write_zordered's promise, checked on disk: every output file
+    covers a DISJOINT z interval, and because z interleaves the
+    dimensions, each file's min/max envelope is bounded on BOTH
+    dimensions — the property that makes data skipping work for
+    predicates on either one. A single-dim sort would leave the
+    second dimension's per-file span at full range."""
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        write_zordered, zorder_key)
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+    # full-range dims (event bucket, hour bucket) so the envelope
+    # assertion has room; the judged query's user dim is narrow at
+    # tiny SF but the interleave math is identical
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.pmod("event_id", F.lit(256)).cast("long").alias("d1"),
+        F.pmod(F.expr("unix_millis(ts) div 3600000"), F.lit(256))
+         .alias("d2"))
+    path = str(tmp_path / "zsorted")
+    write_zordered(ev, [F.col("d1"), F.col("d2")], path, n_files=8)
+
+    back = (spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(F.min("_z").alias("zlo"), F.max("_z").alias("zhi"),
+                 F.min("d1").alias("a1"), F.max("d1").alias("b1"),
+                 F.min("d2").alias("a2"), F.max("d2").alias("b2"))
+            .collect())
+    assert len(back) > 1
+    spans = sorted((r.zlo, r.zhi) for r in back)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file z ranges overlap"
+    # interleaving bounds BOTH dims: mean per-file span well under the
+    # global span on each dimension
+    for a, b in (("a1", "b1"), ("a2", "b2")):
+        glob = (max(r[b] for r in back) - min(r[a] for r in back))
+        mean_span = sum(r[b] - r[a] for r in back) / len(back)
+        assert mean_span < 0.75 * glob, (a, mean_span, glob)
+    # sanity: zorder_key on the corners orders as expected
+    probe = spark.createDataFrame([(0, 0), (255, 255)], "d1 long, d2 long")
+    zs = [r.z for r in probe.select(
+        zorder_key([F.col("d1"), F.col("d2")]).alias("z")).collect()]
+    assert zs == [0, 65535]
