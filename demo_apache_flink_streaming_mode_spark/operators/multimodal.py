@@ -21,7 +21,12 @@ baseline JPEG built from scratch on stdlib ``struct`` + numpy
 (``jpeg_decode_features``: per-block DCT, quantization, zigzag +
 DC-differential RLE, Annex-K standard-table Huffman entropy coding,
 0xFF byte stuffing — with a provable reconstruction-error bound).
-Remaining compressed formats (H.264/MP3) need codec libraries not
+Video has a REAL COMPRESSED path via Motion-JPEG in AVI
+(``mjpeg_decode_frames``), and audio via a from-scratch FLAC subset
+(``flac_decode_features``: fixed linear predictors, Rice-coded
+residuals, frame CRC-8/16 + STREAMINFO MD5, all verified on decode).
+Remaining compressed formats (H.264 inter-frame prediction, MP3
+psychoacoustics) need codec libraries not
 present in this container, so the generic
 ``decode_features``/``resize_media``/``sample_frames`` kernels keep
 their ``codec="fake"`` deterministic byte-math path and raise
@@ -1049,3 +1054,314 @@ def mjpeg_decode_frames(media: DataFrame,
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, schema=MJPEG_SCHEMA)
+
+
+# --- FLAC subset: real compressed LOSSLESS audio, pure stdlib -------------
+
+FLAC_RATE = 8000
+FLAC_BLOCK = 256               # samples per frame (last frame ragged)
+FLAC_SCHEMA = ("doc_id bigint, n_samples bigint, sample_rate int, "
+               "n_frames int, max_amp int, mean_amp double")
+
+
+class _Bits:
+    """Plain MSB-first bit writer/reader (no JPEG stuffing)."""
+
+    def __init__(self, data: bytes = b""):
+        self.data = bytearray(data)
+        self.acc = 0
+        self.nbits = 0
+        self.rpos = 0          # read cursor in bits
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.data.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)     # q zero bits then a one
+
+    def align(self) -> None:
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert not self.nbits
+        return bytes(self.data)
+
+    def read(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            byte = self.data[self.rpos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.rpos & 7))) & 1)
+            self.rpos += 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def read_align(self) -> None:
+        self.rpos = (self.rpos + 7) & ~7
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _fixed_residuals(samples: list[int], order: int) -> list[int]:
+    """FLAC fixed-predictor residuals (finite differences of `order`)."""
+    res = list(samples)
+    for _ in range(order):
+        res = [res[i] - res[i - 1] for i in range(1, len(res))]
+    return res
+
+
+def _encode_flac(payload: bytes) -> bytes:
+    """Containerize payload bytes as a REAL FLAC stream (subset): 8-bit
+    mono samples (byte - 128), fixed blocksize frames, per-frame
+    FIXED linear predictor chosen by minimum |residual| sum (orders
+    0-2), Rice-coded residuals (partition order 0), real frame-header
+    CRC-8 and frame CRC-16, and the STREAMINFO MD5 of the raw samples
+    — the decoder verifies every one of them."""
+    import hashlib
+    samples = [b - 128 for b in payload]
+    n = len(samples)
+    frames = [samples[i:i + FLAC_BLOCK] for i in range(0, n, FLAC_BLOCK)]
+
+    out = bytearray(b"fLaC")
+    raw = bytes((s + 128) & 0xFF for s in samples)
+    info = _Bits()
+    info.put(FLAC_BLOCK, 16)                  # min blocksize
+    info.put(FLAC_BLOCK, 16)                  # max blocksize
+    info.put(0, 24)                           # min framesize unknown
+    info.put(0, 24)                           # max framesize unknown
+    info.put(FLAC_RATE, 20)
+    info.put(0, 3)                            # channels - 1
+    info.put(7, 5)                            # bits per sample - 1 (8)
+    info.put(n, 36)
+    body = info.bytes() + hashlib.md5(raw).digest()
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body  # last block
+
+    for fi, block in enumerate(frames):
+        # pick the fixed order with the smallest |residual| sum, like a
+        # real encoder; warmup samples must exist (order < block len)
+        best_order, best_cost = 0, None
+        for order in range(0, 3):
+            if order >= len(block):
+                break
+            cost = sum(abs(r) for r in _fixed_residuals(block, order))
+            if best_cost is None or cost < best_cost:
+                best_order, best_cost = order, cost
+        res = _fixed_residuals(block, best_order)
+        mean = (sum(abs(r) for r in res) // max(1, len(res))) if res else 0
+        rice = max(0, min(14, mean.bit_length()))
+
+        hdr = _Bits()
+        hdr.put(0b11111111111110, 14)
+        hdr.put(0, 1)                          # reserved
+        hdr.put(0, 1)                          # fixed blocksize stream
+        hdr.put(0b0111, 4)                     # blocksize: 16 bit at end - 1
+        hdr.put(0b0000, 4)                     # sample rate: from STREAMINFO
+        hdr.put(0b0000, 4)                     # mono
+        hdr.put(0b001, 3)                      # 8 bits per sample
+        hdr.put(0, 1)                          # reserved
+        assert fi < 0x80
+        hdr.put(fi, 8)                         # UTF-8 frame number (< 128)
+        hdr.put(len(block) - 1, 16)
+        hbytes = bytearray(hdr.bytes())
+        hbytes.append(_crc8(bytes(hbytes)))
+
+        sub = _Bits(bytes(hbytes))
+        sub.put(0, 1)                          # subframe: zero padding
+        sub.put(0b001000 | best_order, 6)      # fixed predictor, order
+        sub.put(0, 1)                          # no wasted bits
+        for s in block[:best_order]:           # warmup, signed 8 bit
+            sub.put(s & 0xFF, 8)
+        sub.put(0, 2)                          # residual: 4-bit rice
+        sub.put(0, 4)                          # partition order 0
+        sub.put(rice, 4)
+        for r in res:                          # zigzag then rice
+            z = (r << 1) if r >= 0 else ((-r) << 1) - 1
+            sub.unary(z >> rice)
+            if rice:
+                sub.put(z & ((1 << rice) - 1), rice)
+        sub.align()
+        fbytes = bytearray(sub.bytes())
+        fbytes += _crc16(bytes(fbytes)).to_bytes(2, "big")
+        out += fbytes
+    return bytes(out)
+
+
+def _decode_flac(blob: bytes) -> tuple[int, int, bytes]:
+    """Real FLAC-subset decode: STREAMINFO parse, frame sync, header
+    CRC-8 + frame CRC-16 verification, Rice residual decode, fixed-
+    predictor integration, final MD5 check against STREAMINFO.
+    Returns (sample_rate, n_frames, payload bytes)."""
+    import hashlib
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    rate = total = None
+    md5_want = None
+    while True:
+        hdr = blob[pos]
+        btype, last = hdr & 0x7F, hdr & 0x80
+        ln = int.from_bytes(blob[pos + 1:pos + 4], "big")
+        body = blob[pos + 4:pos + 4 + ln]
+        if btype == 0:
+            bits = _Bits(body)
+            bits.read(16), bits.read(16), bits.read(24), bits.read(24)
+            rate = bits.read(20)
+            bits.read(3)
+            bps = bits.read(5) + 1
+            total = bits.read(36)
+            if bps != 8:
+                raise ValueError("only 8-bit subset supported")
+            md5_want = body[18:34]
+        pos += 4 + ln
+        if last:
+            break
+    samples: list[int] = []
+    n_frames = 0
+    while pos < len(blob) and len(samples) < (total or 0):
+        bits = _Bits(blob[pos:])
+        if bits.read(14) != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        bits.read(2)
+        bs_code = bits.read(4)
+        if bs_code != 0b0111:
+            raise ValueError("unexpected blocksize code")
+        bits.read(4), bits.read(4)
+        if bits.read(3) != 0b001:
+            raise ValueError("expected 8-bit frame")
+        bits.read(1)
+        bits.read(8)                            # frame number (< 128)
+        bsize = bits.read(16) + 1
+        hdr_len = bits.rpos // 8
+        if _crc8(blob[pos:pos + hdr_len]) != bits.read(8):
+            raise ValueError("frame header CRC-8 mismatch")
+        bits.read_align()
+        if bits.read(1) != 0:
+            raise ValueError("bad subframe padding bit")
+        stype = bits.read(6)
+        if stype >> 3 != 0b001:
+            raise ValueError("only fixed-predictor subframes supported")
+        order = stype & 0x07
+        if bits.read(1) != 0:
+            raise ValueError("wasted bits unsupported")
+        warm = []
+        for _ in range(order):
+            v = bits.read(8)
+            warm.append(v - 256 if v >= 128 else v)
+        if bits.read(2) != 0:
+            raise ValueError("only 4-bit rice residuals supported")
+        if bits.read(4) != 0:
+            raise ValueError("only partition order 0 supported")
+        rice = bits.read(4)
+        res = []
+        for _ in range(bsize - order):
+            q = bits.read_unary()
+            low = bits.read(rice) if rice else 0
+            z = (q << rice) | low
+            res.append((z >> 1) if z % 2 == 0 else -((z + 1) >> 1))
+        samples_frame = _flac_integrate(warm, res, order)
+        bits.read_align()
+        fend = bits.rpos // 8
+        if _crc16(blob[pos:pos + fend]) != bits.read(16):
+            raise ValueError("frame CRC-16 mismatch")
+        samples.extend(samples_frame)
+        pos += fend + 2
+        n_frames += 1
+    if len(samples) != total:
+        raise ValueError("sample count mismatch vs STREAMINFO")
+    raw = bytes((s + 128) & 0xFF for s in samples)
+    if hashlib.md5(raw).digest() != md5_want:
+        raise ValueError("decoded MD5 != STREAMINFO MD5")
+    return rate, n_frames, raw
+
+
+def _flac_integrate(warm: list[int], res: list[int],
+                    order: int) -> list[int]:
+    """Undo `order` finite differences: warmup samples are the first
+    `order` outputs; each next sample is the order-th difference (the
+    residual) summed back up through the difference pyramid."""
+    out = list(warm)
+    # maintain the last value of each difference level 0..order-1
+    hist = [_flac_tail(warm, lvl) for lvl in range(order)]
+    for r in res:
+        v = r
+        for lvl in range(order - 1, -1, -1):
+            v = hist[lvl] + v
+            hist[lvl] = v
+        out.append(v)
+    return out
+
+
+def _flac_tail(warm: list[int], level: int) -> int:
+    """Last value of the `level`-th finite-difference sequence of the
+    warmup samples."""
+    seq = list(warm)
+    for _ in range(level):
+        seq = [seq[i] - seq[i - 1] for i in range(1, len(seq))]
+    return seq[-1]
+
+
+def flac_decode_features(media: DataFrame) -> DataFrame:
+    """REAL COMPRESSED LOSSLESS audio decode, pure stdlib: a FLAC
+    subset built from scratch — completes the compressed-path story
+    for the audio modality (WAV is the uncompressed container).
+
+    Each payload is containerized as an actual FLAC bitstream
+    (``_encode_flac``: 8-bit mono, fixed-blocksize frames, per-frame
+    FIXED linear predictor chosen by least |residual| like a real
+    encoder, Rice-coded residuals, frame-header CRC-8 + frame CRC-16,
+    STREAMINFO MD5 of the raw samples) and decoded back the real way
+    (``_decode_flac``: metadata walk, frame sync, both CRCs verified,
+    Rice decode, predictor integration, final MD5 check).  Lossless,
+    so the oracle proves the whole predict -> Rice -> CRC -> integrate
+    path bit-exact over the text's byte values, exactly like
+    ``mm_decode_wav``/``mm_decode_png``.
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_samples", "sample_rate",
+                                    "n_frames", "max_amp", "mean_amp")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(payload)
+                rate, n_frames, back = _decode_flac(_encode_flac(payload))
+                if back != payload:
+                    raise ValueError("FLAC roundtrip not lossless")
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(len(back))
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(n_frames)
+                rows["max_amp"].append(max(back) if back else 0)
+                rows["mean_amp"].append(
+                    sum(back) / len(back) if back else 0.0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=FLAC_SCHEMA)

@@ -803,6 +803,17 @@ def mm_decode_mjpeg(spark, sf_dir):
     return multimodal.mjpeg_decode_frames(media)
 
 
+def mm_decode_flac(spark, sf_dir):
+    """REAL COMPRESSED LOSSLESS audio decode: from-scratch FLAC subset
+    (fixed linear predictors chosen by least |residual|, Rice-coded
+    residuals, frame CRC-8/CRC-16, STREAMINFO MD5 — all verified on
+    decode; operators.multimodal.flac_decode_features). The decoded
+    samples ARE the payload bytes, so the oracle proves the whole
+    predict -> Rice -> CRC -> integrate path lossless."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return multimodal.flac_decode_features(media)
+
+
 def mm_resize(spark, sf_dir):
     """Resize/transcode kernel (1 row in -> 1 row out mapInPandas shape).
 
@@ -1781,6 +1792,27 @@ ORACLES["text_dup_spans"] = f"""
            COALESCE(pd.covered_tokens, 0) / b.n_tokens AS dup_ratio
     FROM base b LEFT JOIN pd USING (doc_id)"""
 
+# decoded FLAC samples == payload bytes (lossless roundtrip proof,
+# same byte-stats machinery as mm_decode_wav); n_frames = 256-sample
+# fixed blocks
+ORACLES["mm_decode_flac"] = f"""
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             list_transform(range(0, octet_length(encode(text))),
+                            i -> ('0x' || substr(hex(encode(text)),
+                                                 2*i + 1, 2))::BIGINT)
+               AS bytes
+      FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           {multimodal.FLAC_RATE} AS sample_rate,
+           CAST(ceil(n / {float(multimodal.FLAC_BLOCK)}) AS INT) AS n_frames,
+           CAST(COALESCE(list_max(bytes), 0) AS INT) AS max_amp,
+           CASE WHEN n > 0
+                THEN list_aggregate(bytes, 'sum')::DOUBLE / n
+                ELSE 0.0 END AS mean_amp
+    FROM b"""
+
 # frame fan-out geometry is a pure function of the byte count
 # (256-byte frames, min 1); error flag bound as in mm_decode_jpeg
 ORACLES["mm_decode_mjpeg"] = f"""
@@ -2225,6 +2257,9 @@ QUERIES = [
     Query("mm_decode_mjpeg", mm_decode_mjpeg, ORACLES["mm_decode_mjpeg"],
           "REAL COMPRESSED video decode: Motion-JPEG frames in AVI "
           "(variable-size 00dc chunks), 1->N fan-out"),
+    Query("mm_decode_flac", mm_decode_flac, ORACLES["mm_decode_flac"],
+          "REAL COMPRESSED LOSSLESS audio decode: from-scratch FLAC "
+          "subset (fixed predictors + Rice, CRCs + MD5 verified)"),
     Query("sim_recall_ann", sim_recall_ann, ORACLES["sim_recall_ann"],
           "recall@k per method (LSH / IVF nprobe=1/2 / PQ) vs brute force"),
     Query("corpus_clean", corpus_clean, ORACLES["corpus_clean"],
