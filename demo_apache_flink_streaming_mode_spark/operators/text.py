@@ -133,6 +133,17 @@ def winnow_fingerprint(docs: DataFrame, text_col: str = "text",
     re-evaluates the whole hash array per position — quadratic,
     interpreted, and measured 100x slower.
     """
+    sel = _winnow_selected(docs, text_col, shingle_n, window)
+    return (sel.groupBy("doc_id")
+            .agg(F.concat_ws("|", F.transform(
+                F.array_sort(F.collect_set("mn")),
+                lambda x: x.cast("string"))).alias("fp")))
+
+
+def _winnow_selected(docs: DataFrame, text_col: str = "text",
+                     shingle_n: int = 3, window: int = 4) -> DataFrame:
+    """Winnowing selection, exposed as (doc_id, mn) rows (duplicate
+    selections kept — the fingerprint and pair ops dedup as needed)."""
     from pyspark.sql import Window as W
 
     from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
@@ -153,11 +164,43 @@ def winnow_fingerprint(docs: DataFrame, text_col: str = "text",
         F.count("*").over(per_doc).alias("n"))
     # window positions: 0 .. max(n - window, 0) (0-based; a doc shorter
     # than the window yields exactly one, full-array, minimum)
-    sel = mins.filter(F.col("pos") <= F.greatest(F.col("n") - window, F.lit(0)))
-    return (sel.groupBy("doc_id")
-            .agg(F.concat_ws("|", F.transform(
-                F.array_sort(F.collect_set("mn")),
-                lambda x: x.cast("string"))).alias("fp")))
+    return mins.filter(
+        F.col("pos") <= F.greatest(F.col("n") - window, F.lit(0))).select(
+        "doc_id", "mn")
+
+
+def winnow_near_pairs(docs: DataFrame, text_col: str = "text",
+                      shingle_n: int = 3, window: int = 4,
+                      min_shared: int = 2) -> DataFrame:
+    """MOSS-style near-dup candidate pairs from winnowing fingerprints:
+    documents sharing at least ``min_shared`` selected hashes, with the
+    containment score shared / min(|fp_a|, |fp_b|) — the plagiarism-
+    detection use of the fingerprint (two docs sharing any
+    sufficiently long run must share selected hashes).
+
+    Scale shape: the self-join is an equi-join on the 60-bit selected
+    hash (pair fan-out bounded per hash like the MinHash band join,
+    never all-pairs); sizes attach by two joins against the
+    vocab-bounded per-doc fingerprint sizes.  Containment is one
+    integer division — cross-engine exact.
+    """
+    sel = _winnow_selected(docs, text_col, shingle_n, window).distinct()
+    size = sel.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sel.select(F.col("doc_id").alias("doc_a"), "mn")
+    b = sel.select(F.col("doc_id").alias("doc_b"), "mn")
+    pairs = (a.join(b, "mn")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("shared_fp"))
+             .filter(F.col("shared_fp") >= min_shared))
+    sa = size.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sz").alias("size_a"))
+    sb = size.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sz").alias("size_b"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "shared_fp", "size_a", "size_b",
+                    (F.col("shared_fp")
+                     / F.least("size_a", "size_b")).alias("containment")))
 
 
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -451,6 +451,16 @@ def text_bpe_stats(spark, sf_dir):
     return text.bpe_token_stats(_docs(spark, sf_dir))
 
 
+def dedup_winnow_pairs(spark, sf_dir):
+    """MOSS-style near-dup candidate pairs from the winnowing
+    fingerprint (see operators.text.winnow_near_pairs): docs sharing
+    >= 2 selected hashes, with containment = shared / min fingerprint
+    size — the fingerprint family's dedup USE, complementing the
+    MinHash band join and SimHash pigeonhole blocking."""
+    return text.winnow_near_pairs(_docs(spark, sf_dir),
+                                  shingle_n=WINNOW_N, window=WINNOW_W)
+
+
 def text_winnow(spark, sf_dir):
     return text.winnow_fingerprint(_docs(spark, sf_dir),
                                    shingle_n=WINNOW_N, window=WINNOW_W)
@@ -1792,6 +1802,36 @@ ORACLES["text_dup_spans"] = f"""
            COALESCE(pd.covered_tokens, 0) / b.n_tokens AS dup_ratio
     FROM base b LEFT JOIN pd USING (doc_id)"""
 
+# winnow selection shared with the text_winnow oracle; pairs = equi-
+# join on the selected hash, containment = one integer division
+ORACLES["dedup_winnow_pairs"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(WINNOW_N)} AS shingles FROM toks),
+    h AS (SELECT doc_id,
+                 list_transform(shingles,
+                     s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+          FROM sh),
+    m AS (SELECT doc_id,
+                 list_transform(
+                     range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+                     i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1})))
+                   AS mins
+          FROM h),
+    sel AS (SELECT DISTINCT doc_id, mn
+            FROM (SELECT doc_id, unnest(mins) AS mn FROM m)),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sel GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS shared_fp
+              FROM sel a JOIN sel b
+                ON a.mn = b.mn AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT doc_a, doc_b, shared_fp,
+           sa.sz AS size_a, sb.sz AS size_b,
+           shared_fp / least(sa.sz, sb.sz) AS containment
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b"""
+
 # decoded FLAC samples == payload bytes (lossless roundtrip proof,
 # same byte-stats machinery as mm_decode_wav); n_frames = 256-sample
 # fixed blocks
@@ -2185,6 +2225,10 @@ QUERIES = [
           "ratio via the fitted vocab join"),
     Query("text_winnow", text_winnow, ORACLES["text_winnow"],
           "winnowing rolling-hash document fingerprint"),
+    Query("dedup_winnow_pairs", dedup_winnow_pairs,
+          ORACLES["dedup_winnow_pairs"],
+          "MOSS-style near-dup pairs from winnow fingerprints (shared "
+          "selected hashes + containment)"),
     Query("text_pack_shards", text_pack_shards, ORACLES["text_pack_shards"],
           "fixed-token-budget training-shard assignment (distributed "
           "two-phase prefix sum)"),

@@ -269,7 +269,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "text_signals": ("text_langid", "text_quality", "text_quality_pct_rank",
                      "text_quality_rules", "text_repetition",
                      "text_ngram_diversity", "text_length_buckets"),
-    "text_fingerprint": ("text_fingerprint", "text_winnow"),
+    "text_fingerprint": ("text_fingerprint", "text_winnow",
+                         "dedup_winnow_pairs"),
     "text_sampling": ("text_split_assign", "text_mixture_sample",
                       "text_stratified_sample", "text_pack_shards",
                       "text_shard_report"),
