@@ -59,8 +59,18 @@ def to_media(docs: DataFrame, text_col: str = "text",
     (Testdata has no real image/audio files, so document text stands in
     as the payload bytes; with real data this is ``format("binaryFile")``
     or a pointer manifest read.)
+
+    Spread to full parallelism here: every downstream consumer is a
+    per-row-HEAVY Arrow kernel (entropy coding, DCT, Rice folding),
+    where the cost is per-byte Python/numpy work, not scan cost — the
+    row-count-based scan floor in ``sources.batch`` deliberately does
+    not fire on small-row tables, but a codec over ONE input split
+    would still serialize onto one core (measured 8x on the JPEG
+    kernel at bench scale).  One linear shuffle of the payload bytes,
+    dwarfed by the decode work it parallelizes.
     """
-    return docs.select(
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import spread
+    return spread(docs, "doc_id").select(
         "doc_id",
         F.encode(F.col(text_col), "UTF-8").alias("media"),
         F.lit(media_type).alias("media_type"),

@@ -1,10 +1,13 @@
 """Text analysis operators for training-data pipelines.
 
-Language ID (marker-word heuristic), quality scoring, token counting,
-and document fingerprinting — all pure column expressions (split /
-higher-order array functions / md5), no Python in the hot path, so each
-is a narrow per-row map over the corpus with at most one aggregation
-shuffle where the semantics require it (term counts).
+Language ID (marker-word heuristic), quality scoring (continuous score
++ Gopher-style rule gate), token counting, BPE tokenizer training and
+application, repeated-span boilerplate detection, and document
+fingerprinting (min-hash, winnowing + MOSS-style overlap pairs) — all
+pure column expressions (split / higher-order array functions / md5),
+no Python in the hot path, so each is a narrow per-row map over the
+corpus with at most one aggregation shuffle where the semantics
+require it (term counts, span counts, BPE pair counts).
 """
 
 from __future__ import annotations
@@ -528,8 +531,12 @@ def dup_span_report(docs: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window as W
 
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import spread
+
     toks = word_tokens(F.col(text_col))
-    base = docs.select(
+    # spread before the per-row-heavy shingle+md5 map (single-split
+    # scans would run it on one core; see operators.dedup.spread)
+    base = spread(docs, "doc_id").select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         word_shingles(toks, span_n).alias("spans"),
