@@ -529,36 +529,55 @@ def dup_span_report(docs: DataFrame, text_col: str = "text",
     repeats of a span do not make it boilerplate (that is intra-doc
     repetition, covered by ``repetition_stats``).
     """
-    from pyspark.sql import Window as W
-
-    from demo_apache_flink_streaming_mode_spark.operators.dedup import spread
-
-    toks = word_tokens(F.col(text_col))
-    # spread before the per-row-heavy shingle+md5 map (single-split
-    # scans would run it on one core; see operators.dedup.spread)
-    base = spread(docs, "doc_id").select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        word_shingles(toks, span_n).alias("spans"),
-    )
-    # shingle k (0-based posexplode) starts at token position k+1
-    occ = (base
-           .select("doc_id", "n_tokens",
-                   F.posexplode("spans").alias("pos", "span"))
-           .select("doc_id", "n_tokens",
-                   (F.col("pos") + 1).alias("start"),
-                   F.md5("span").alias("h")))
+    base = _span_base(docs, text_col, span_n)
+    occ = _span_occ(base)
     dup = (occ.select("h", "doc_id").distinct()
            .groupBy("h").agg(F.count("*").alias("n_docs"))
            .filter(F.col("n_docs") >= min_docs)
            .select("h"))
-    # interval union per doc: a span covers [start, end); merge
-    # overlapping-or-adjacent intervals into islands via the classic
-    # running-max-of-ends window, then sum island widths
-    hits = (occ.join(dup, "h")
-            .select("doc_id", "start",
-                    F.least(F.col("start") + span_n,
-                            F.col("n_tokens") + 1).alias("end")))
+    return _span_coverage_report(base, occ.join(dup, "h"), span_n,
+                                 "n_dup_spans", "dup_ratio")
+
+
+def _span_base(docs: DataFrame, text_col: str, span_n: int) -> DataFrame:
+    """(doc_id, n_tokens, spans) — spread before the per-row-heavy
+    shingle map (single-split scans would run it on one core; see
+    operators.dedup.spread)."""
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import spread
+
+    toks = word_tokens(F.col(text_col))
+    return spread(docs, "doc_id").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        word_shingles(toks, span_n).alias("spans"),
+    )
+
+
+def _span_occ(base: DataFrame) -> DataFrame:
+    """Exploded span occurrences (doc_id, n_tokens, start, h); shingle
+    k (0-based posexplode) starts at token position k+1."""
+    return (base
+            .select("doc_id", "n_tokens",
+                    F.posexplode("spans").alias("pos", "span"))
+            .select("doc_id", "n_tokens",
+                    (F.col("pos") + 1).alias("start"),
+                    F.md5("span").alias("h")))
+
+
+def _span_coverage_report(base: DataFrame, hits: DataFrame, span_n: int,
+                          n_col: str, ratio_col: str) -> DataFrame:
+    """Per-doc interval-union coverage of span hits: a span covers
+    [start, end); overlapping-or-adjacent intervals merge into islands
+    via the classic running-max-of-ends window, island widths sum to
+    the exact covered-token count (never double counted).  The island
+    windows run over HIT occurrences only — bounded by hit density,
+    never a full-corpus sort.  Docs with no hits keep a row with
+    zeros."""
+    from pyspark.sql import Window as W
+
+    hits = hits.select("doc_id", "start",
+                       F.least(F.col("start") + span_n,
+                               F.col("n_tokens") + 1).alias("end"))
     w_ord = W.partitionBy("doc_id").orderBy("start")
     prev_max = F.max("end").over(
         w_ord.rowsBetween(W.unboundedPreceding, -1))
@@ -574,16 +593,43 @@ def dup_span_report(docs: DataFrame, text_col: str = "text",
                     F.count("*").alias("n_occ"))
                .groupBy("doc_id")
                .agg(F.sum("cov").alias("covered_tokens"),
-                    F.sum("n_occ").alias("n_dup_spans")))
+                    F.sum("n_occ").alias(n_col)))
     return (base.select("doc_id", "n_tokens",
                         F.size("spans").alias("n_spans"))
             .join(per_doc, "doc_id", "left")
             .select("doc_id", "n_tokens", "n_spans",
-                    F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                    F.coalesce(n_col, F.lit(0)).alias(n_col),
                     F.coalesce("covered_tokens", F.lit(0))
                      .alias("covered_tokens"),
                     (F.coalesce("covered_tokens", F.lit(0))
-                     / F.col("n_tokens")).alias("dup_ratio")))
+                     / F.col("n_tokens")).alias(ratio_col)))
+
+
+def span_overlap_against(new_docs: DataFrame, corpus_docs: DataFrame,
+                         text_col: str = "text",
+                         span_n: int = DUP_SPAN_N) -> DataFrame:
+    """Increment-vs-corpus repeated-span probe — the span-level member
+    of the incremental-dedup trio (exact hash / MinHash near-dup /
+    span overlap): for each NEW document, how many of its ``span_n``-
+    word spans ALREADY EXIST anywhere in the standing corpus, and the
+    exact interval-union token coverage of that pre-existing text.
+    High overlap_ratio = the "new" doc is mostly text the corpus
+    already has (a partial mirror, a quote farm, a template) even when
+    no single corpus doc is a near-duplicate of it.
+
+    At 100 TB the corpus leg is the persisted distinct span-hash index
+    a daily pipeline maintains; each day ships one digest equi-join of
+    the increment's spans against it — the same probe-the-index shape
+    as ``dedup.lsh_candidates_against``, and the hit explode +
+    equi-join is stateless, so the dataflow runs stream-static
+    unchanged.
+    """
+    base = _span_base(new_docs, text_col, span_n)
+    occ = _span_occ(base)
+    idx = (_span_occ(_span_base(corpus_docs, text_col, span_n))
+           .select("h").distinct())
+    return _span_coverage_report(base, occ.join(idx, "h"), span_n,
+                                 "n_corpus_spans", "overlap_ratio")
 
 
 # Gopher rule-filter constants (Rae et al. 2021, MassiveText §A1.1),

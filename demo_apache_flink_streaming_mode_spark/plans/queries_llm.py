@@ -116,6 +116,19 @@ def dedup_incremental_near(spark, sf_dir):
                                         num_hashes=NUM_HASHES)
 
 
+def dedup_incremental_spans(spark, sf_dir):
+    """Increment-vs-corpus SPAN probe (see operators.text.
+    span_overlap_against), completing the incremental trio: per new
+    doc (doc_id % INC_MOD == 0), how many of its 13-word spans already
+    exist in the standing corpus and the exact interval-union coverage
+    of that pre-existing text — catches partial mirrors and template
+    text that no single-doc near-dup probe flags."""
+    docs = _docs(spark, sf_dir)
+    return text.span_overlap_against(
+        docs.filter(F.col("doc_id") % INC_MOD == 0),
+        docs.filter(F.col("doc_id") % INC_MOD != 0))
+
+
 def dedup_source_overlap(spark, sf_dir):
     """Source-overlap matrix: MinHash-LSH near-duplicate candidate
     pairs rolled up by (unordered) source pair — the curation
@@ -1752,6 +1765,55 @@ ORACLES["text_quality_rules"] = f"""
             AND ok_repetition) AS keep
     FROM f"""
 
+# increment-vs-corpus span probe: the dup_span_report oracle machinery
+# with the distinct-doc threshold swapped for membership in the corpus
+# side's distinct span-hash index
+ORACLES["dedup_incremental_spans"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+    base AS (SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
+                    CAST(greatest(len(tokens) - {text.DUP_SPAN_N - 1}, 1)
+                         AS INT) AS n_spans,
+                    tokens
+             FROM toks),
+    occ0 AS (SELECT doc_id, n_tokens, tokens,
+                    CAST(unnest(range(1, n_spans + 1)) AS INT) AS start
+             FROM base),
+    occ AS (SELECT doc_id, n_tokens, start,
+                   md5(array_to_string(
+                       list_slice(tokens, start,
+                                  start + {text.DUP_SPAN_N - 1}), ' ')) AS h
+            FROM occ0),
+    idx AS (SELECT DISTINCT h FROM occ WHERE doc_id % {INC_MOD} <> 0),
+    hits AS (SELECT doc_id, start,
+                    least(start + {text.DUP_SPAN_N}, n_tokens + 1) AS e
+             FROM occ JOIN idx USING (h)
+             WHERE doc_id % {INC_MOD} = 0),
+    marked AS (SELECT doc_id, start, e,
+                      CASE WHEN max(e) OVER w IS NULL
+                             OR start > max(e) OVER w THEN 1 ELSE 0 END AS ni
+               FROM hits
+               WINDOW w AS (PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)),
+    isl AS (SELECT doc_id, start, e,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS island
+            FROM marked),
+    agg AS (SELECT doc_id, island, max(e) - min(start) AS cov,
+                   count(*) AS n_occ
+            FROM isl GROUP BY doc_id, island),
+    pd AS (SELECT doc_id,
+                  CAST(sum(cov) AS BIGINT) AS covered_tokens,
+                  CAST(sum(n_occ) AS BIGINT) AS n_corpus_spans
+           FROM agg GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.n_spans,
+           COALESCE(pd.n_corpus_spans, 0) AS n_corpus_spans,
+           COALESCE(pd.covered_tokens, 0) AS covered_tokens,
+           COALESCE(pd.covered_tokens, 0) / b.n_tokens AS overlap_ratio
+    FROM base b LEFT JOIN pd USING (doc_id)
+    WHERE b.doc_id % {INC_MOD} = 0"""
+
 # mirrors operators.text.dup_span_report: same shingling as _TOKENS /
 # list_slice, distinct-doc threshold, and the identical islands
 # (running max of interval ends) coverage union
@@ -2166,6 +2228,10 @@ QUERIES = [
     Query("dedup_incremental_near", dedup_incremental_near,
           ORACLES["dedup_incremental_near"],
           "increment-vs-corpus MinHash-LSH near-dup probe"),
+    Query("dedup_incremental_spans", dedup_incremental_spans,
+          ORACLES["dedup_incremental_spans"],
+          "increment-vs-corpus span probe (pre-existing-text coverage "
+          "per new doc)"),
     Query("dedup_source_overlap", dedup_source_overlap,
           ORACLES["dedup_source_overlap"],
           "near-dup pair counts by unordered source pair (overlap matrix)"),

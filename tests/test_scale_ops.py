@@ -1008,3 +1008,30 @@ def test_zorder_layout_gives_disjoint_ranges_and_bounded_envelopes(
     zs = [r.z for r in probe.select(
         zorder_key([F.col("d1"), F.col("d2")]).alias("z")).collect()]
     assert zs == [0, 65535]
+
+
+def test_span_overlap_against_coverage_semantics(spark):
+    """Constructed increment-vs-corpus span probe (span_n=3): a full
+    mirror covers 100%, a partial mirror covers exactly its copied
+    run (interval union, not span double-counting), novel text covers
+    zero, and overlap is directional (corpus spans only — other NEW
+    docs' text never counts as pre-existing)."""
+    from demo_apache_flink_streaming_mode_spark.operators.text import (
+        span_overlap_against)
+    corpus = spark.createDataFrame(
+        [(100, "a b c d e f"), (101, "x y z w")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a b c d e f"),          # full mirror of 100
+         (2, "q r a b c d s t"),      # copies run a..d (spans at 3,4)
+         (3, "n o p q r s"),          # novel
+         (4, "n o p q r s")],         # same as 3 — but 3 is NOT corpus
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           span_overlap_against(new, corpus, span_n=3).collect()}
+    assert got[1].overlap_ratio == 1.0 and got[1].n_corpus_spans == 4
+    # doc 2: spans "a b c"(3) and "b c d"(4) hit -> union [3,7) = 4 of 8
+    assert (got[2].n_corpus_spans, got[2].covered_tokens) == (2, 4)
+    assert got[2].overlap_ratio == 0.5
+    for d in (3, 4):   # novel, and new-vs-new never counts
+        assert (got[d].n_corpus_spans, got[d].covered_tokens) == (0, 0)
