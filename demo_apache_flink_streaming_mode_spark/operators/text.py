@@ -548,6 +548,7 @@ def _span_base(docs: DataFrame, text_col: str, span_n: int) -> DataFrame:
     toks = word_tokens(F.col(text_col))
     return spread(docs, "doc_id").select(
         "doc_id",
+        toks.alias("tokens"),
         F.size(toks).alias("n_tokens"),
         word_shingles(toks, span_n).alias("spans"),
     )
@@ -573,6 +574,25 @@ def _span_coverage_report(base: DataFrame, hits: DataFrame, span_n: int,
     windows run over HIT occurrences only — bounded by hit density,
     never a full-corpus sort.  Docs with no hits keep a row with
     zeros."""
+    per_doc = (_span_islands(hits, span_n)
+               .groupBy("doc_id")
+               .agg(F.sum(F.col("hi") - F.col("lo")).alias("covered_tokens"),
+                    F.sum("n_occ").alias(n_col)))
+    return (base.select("doc_id", "n_tokens",
+                        F.size("spans").alias("n_spans"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_tokens", "n_spans",
+                    F.coalesce(n_col, F.lit(0)).alias(n_col),
+                    F.coalesce("covered_tokens", F.lit(0))
+                     .alias("covered_tokens"),
+                    (F.coalesce("covered_tokens", F.lit(0))
+                     / F.col("n_tokens")).alias(ratio_col)))
+
+
+def _span_islands(hits: DataFrame, span_n: int) -> DataFrame:
+    """Merge hit spans into maximal islands per doc: one row per island
+    (doc_id, island, lo, hi (exclusive), n_occ) via the classic
+    running-max-of-ends window over HIT occurrences only."""
     from pyspark.sql import Window as W
 
     hits = hits.select("doc_id", "start",
@@ -588,21 +608,45 @@ def _span_coverage_report(base: DataFrame, hits: DataFrame, span_n: int,
     hits = hits.withColumn(
         "island", F.sum("new_island").over(
             w_ord.rowsBetween(W.unboundedPreceding, 0)))
-    per_doc = (hits.groupBy("doc_id", "island")
-               .agg((F.max("end") - F.min("start")).alias("cov"),
-                    F.count("*").alias("n_occ"))
-               .groupBy("doc_id")
-               .agg(F.sum("cov").alias("covered_tokens"),
-                    F.sum("n_occ").alias(n_col)))
-    return (base.select("doc_id", "n_tokens",
-                        F.size("spans").alias("n_spans"))
-            .join(per_doc, "doc_id", "left")
-            .select("doc_id", "n_tokens", "n_spans",
-                    F.coalesce(n_col, F.lit(0)).alias(n_col),
-                    F.coalesce("covered_tokens", F.lit(0))
-                     .alias("covered_tokens"),
-                    (F.coalesce("covered_tokens", F.lit(0))
-                     / F.col("n_tokens")).alias(ratio_col)))
+    return (hits.groupBy("doc_id", "island")
+            .agg(F.min("start").alias("lo"), F.max("end").alias("hi"),
+                 F.count("*").alias("n_occ")))
+
+
+def boilerplate_strip(docs: DataFrame, text_col: str = "text",
+                      span_n: int = DUP_SPAN_N,
+                      min_docs: int = 2) -> DataFrame:
+    """The REMOVAL step behind ``dup_span_report`` — C4 doesn't just
+    measure repeated spans, it deletes them: every token covered by a
+    cross-document duplicated span (the report's islands) is dropped
+    and the remaining tokens re-joined, yielding the cleaned corpus a
+    training pipeline actually feeds downstream.
+
+    The token drop is a per-row indexed HOF filter against the doc's
+    own (few) islands — no extra shuffle beyond the report's; docs
+    with no duplicated text pass through verbatim.  Returns (doc_id,
+    n_tokens, n_removed, cleaned_text).
+    """
+    base = _span_base(docs, text_col, span_n)
+    occ = _span_occ(base)
+    dup = (occ.select("h", "doc_id").distinct()
+           .groupBy("h").agg(F.count("*").alias("n_docs"))
+           .filter(F.col("n_docs") >= min_docs)
+           .select("h"))
+    iv = (_span_islands(occ.join(dup, "h"), span_n)
+          .groupBy("doc_id")
+          .agg(F.collect_list(F.struct("lo", "hi")).alias("iv")))
+    empty = F.expr("CAST(array() AS array<struct<lo:int,hi:int>>)")
+    kept = F.filter(
+        "tokens",
+        lambda t, i: ~F.exists(
+            "iv", lambda s: (s["lo"] <= i + 1) & (i + 1 < s["hi"])))
+    return (base.select("doc_id", "tokens", "n_tokens")
+            .join(iv, "doc_id", "left")
+            .withColumn("iv", F.coalesce("iv", empty))
+            .select("doc_id", "n_tokens",
+                    (F.col("n_tokens") - F.size(kept)).alias("n_removed"),
+                    F.concat_ws(" ", kept).alias("cleaned_text")))
 
 
 def span_overlap_against(new_docs: DataFrame, corpus_docs: DataFrame,

@@ -543,6 +543,14 @@ def text_length_buckets(spark, sf_dir):
                     F.col("sum_tokens").cast("long").alias("sum_tokens")))
 
 
+def text_strip_boilerplate(spark, sf_dir):
+    """The C4-style REMOVAL step (see operators.text.
+    boilerplate_strip): tokens covered by cross-document duplicated
+    13-word spans are deleted and the rest re-joined — the cleaned
+    corpus the report (`text_dup_spans`) only measures."""
+    return text.boilerplate_strip(_docs(spark, sf_dir))
+
+
 def text_quality_rules(spark, sf_dir):
     """Gopher-style rule-based quality gate (see operators.text.
     quality_rules): named boolean rules + raw signals in one
@@ -1765,6 +1773,59 @@ ORACLES["text_quality_rules"] = f"""
             AND ok_repetition) AS keep
     FROM f"""
 
+# the removal twin of the dup-span oracle: islands become (lo, hi)
+# interval lists, the cleaned text is an indexed list_filter (DuckDB
+# lambda indexes are 1-based, matching the Spark side's i + 1)
+ORACLES["text_strip_boilerplate"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+    base AS (SELECT doc_id, tokens,
+                    CAST(len(tokens) AS INT) AS n_tokens,
+                    CAST(greatest(len(tokens) - {text.DUP_SPAN_N - 1}, 1)
+                         AS INT) AS n_spans
+             FROM toks),
+    occ0 AS (SELECT doc_id, n_tokens, tokens,
+                    CAST(unnest(range(1, n_spans + 1)) AS INT) AS start
+             FROM base),
+    occ AS (SELECT doc_id, n_tokens, start,
+                   md5(array_to_string(
+                       list_slice(tokens, start,
+                                  start + {text.DUP_SPAN_N - 1}), ' ')) AS h
+            FROM occ0),
+    dup AS (SELECT h
+            FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM occ GROUP BY h)
+            WHERE nd >= 2),
+    hits AS (SELECT doc_id, start,
+                    least(start + {text.DUP_SPAN_N}, n_tokens + 1) AS e
+             FROM occ JOIN dup USING (h)),
+    marked AS (SELECT doc_id, start, e,
+                      CASE WHEN max(e) OVER w IS NULL
+                             OR start > max(e) OVER w THEN 1 ELSE 0 END AS ni
+               FROM hits
+               WINDOW w AS (PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)),
+    isl AS (SELECT doc_id, start, e,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS island
+            FROM marked),
+    ivs AS (SELECT doc_id, min(start) AS lo, max(e) AS hi
+            FROM isl GROUP BY doc_id, island),
+    ivl AS (SELECT doc_id,
+                   list(struct_pack(lo := lo, hi := hi)) AS iv
+            FROM ivs GROUP BY doc_id),
+    kept AS (SELECT b.doc_id, b.n_tokens,
+                    list_filter(b.tokens, (x, i) ->
+                        len(list_filter(
+                            COALESCE(ivl.iv,
+                                     []::STRUCT(lo INT, hi INT)[]),
+                            s -> s.lo <= i AND i < s.hi)) = 0) AS kt
+             FROM base b LEFT JOIN ivl USING (doc_id))
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(kt) AS INT) AS n_removed,
+           COALESCE(array_to_string(kt, ' '), '') AS cleaned_text
+    FROM kept"""
+
 # increment-vs-corpus span probe: the dup_span_report oracle machinery
 # with the distinct-doc threshold swapped for membership in the corpus
 # side's distinct span-hash index
@@ -2306,6 +2367,10 @@ QUERIES = [
     Query("text_dup_spans", text_dup_spans, ORACLES["text_dup_spans"],
           "C4-style repeated-span boilerplate report (13-word spans in "
           ">=2 docs; exact interval-union token coverage)"),
+    Query("text_strip_boilerplate", text_strip_boilerplate,
+          ORACLES["text_strip_boilerplate"],
+          "C4-style removal step: duplicated-span tokens deleted, "
+          "cleaned text emitted"),
     Query("text_quality_rules", text_quality_rules,
           ORACLES["text_quality_rules"],
           "Gopher-style rule-based quality gate (named boolean rules + "

@@ -249,7 +249,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "join_layout": ("q_bucketed_join_priority", "q_salted_join_priority"),
     "dedup_exact": ("dedup_exact", "dedup_quality_keeper",
                     "dedup_incremental"),
-    "span_dedup": ("text_dup_spans", "dedup_incremental_spans"),
+    "span_dedup": ("text_dup_spans", "dedup_incremental_spans",
+                   "text_strip_boilerplate"),
     "dedup_minhash": ("dedup_minhash_lsh", "dedup_ngram_jaccard",
                       "dedup_jaccard_report", "dedup_source_overlap",
                       "dedup_incremental_near"),

@@ -1035,3 +1035,21 @@ def test_span_overlap_against_coverage_semantics(spark):
     assert got[2].overlap_ratio == 0.5
     for d in (3, 4):   # novel, and new-vs-new never counts
         assert (got[d].n_corpus_spans, got[d].covered_tokens) == (0, 0)
+
+
+def test_boilerplate_strip_removes_exactly_the_islands(spark):
+    """The removal twin of the span report: fully-duplicated docs
+    strip to empty, partially-duplicated docs lose exactly the island
+    tokens (seam tokens between adjacent islands never survive, the
+    non-covered middle does), and clean docs pass through verbatim."""
+    from demo_apache_flink_streaming_mode_spark.operators.text import (
+        boilerplate_strip)
+    rows = [(1, "a b c d e f"), (2, "a b c x d e f"),
+            (3, "u v w x y z q"), (4, "p q r s"), (5, "p q r s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_removed, r.cleaned_text) for r in
+           boilerplate_strip(docs, span_n=3).collect()}
+    assert got[1] == (6, "")                      # adjacent islands merge
+    assert got[2] == (6, "x")                     # only the gap survives
+    assert got[3] == (0, "u v w x y z q")         # untouched
+    assert got[4] == (4, "") and got[5] == (4, "")

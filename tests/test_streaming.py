@@ -1004,3 +1004,35 @@ def test_quality_rules_gate_streaming_parity(spark, sf_dir, tmp_path):
     got = _rows(spark.table("t_docrules"), "doc_id")
     want = _rows(text.quality_rules(docs).filter("keep"), "doc_id")
     assert got == want and 0 < len(got) < docs.count()
+
+
+def test_span_probe_stream_static_parity(spark, sf_dir, tmp_path):
+    """span_overlap_against's docstring claims the probe is stateless
+    expressions + an equi-join, so the SAME dataflow runs
+    stream-static: new docs streamed against the batch-built corpus
+    span-hash index must produce exactly the batch probe's span hits
+    (the per-doc island rollup is the batch reporting layer)."""
+    from demo_apache_flink_streaming_mode_spark.operators.text import (
+        _span_base, _span_occ)
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+    from pyspark.sql.types import StructType
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = _span_occ(_span_base(corpus, "text", 13)).select("h").distinct()
+
+    want = sorted((r.doc_id, r.start) for r in
+                  _span_occ(_span_base(new, "text", 13))
+                  .join(idx, "h").select("doc_id", "start").collect())
+
+    d = str(tmp_path / "new_docs_json")
+    new.coalesce(2).write.mode("overwrite").json(d)
+    schema = StructType([docs.schema["doc_id"], docs.schema["text"]])
+    stream = sources.file_stream(spark, d + "/part-*", schema, fmt="json")
+    hits = (_span_occ(_span_base(stream, "text", 13))
+            .join(idx, "h").select("doc_id", "start"))
+    _drain(hits, "t_spanprobe")
+    got = sorted((r.doc_id, r.start)
+                 for r in spark.table("t_spanprobe").collect())
+    assert got == want and len(got) > 0
