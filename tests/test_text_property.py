@@ -1,0 +1,163 @@
+"""Property tests: the round-6 text machinery (repeated-span report,
+boilerplate removal, winnowing selection, distributed BPE training)
+against direct sequential Python references on hypothesis-generated
+corpora.
+
+Each operator composes several exact-semantics pieces — shingle
+positions (whole-text-if-shorter rule), interval-union islands, the
+rolling-min winnow window, the weight-desc/lex-asc BPE tie-break and
+the greedy left-fold merge — and a divergence in any piece shows up on
+random corpora long before it would on the fixture data (which has few
+ties, no one-token docs, no vocabulary exhaustion).  The references
+re-state the semantics independently: plain dict/set/loop Python, no
+Spark, no shared helpers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from demo_apache_flink_streaming_mode_spark.operators import text as T
+
+# small alphabet + short docs → dense span/pair collisions (the
+# interesting regime: ties, same-doc repeats, full-doc coverage)
+word = st.text(alphabet="ab", min_size=1, max_size=4)
+doc = st.lists(word, min_size=1, max_size=10).map(" ".join)
+corpus = st.lists(doc, min_size=1, max_size=5).map(
+    lambda ds: [(i + 1, d) for i, d in enumerate(ds)])
+
+SLOW = settings(max_examples=15, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+
+def _spans(tokens: list[str], n: int) -> list[str]:
+    """word_shingles semantics: positions 1..max(len-n+1, 1); a doc
+    shorter than n yields exactly one whole-text span."""
+    stop = max(len(tokens) - n + 1, 1)
+    return [" ".join(tokens[i:i + n]) for i in range(stop)]
+
+
+def _dup_hashes(rows: list[tuple[int, str]], n: int,
+                min_docs: int) -> set[str]:
+    """Spans (by md5) occurring in >= min_docs DISTINCT documents."""
+    docs_per = {}
+    for did, text in rows:
+        for s in set(_spans(text.split(" "), n)):
+            docs_per.setdefault(hashlib.md5(s.encode()).hexdigest(),
+                                set()).add(did)
+    return {h for h, ds in docs_per.items() if len(ds) >= min_docs}
+
+
+def _ref_report(rows: list[tuple[int, str]], n: int, min_docs: int):
+    """doc_id -> (n_tokens, n_spans, n_dup_spans, covered_tokens)."""
+    dup = _dup_hashes(rows, n, min_docs)
+    out = {}
+    for did, text in rows:
+        toks = text.split(" ")
+        spans = _spans(toks, n)
+        hits = [i + 1 for i, s in enumerate(spans)
+                if hashlib.md5(s.encode()).hexdigest() in dup]
+        covered = set()
+        for start in hits:
+            covered.update(range(start, min(start + n, len(toks) + 1)))
+        out[did] = (len(toks), len(spans), len(hits), len(covered))
+    return out
+
+
+@SLOW
+@given(rows=corpus, n=st.sampled_from([2, 3]))
+def test_dup_span_report_matches_reference(spark, rows, n):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_spans, r.n_dup_spans,
+                      r.covered_tokens)
+           for r in T.dup_span_report(df, span_n=n, min_docs=2).collect()}
+    assert got == _ref_report(rows, n, min_docs=2)
+
+
+@SLOW
+@given(rows=corpus, n=st.sampled_from([2, 3]))
+def test_boilerplate_strip_matches_reference(spark, rows, n):
+    dup = _dup_hashes(rows, n, min_docs=2)
+    want = {}
+    for did, text in rows:
+        toks = text.split(" ")
+        removed = set()
+        for i, s in enumerate(_spans(toks, n)):
+            if hashlib.md5(s.encode()).hexdigest() in dup:
+                removed.update(range(i + 1, min(i + 1 + n, len(toks) + 1)))
+        kept = [t for p, t in enumerate(toks, 1) if p not in removed]
+        want[did] = (len(toks), len(removed), " ".join(kept))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+           for r in T.boilerplate_strip(df, span_n=n,
+                                        min_docs=2).collect()}
+    assert got == want
+    # cross-operator invariant: tokens the strip removes are EXACTLY
+    # the tokens the report counts as covered (same dup set)
+    rep = {r.doc_id: r.covered_tokens
+           for r in T.dup_span_report(df, span_n=n, min_docs=2).collect()}
+    assert {d: v[1] for d, v in got.items()} == rep
+
+
+@SLOW
+@given(rows=corpus, shingle_n=st.sampled_from([2, 3]),
+       window=st.sampled_from([2, 4]))
+def test_winnow_fingerprint_matches_reference(spark, rows, shingle_n,
+                                              window):
+    want = {}
+    for did, text in rows:
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+              for g in _spans(text.split(" "), shingle_n)]
+        mins = {min(hs[p:p + window])
+                for p in range(max(len(hs) - window, 0) + 1)}
+        want[did] = "|".join(str(m) for m in sorted(mins))
+    got = {r.doc_id: r.fp
+           for r in T.winnow_fingerprint(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               shingle_n=shingle_n, window=window).collect()}
+    assert got == want
+
+
+def _ref_bpe(rows: list[tuple[int, str]],
+             merges: int) -> list[tuple[int, str, str, int]]:
+    """Sequential BPE trainer: word-frequency dict, heaviest pair with
+    (weight desc, left asc, right asc) ties, greedy left-fold merge.
+    Returns the (rank, left, right, weight) table; stops early when no
+    adjacent pairs remain (the DataFrame form's empty-argmax round)."""
+    wc = Counter(w for _, text in rows for w in text.split(" "))
+    seqs = {w: list(w) for w in wc}
+    table = []
+    for rank in range(1, merges + 1):
+        pc = Counter()
+        for w, c in wc.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (left, right), weight = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        table.append((rank, left, right, weight))
+        for w, s in seqs.items():
+            acc: list[str] = []
+            for x in s:
+                if acc and acc[-1] == left and x == right:
+                    acc[-1] = left + right
+                else:
+                    acc.append(x)
+            seqs[w] = acc
+    return table
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=corpus, merges=st.sampled_from([1, 3]))
+def test_bpe_train_matches_reference(spark, rows, merges):
+    got = [(r.rank, r.left_sym, r.right_sym, r.weight)
+           for r in T.bpe_train(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               merges=merges).orderBy("rank").collect()]
+    assert got == _ref_bpe(rows, merges)
