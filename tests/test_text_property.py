@@ -121,6 +121,35 @@ def test_winnow_fingerprint_matches_reference(spark, rows, shingle_n,
     assert got == want
 
 
+@SLOW
+@given(new=corpus, old=corpus, n=st.sampled_from([2, 3]))
+def test_span_overlap_against_matches_reference(spark, new, old, n):
+    """Incremental span probe == per-new-doc hit count + interval-union
+    coverage against the set of ALL corpus span hashes (any doc, any
+    multiplicity — the index is distinct digests)."""
+    idx = set()
+    for _, text in old:
+        for s in _spans(text.split(" "), n):
+            idx.add(hashlib.md5(s.encode()).hexdigest())
+    want = {}
+    for did, text in new:
+        toks = text.split(" ")
+        spans = _spans(toks, n)
+        hits = [i + 1 for i, s in enumerate(spans)
+                if hashlib.md5(s.encode()).hexdigest() in idx]
+        covered = set()
+        for start in hits:
+            covered.update(range(start, min(start + n, len(toks) + 1)))
+        want[did] = (len(toks), len(spans), len(hits), len(covered))
+    got = {r.doc_id: (r.n_tokens, r.n_spans, r.n_corpus_spans,
+                      r.covered_tokens)
+           for r in T.span_overlap_against(
+               spark.createDataFrame(new, "doc_id long, text string"),
+               spark.createDataFrame(old, "doc_id long, text string"),
+               span_n=n).collect()}
+    assert got == want
+
+
 def _ref_bpe(rows: list[tuple[int, str]],
              merges: int) -> list[tuple[int, str, str, int]]:
     """Sequential BPE trainer: word-frequency dict, heaviest pair with
