@@ -1,0 +1,108 @@
+"""Property tests: the MinHash/LSH dedup chain and connected components
+against sequential references.
+
+MinHash is md5-deterministic, so the reference reproduces signatures,
+band hashes, candidate pairs, and similarity estimates EXACTLY on
+random corpora (dense shingle collisions from a 2-letter alphabet);
+connected components is checked against union-find on random edge
+sets — pair transitivity, chains, islands, self-contained cliques.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from demo_apache_flink_streaming_mode_spark.operators import dedup as D
+
+SLOW = settings(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+word = st.text(alphabet="ab", min_size=1, max_size=3)
+corpus = st.lists(
+    st.lists(word, min_size=1, max_size=8).map(" ".join),
+    min_size=1, max_size=5,
+).map(lambda ds: [(i + 1, d) for i, d in enumerate(ds)])
+
+NUM_HASHES, BANDS, ROWS_PER_BAND, SHINGLE_N = 8, 4, 2, 3
+
+
+def _shingles(text: str) -> set[str]:
+    toks = text.split(" ")
+    stop = max(len(toks) - SHINGLE_N + 1, 1)
+    return {" ".join(toks[i:i + SHINGLE_N]) for i in range(stop)}
+
+
+def _sig(text: str) -> list[int]:
+    gs = _shingles(text)
+    return [min(int(hashlib.md5(f"{i}:{g}".encode()).hexdigest()[:15], 16)
+                for g in gs)
+            for i in range(NUM_HASHES)]
+
+
+def _bands(sig: list[int]) -> list[tuple[int, str]]:
+    return [(b, hashlib.md5("|".join(
+                str(sig[b * ROWS_PER_BAND + r])
+                for r in range(ROWS_PER_BAND)).encode()).hexdigest())
+            for b in range(BANDS)]
+
+
+@SLOW
+@given(rows=corpus)
+def test_minhash_signature_matches_reference(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: list(r.sig)
+           for r in D.minhash_signature(
+               df, shingle_n=SHINGLE_N, num_hashes=NUM_HASHES).collect()}
+    assert got == {did: _sig(text) for did, text in rows}
+
+
+@SLOW
+@given(rows=corpus)
+def test_lsh_candidate_pairs_match_reference(spark, rows):
+    """Candidate pairs == docs sharing any (band index, band hash);
+    est_jaccard == exact fraction of equal signature positions."""
+    sigs = {did: _sig(text) for did, text in rows}
+    want = {}
+    for (da, sa), (db, sb) in combinations(sorted(sigs.items()), 2):
+        if set(_bands(sa)) & set(_bands(sb)):
+            eq = sum(1 for x, y in zip(sa, sb) if x == y)
+            want[(da, db)] = eq / NUM_HASHES
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.est_jaccard
+           for r in D.lsh_candidate_pairs(
+               D.minhash_signature(df, shingle_n=SHINGLE_N,
+                                   num_hashes=NUM_HASHES),
+               bands=BANDS, rows_per_band=ROWS_PER_BAND).collect()}
+    assert got == want
+
+
+edges = st.lists(
+    st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(
+        lambda e: e[0] != e[1]),
+    min_size=1, max_size=15,
+).map(lambda es: [(min(a, b), max(a, b)) for a, b in es])
+
+
+@SLOW
+@given(pairs=edges)
+def test_connected_components_matches_union_find(spark, pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    want = {x: min(y for y in parent if find(y) == find(x))
+            for x in parent}
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in D.connected_components(df).collect()}
+    assert got == want
