@@ -181,6 +181,73 @@ def _ref_bpe(rows: list[tuple[int, str]],
     return table
 
 
+@SLOW
+@given(rows=corpus, window=st.sampled_from([2, 4]),
+       divisor=st.sampled_from([2, 4]))
+def test_cdc_chunks_match_reference(spark, rows, window, divisor):
+    """Content-defined chunking == sequential rolling-hash walk: a
+    boundary token ENDS its chunk, grams truncate at the doc head,
+    chunk hashes are md5 of the reassembled text."""
+    from demo_apache_flink_streaming_mode_spark.operators import sketches as SK
+
+    want = set()
+    for did, text in rows:
+        toks = text.split(" ")
+        chunks = {}
+        cid = 1
+        for p, tok in enumerate(toks, 1):
+            chunks.setdefault(cid, []).append(tok)
+            gram = " ".join(toks[max(p - window + 1, 1) - 1:p])
+            h = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+            if h % divisor == 0:
+                cid += 1
+        for cid, ctoks in chunks.items():
+            txt = " ".join(ctoks)
+            want.add((did, cid, len(ctoks),
+                      hashlib.md5(txt.encode()).hexdigest()))
+    got = {(r.doc_id, r.chunk_id, r.n_tokens, r.chunk_hash)
+           for r in SK.cdc_chunks(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               window=window, divisor=divisor).collect()}
+    assert got == want
+
+
+@SLOW
+@given(rows=st.lists(
+    st.lists(st.text(alphabet="ab1", min_size=1, max_size=3),
+             min_size=1, max_size=60).map(" ".join),
+    min_size=1, max_size=4).map(
+        lambda ds: [(i + 1, d) for i, d in enumerate(ds)]))
+def test_quality_rules_match_reference(spark, rows):
+    """Gopher gate == per-row reference over the same signals; the
+    'a'/'1' alphabet exercises the stopword ('a' IS one), alpha-word,
+    and duplicate-token rules, with word counts straddling none/some
+    rule boundaries."""
+    want = {}
+    for did, text in rows:
+        toks = text.split(" ")
+        n = len(toks)
+        chars = len(text.replace(" ", ""))
+        mwl = chars / n
+        n_stop = sum(1 for t in toks if t in T.GOPHER_STOPWORDS)
+        alpha = sum(1 for t in toks if any(c.isalpha() for c in t)) / n
+        dup = (n - len(set(toks))) / n
+        flags = (T.GOPHER_MIN_WORDS <= n <= T.GOPHER_MAX_WORDS,
+                 T.GOPHER_MIN_MWL <= mwl <= T.GOPHER_MAX_MWL,
+                 n_stop >= T.GOPHER_MIN_STOPWORDS,
+                 alpha >= T.GOPHER_MIN_ALPHA_FRAC,
+                 dup <= T.GOPHER_MAX_DUP_TOKEN_FRAC)
+        want[did] = (n, mwl, n_stop, alpha, dup, *flags, all(flags))
+    got = {r.doc_id: (r.n_tokens, r.mean_word_len, r.n_stopwords,
+                      r.alpha_frac, r.dup_token_frac, r.ok_length,
+                      r.ok_word_len, r.ok_stopwords, r.ok_alpha,
+                      r.ok_repetition, r.keep)
+           for r in T.quality_rules(
+               spark.createDataFrame(rows,
+                                     "doc_id long, text string")).collect()}
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(rows=corpus, merges=st.sampled_from([1, 3]))
