@@ -13,7 +13,7 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from demo_apache_flink_streaming_mode_spark.operators.timeseries import (
-    resample_ffill, resample_interp)
+    moving_features, resample_ffill, resample_interp)
 
 STEP = 10
 
@@ -99,3 +99,39 @@ def test_resample_interp_matches_reference(spark, raw):
                   r["interp_value"])
                  for r in resample_interp(df, "k", "ms", "v", STEP).collect())
     assert got == _ref_interp(rows)
+
+
+def _ref_moving(rows, window):
+    """rows: (key, ts, eid, value); order = (ts, eid), unique per key.
+    Emits (key, eid, prev, delta, moving_sum, n_window) — the literal
+    per-key sequential rolling pass the DataFrame form must equal.
+    Values are small integers, so every sum is exact in double and the
+    comparison is exact equality, no tolerance."""
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r[0], []).append(r)
+    out = []
+    for key, obs in by_key.items():
+        obs.sort(key=lambda o: (o[1], o[2]))
+        for i, (_, _, eid, v) in enumerate(obs):
+            prev = obs[i - 1][3] if i > 0 else None
+            frame = [o[3] for o in obs[max(0, i - window + 1):i + 1]]
+            out.append((key, eid, prev,
+                        None if prev is None else v - prev,
+                        float(sum(frame)), len(frame)))
+    return sorted(out, key=lambda t: (t[0], t[1]))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(series_strategy, st.integers(1, 4))
+def test_moving_features_matches_reference(spark, raw, window):
+    # eid disambiguates ts collisions so both forms see one total order
+    rows = [(k, ts, eid, float(v)) for eid, (k, ts, v) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "k int, ms long, eid long, v double")
+    got = sorted(((r["k"], r["eid"], r["prev_value"], r["delta"],
+                   r["moving_sum"], r["n_window"])
+                  for r in moving_features(df, "k", ["ms", "eid"], "v",
+                                           window=window).collect()),
+                 key=lambda t: (t[0], t[1]))
+    assert got == _ref_moving(rows, window)
