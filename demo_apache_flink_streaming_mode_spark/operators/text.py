@@ -229,8 +229,10 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", word_tokens(F.col(text_col)).alias("tokens"))
     base = toks.select(
         "doc_id",
-        ((F.size("tokens") - F.size(F.array_distinct("tokens")))
-         / F.size("tokens")).alias("dup_token_frac"),
+        # try_divide: a ZERO-token doc has no dup fraction (NULL), and
+        # under ANSI mode a plain 0/0 would throw, not NULL
+        F.try_divide(F.size("tokens") - F.size(F.array_distinct("tokens")),
+                     F.size("tokens")).alias("dup_token_frac"),
         "tokens")
 
     def top_frac(n: int, out: str) -> DataFrame:
