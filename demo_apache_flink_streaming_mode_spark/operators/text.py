@@ -92,10 +92,12 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n = F.size(tokens)
     nd = F.size(F.array_distinct(tokens))
     chars = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    # try_divide: a ZERO-token doc scores NULL instead of throwing the
+    # ANSI 0/0 error (any NULL term nulls the whole sum)
     score = (
         0.4 * F.least(n / F.lit(100.0), F.lit(1.0))
-        + 0.4 * (nd / n)
-        + 0.2 * F.least(chars / n / F.lit(8.0), F.lit(1.0))
+        + 0.4 * F.try_divide(nd, n)
+        + 0.2 * F.least(F.try_divide(chars, n) / F.lit(8.0), F.lit(1.0))
     )
     return docs.select("doc_id", score.alias("quality"))
 
@@ -587,8 +589,10 @@ def _span_coverage_report(base: DataFrame, hits: DataFrame, span_n: int,
                     F.coalesce(n_col, F.lit(0)).alias(n_col),
                     F.coalesce("covered_tokens", F.lit(0))
                      .alias("covered_tokens"),
-                    (F.coalesce("covered_tokens", F.lit(0))
-                     / F.col("n_tokens")).alias(ratio_col)))
+                    # try_divide: zero-token docs get a NULL ratio, not
+                    # the ANSI 0/0 error
+                    F.try_divide(F.coalesce("covered_tokens", F.lit(0)),
+                                 F.col("n_tokens")).alias(ratio_col)))
 
 
 def _span_islands(hits: DataFrame, span_n: int) -> DataFrame:
