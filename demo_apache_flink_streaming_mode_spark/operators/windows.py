@@ -70,42 +70,81 @@ def sliding_stats(df: DataFrame, ts: str, width: str, slide: str,
                     "n", "min_ts", "max_ts"))
 
 
-def session_stats(df: DataFrame, ts: str, gap: str, key: str) -> DataFrame:
-    """A6 — gap-based session window aggregate.
+def exclusive_session_gap(gap: str) -> Column:
+    """Fixed session gap under Flink's HALF-OPEN interval rule.
 
-    Reference: ``keyBy(user).window(ProcessingTimeSessionWindows.withGap(5s))
-    .reduce`` (``chapter3/WindowOperations.java:124-138``); a session closes
-    after `gap` inactivity. Spark-first: native ``session_window`` (state-store
-    backed in streaming, hash-agg in batch). session_start is the session's
-    first event time.
+    Flink sessions are unions of ``[ts, ts+gap)`` intervals
+    (``TimeWindow.intersects`` on half-open windows): an event starting
+    exactly AT the running max of prior interval ends opens a NEW
+    session. Spark's native ``session_window`` instead merges
+    exact-touch intervals (``next_ts <= prev_end`` joins the session).
+    Shrinking every interval by one microsecond — Spark's full
+    timestamp resolution — turns Spark's closed merge test into the
+    strict one: ``next_ts <= (prev_end - 1us)  <=>  next_ts <
+    prev_end``, i.e. exactly the half-open rule, with the running-max
+    merge behaviour (an old long-gap interval spanning past its
+    successors) preserved because every end shifts by the same 1us.
+    The window's extent is only used for grouping here, so the shifted
+    end never surfaces in output.
     """
-    return (df.groupBy(key, F.session_window(ts, gap).alias("w"))
-            .agg(F.count("*").alias("n"),
-                 F.min(epoch_ms(F.col(ts))).alias("min_ts"),
-                 F.max(epoch_ms(F.col(ts))).alias("max_ts"))
-            .select(key, F.col("min_ts").alias("session_start"), "n", "min_ts", "max_ts"))
+    return F.expr(
+        f"cast('{gap}' as interval) - cast('1 microseconds' as interval)")
 
 
-def dynamic_session_stats(df: DataFrame, ts: str, key: str,
-                          gap: Column) -> DataFrame:
-    """A13 — session windows with a PER-RECORD gap (Flink
-    ``SessionWindows.withDynamicGap`` / ``SessionWindowTimeGapExtractor``,
-    the dynamic-session feature of ``chapter3/About Windowing.md``):
-    each event holds its session open for its OWN gap — e.g. an error
-    event keeps the session alive longer than a click. Spark-first:
-    native ``session_window(ts, gap_expr)`` builds the per-event
-    [ts, ts+gap) interval and merges overlaps, batch (hash agg) and
-    streaming (state store) alike; a session closes when the next
-    event starts at-or-after the running max of prior interval ends.
+def exclusive_session_gap_ms(gap_ms: Column) -> Column:
+    """Per-record session gap (milliseconds, > 0) under the same
+    half-open rule as :func:`exclusive_session_gap`: builds the
+    CalendarInterval ``gap_ms`` milliseconds minus one microsecond via
+    exact DECIMAL microsecond arithmetic (``session_window`` rejects
+    DayTimeIntervalType, so ``make_interval`` it is)."""
+    us = gap_ms.cast("long") * F.lit(1000) - F.lit(1)
+    return F.make_interval(
+        secs=(us.cast("decimal(18,0)") / F.lit(1_000_000)).cast("decimal(18,6)"))
 
-    Same output shape as ``session_stats``.
-    """
+
+def _session_agg(df: DataFrame, ts: str, key: str, gap: Column) -> DataFrame:
     return (df.groupBy(key, F.session_window(ts, gap).alias("w"))
             .agg(F.count("*").alias("n"),
                  F.min(epoch_ms(F.col(ts))).alias("min_ts"),
                  F.max(epoch_ms(F.col(ts))).alias("max_ts"))
             .select(key, F.col("min_ts").alias("session_start"), "n",
                     "min_ts", "max_ts"))
+
+
+def session_stats(df: DataFrame, ts: str, gap: str, key: str) -> DataFrame:
+    """A6 — gap-based session window aggregate.
+
+    Reference: ``keyBy(user).window(ProcessingTimeSessionWindows.withGap(5s))
+    .reduce`` (``chapter3/WindowOperations.java:124-138``); a session closes
+    after `gap` inactivity, sessions being unions of half-open
+    ``[ts, ts+gap)`` intervals — an event at exactly ``prev_ts + gap``
+    starts a NEW session. Spark-first: native ``session_window``
+    (state-store backed in streaming, hash-agg in batch) over the
+    1us-shrunk gap (:func:`exclusive_session_gap`), which makes
+    Spark's merge-on-touch match Flink's exclusive boundary exactly.
+    session_start is the session's first event time.
+    """
+    return _session_agg(df, ts, key, exclusive_session_gap(gap))
+
+
+def dynamic_session_stats(df: DataFrame, ts: str, key: str,
+                          gap_ms: Column) -> DataFrame:
+    """A13 — session windows with a PER-RECORD gap (Flink
+    ``SessionWindows.withDynamicGap`` / ``SessionWindowTimeGapExtractor``,
+    the dynamic-session feature of ``chapter3/About Windowing.md``):
+    each event holds its session open for its OWN gap — e.g. an error
+    event keeps the session alive longer than a click. ``gap_ms`` is a
+    per-record LONG milliseconds column (> 0). Spark-first: native
+    ``session_window(ts, gap_expr)`` builds the per-event
+    [ts, ts+gap) interval and merges overlaps, batch (hash agg) and
+    streaming (state store) alike; the 1us interval shrink
+    (:func:`exclusive_session_gap_ms`) keeps the boundary HALF-OPEN as
+    in Flink — a session closes when the next event starts at-or-after
+    the running max of prior interval ends.
+
+    Same output shape as ``session_stats``.
+    """
+    return _session_agg(df, ts, key, exclusive_session_gap_ms(gap_ms))
 
 
 def keyed_agg(df: DataFrame, keys: list[str], value: str) -> DataFrame:

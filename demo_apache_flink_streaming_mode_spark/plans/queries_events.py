@@ -105,17 +105,16 @@ def a13_dynamic_session(spark, sf_dir):
     an error event keeps the user's session open for 10 hours, any
     other event for 4 — the session survives long silences after a
     failure but closes quickly in normal traffic. Native
-    session_window(ts, gap_expr); the oracle reproduces the interval
-    merge with a running max of per-event interval ends (a plain lag
-    is wrong under variable gaps: an old long-gap event can span past
-    its successors)."""
-    # session_window wants CalendarIntervalType: interval-string
-    # literals cast there; DayTimeIntervalType (INTERVAL 10 HOURS
-    # expressions) is rejected
-    gap = (F.when(F.col("event_type") == "error", F.lit("10 hours"))
-           .otherwise(F.lit("4 hours")).cast("interval"))
+    session_window(ts, gap_expr) over the half-open-shrunk gap; the
+    oracle reproduces the interval merge with a running max of
+    per-event interval ends (a plain lag is wrong under variable gaps:
+    an old long-gap event can span past its successors), opening a new
+    session when ms >= that running max — the same exclusive boundary
+    the operator now implements."""
+    gap_ms = (F.when(F.col("event_type") == "error", F.lit(A13_ERROR_GAP_MS))
+              .otherwise(F.lit(A13_BASE_GAP_MS)))
     return windows.dynamic_session_stats(_events(spark, sf_dir), "ts",
-                                         "user_id", gap)
+                                         "user_id", gap_ms)
 
 
 def a7_keyed_agg(spark, sf_dir):

@@ -881,10 +881,10 @@ def test_dynamic_session_long_gap_spans_past_successors(spark):
     df = spark.createDataFrame(rows, "user_id long, ms long, kind string") \
         .select("user_id", "kind",
                 F.timestamp_millis(F.col("ms")).alias("ts"))
-    gap = (F.when(F.col("kind") == "long", F.lit("100 seconds"))
-           .otherwise(F.lit("10 seconds")).cast("interval"))
+    gap_ms = (F.when(F.col("kind") == "long", F.lit(100_000))
+              .otherwise(F.lit(10_000)))
     got = sorted((r.session_start, r.n) for r in
-                 dynamic_session_stats(df, "ts", "user_id", gap).collect())
+                 dynamic_session_stats(df, "ts", "user_id", gap_ms).collect())
     assert got == [(0, 3), (200_000, 1)]
 
 

