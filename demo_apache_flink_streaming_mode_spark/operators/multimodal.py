@@ -1150,6 +1150,48 @@ def _fixed_residuals(samples: list[int], order: int) -> list[int]:
     return res
 
 
+def _flac_utf8(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame-header frame number):
+    standard UTF-8 prefix coding extended to 36 bits / 7 bytes, per the
+    FLAC frame-header spec — so streams longer than 127 frames
+    round-trip (a fixed single byte would cap payloads at
+    128 * FLAC_BLOCK bytes)."""
+    if n < 0:
+        raise ValueError(f"frame number must be non-negative, got {n}")
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, hdr_bits in ((2, 5), (3, 4), (4, 3), (5, 2), (6, 1), (7, 0)):
+        if n.bit_length() <= hdr_bits + 6 * (nbytes - 1):
+            cont = []
+            v = n
+            for _ in range(nbytes - 1):
+                cont.append(0x80 | (v & 0x3F))
+                v >>= 6
+            lead = ((0xFF00 >> nbytes) & 0xFF) | v
+            return bytes([lead] + cont[::-1])
+    raise ValueError(f"frame number {n} exceeds 36-bit UTF-8 coding")
+
+
+def _flac_read_utf8(bits: "_Bits") -> int:
+    """Inverse of :func:`_flac_utf8` over a bit reader."""
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    ones, mask = 0, 0x80
+    while b0 & mask:
+        ones += 1
+        mask >>= 1
+    if ones < 2 or ones > 7:
+        raise ValueError(f"bad UTF-8-coded frame number lead byte {b0:#x}")
+    val = b0 & (0x7F >> ones)
+    for _ in range(ones - 1):
+        b = bits.read(8)
+        if (b & 0xC0) != 0x80:
+            raise ValueError(f"bad UTF-8 continuation byte {b:#x}")
+        val = (val << 6) | (b & 0x3F)
+    return val
+
+
 def _encode_flac(payload: bytes) -> bytes:
     """Containerize payload bytes as a REAL FLAC stream (subset): 8-bit
     mono samples (byte - 128), fixed blocksize frames, per-frame
@@ -1199,8 +1241,8 @@ def _encode_flac(payload: bytes) -> bytes:
         hdr.put(0b0000, 4)                     # mono
         hdr.put(0b001, 3)                      # 8 bits per sample
         hdr.put(0, 1)                          # reserved
-        assert fi < 0x80
-        hdr.put(fi, 8)                         # UTF-8 frame number (< 128)
+        for byte in _flac_utf8(fi):            # UTF-8-coded frame number
+            hdr.put(byte, 8)
         hdr.put(len(block) - 1, 16)
         hbytes = bytearray(hdr.bytes())
         hbytes.append(_crc8(bytes(hbytes)))
@@ -1269,7 +1311,9 @@ def _decode_flac(blob: bytes) -> tuple[int, int, bytes]:
         if bits.read(3) != 0b001:
             raise ValueError("expected 8-bit frame")
         bits.read(1)
-        bits.read(8)                            # frame number (< 128)
+        fnum = _flac_read_utf8(bits)            # UTF-8-coded frame number
+        if fnum != n_frames:
+            raise ValueError(f"frame number {fnum} != expected {n_frames}")
         bsize = bits.read(16) + 1
         hdr_len = bits.rpos // 8
         if _crc8(blob[pos:pos + hdr_len]) != bits.read(8):

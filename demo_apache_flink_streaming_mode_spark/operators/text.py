@@ -709,19 +709,25 @@ def quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     narrow per-row map that fuses into the scan.  The raw signals are
     emitted alongside the flags so threshold changes are an analyst
     query, not a recompute.
+
+    Zero-token documents: the three ratio signals are NULL
+    (``try_divide`` — plain ``/`` throws DIVIDE_BY_ZERO under ANSI
+    mode) and every flag is coalesced to FALSE, so a degenerate doc is
+    rejected rather than crashing the gate.
     """
     tokens = word_tokens(F.col(text_col))
     n = F.size(tokens)
     chars = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
-    mwl = chars / n
+    mwl = F.try_divide(chars, n)
     n_stop = F.size(F.filter(tokens, lambda t: t.isin(*GOPHER_STOPWORDS)))
-    alpha = F.size(F.filter(tokens, lambda t: t.rlike("[a-z]"))) / n
-    dup_frac = (n - F.size(F.array_distinct(tokens))) / n
+    alpha = F.try_divide(F.size(F.filter(tokens, lambda t: t.rlike("[a-z]"))), n)
+    dup_frac = F.try_divide(n - F.size(F.array_distinct(tokens)), n)
     ok_len = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
-    ok_mwl = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    ok_mwl = F.coalesce((mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL),
+                        F.lit(False))
     ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
-    ok_alpha = alpha >= GOPHER_MIN_ALPHA_FRAC
-    ok_rep = dup_frac <= GOPHER_MAX_DUP_TOKEN_FRAC
+    ok_alpha = F.coalesce(alpha >= GOPHER_MIN_ALPHA_FRAC, F.lit(False))
+    ok_rep = F.coalesce(dup_frac <= GOPHER_MAX_DUP_TOKEN_FRAC, F.lit(False))
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),

@@ -1736,7 +1736,9 @@ ORACLES["text_bpe_train"] = _bpe_train_oracle(text.BPE_MERGES)
 ORACLES["text_bpe_encode"] = _bpe_encode_oracle(text.BPE_MERGES)
 
 # mirrors operators.text.quality_rules: identical token pipeline and
-# single-division doubles, so signal values and flags are bit-exact
+# single-division doubles, so signal values and flags are bit-exact.
+# Zero-token docs: DuckDB's x/0 is naturally NULL (the Spark side uses
+# try_divide), and the NULL-ratio flags coalesce to FALSE on both sides
 ORACLES["text_quality_rules"] = f"""
     WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
     m AS (SELECT doc_id,
@@ -1759,12 +1761,14 @@ ORACLES["text_quality_rules"] = f"""
     f AS (SELECT *,
                  (n_tokens >= {text.GOPHER_MIN_WORDS}
                   AND n_tokens <= {text.GOPHER_MAX_WORDS}) AS ok_length,
-                 (mean_word_len >= {text.GOPHER_MIN_MWL}
-                  AND mean_word_len <= {text.GOPHER_MAX_MWL}) AS ok_word_len,
+                 coalesce(mean_word_len >= {text.GOPHER_MIN_MWL}
+                          AND mean_word_len <= {text.GOPHER_MAX_MWL},
+                          false) AS ok_word_len,
                  (n_stopwords >= {text.GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
-                 (alpha_frac >= {text.GOPHER_MIN_ALPHA_FRAC}) AS ok_alpha,
-                 (dup_token_frac <= {text.GOPHER_MAX_DUP_TOKEN_FRAC})
-                   AS ok_repetition
+                 coalesce(alpha_frac >= {text.GOPHER_MIN_ALPHA_FRAC},
+                          false) AS ok_alpha,
+                 coalesce(dup_token_frac <= {text.GOPHER_MAX_DUP_TOKEN_FRAC},
+                          false) AS ok_repetition
           FROM s)
     SELECT doc_id, n_tokens, mean_word_len, n_stopwords, alpha_frac,
            dup_token_frac, ok_length, ok_word_len, ok_stopwords, ok_alpha,
@@ -1977,14 +1981,16 @@ ORACLES["mm_decode_flac"] = f"""
     FROM b"""
 
 # frame fan-out geometry is a pure function of the byte count
-# (256-byte frames, min 1); error flag bound as in mm_decode_jpeg
+# (256-byte frames, min 1 — except an EMPTY payload, which encodes as
+# a zero-frame AVI and must yield zero rows, as in mm_decode_video)
 ORACLES["mm_decode_mjpeg"] = f"""
     WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n
                FROM documents),
     f AS (SELECT doc_id,
-                 greatest(1, CAST(ceil(
-                     n / {float(multimodal.MJPEG_W * multimodal.MJPEG_H)})
-                   AS BIGINT)) AS nf
+                 CASE WHEN n = 0 THEN 0
+                      ELSE greatest(1, CAST(ceil(
+                          n / {float(multimodal.MJPEG_W * multimodal.MJPEG_H)})
+                        AS BIGINT)) END AS nf
           FROM b)
     SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
            {multimodal.MJPEG_W} AS width, {multimodal.MJPEG_H} AS height,

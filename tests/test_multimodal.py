@@ -254,6 +254,28 @@ def test_mjpeg_kernel_fanout_and_flags(spark, media):
         assert r["err_le_16"] is True
 
 
+def test_mjpeg_empty_payload_yields_zero_frames(spark):
+    """r6 ADVICE pin: an EMPTY payload encodes as a zero-frame AVI, so
+    the kernel emits ZERO rows for that doc — and the oracle's frame
+    count carries the matching CASE WHEN n = 0 THEN 0 guard (driver
+    compare would otherwise diverge by one phantom frame_idx-0 row)."""
+    import duckdb
+
+    from demo_apache_flink_streaming_mode_spark.plans.registry import get
+
+    blob = multimodal._encode_mjpeg_avi(b"")
+    docs = spark.createDataFrame([(1, ""), (2, "x")], "doc_id long, text string")
+    rows = multimodal.mjpeg_decode_frames(multimodal.to_media(docs)).collect()
+    assert sorted(r["doc_id"] for r in rows) == [2]
+    assert len(blob) > 0  # still a well-formed (if empty) container
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                "(1, ''), (2, 'x')) AS t(doc_id, text)")
+    got = con.execute(get("mm_decode_mjpeg").oracle).fetchall()
+    assert sorted(r[0] for r in got) == [2]
+
+
 def test_flac_roundtrip_lossless_and_compresses_smooth_signals():
     """The FLAC subset must be LOSSLESS for arbitrary bytes, and its
     fixed linear predictors must genuinely compress predictable

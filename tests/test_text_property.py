@@ -215,18 +215,23 @@ def test_cdc_chunks_match_reference(spark, rows, window, divisor):
 @SLOW
 @given(rows=st.lists(
     st.lists(st.text(alphabet="ab1", min_size=1, max_size=3),
-             min_size=1, max_size=60).map(" ".join),
+             min_size=0, max_size=60).map(" ".join),
     min_size=1, max_size=4).map(
         lambda ds: [(i + 1, d) for i, d in enumerate(ds)]))
 def test_quality_rules_match_reference(spark, rows):
     """Gopher gate == per-row reference over the same signals; the
     'a'/'1' alphabet exercises the stopword ('a' IS one), alpha-word,
     and duplicate-token rules, with word counts straddling none/some
-    rule boundaries."""
+    rule boundaries — including ZERO-token docs (min_size=0), whose
+    ratio signals are NULL and flags all FALSE (the ANSI-0/0 class)."""
     want = {}
     for did, text in rows:
-        toks = text.split(" ")
+        toks = [t for t in text.split(" ") if t]
         n = len(toks)
+        if n == 0:
+            want[did] = (0, None, 0, None, None,
+                         False, False, False, False, False, False)
+            continue
         chars = len(text.replace(" ", ""))
         mwl = chars / n
         n_stop = sum(1 for t in toks if t in T.GOPHER_STOPWORDS)
