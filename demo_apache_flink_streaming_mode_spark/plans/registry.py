@@ -62,8 +62,15 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     "cep_funnel",
     # -- TPC-H-shaped analytics ---------------------------------------
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    # (q3_shipping_priority + q5_local_supplier_volume demoted r7 after
+    # r1-r6 green rows: the tpch family keeps q1 + q_top3 +
+    # q_customers_with_big_order in-window; slots go to the corrected
+    # half-open dynamic session rule (a13 — the r6 judge's headline
+    # divergence, which must earn a driver row under the fixed
+    # semantics) and to dedup_cosine_lsh, preempting the
+    # dedup_embedding family's r8 staleness)
+    "a13_dynamic_session",
+    "dedup_cosine_lsh",
     "q_top3_parts_per_brand",
     "q_customers_with_big_order",
     # bucketed-layout join (new family, r5): claims text_quality's slot
@@ -79,16 +86,28 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # pipeline stays in-window through corpus_clean, which embeds it;
     # slot goes to the new repeated-span boilerplate family so the
     # islands coverage union gets a driver row in its first round)
-    "text_dup_spans",
-    "dedup_minhash_lsh",
+    # (text_dup_spans demoted r7 after its r6 green row; the slot stays
+    # in the span_dedup family: the never-attested C4-style removal twin
+    # earns its first row over the same islands machinery)
+    "text_strip_boilerplate",
+    # (dedup_minhash_lsh demoted r7 after r1-r6 green rows; the slot
+    # stays in the dedup_minhash family: the never-attested incremental
+    # near-dup probe — the standing-index anti-join shape — earns its
+    # first row)
+    "dedup_incremental_near",
     # (dedup_clusters demoted r6: connected-components proven by two
     # driver rounds and still exercised in-window through corpus_clean,
     # which embeds the cluster pipeline; slot goes to the never-attested
     # SimHash pigeonhole-band family)
-    "dedup_simhash_pairs",
+    # (dedup_simhash_pairs demoted r7 after its r6 first row; slot goes
+    # to dedup_winnow_pairs — the text_fingerprint family's last driver
+    # row is r3, hitting the 4-round staleness bound THIS round)
+    "dedup_winnow_pairs",
     "dedup_cdc_chunks",
     # -- operational diagnostics (promoted r5) -------------------------
-    "events_key_skew_report",
+    # (events_key_skew_report demoted r7 after r5+r6 green rows; slot
+    # stays in events_ops: the never-attested z-order layout report)
+    "events_zorder_stats",
     # -- similarity / ANN family (ivf_probe2 demoted r4: probe widening
     # proven by sim_topk_ivf_trained + the recall report's ivf2 leg) ---
     "sim_ann_lsh",
@@ -121,7 +140,10 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # (a11_count_window demoted r6 after its r5 green row; slot goes
     # to the never-attested sliding-count-window sibling, which embeds
     # a11's bucketing plus the slide explode)
-    "a12_sliding_count_window",
+    # (a12_sliding_count_window demoted r7 after its r6 first row —
+    # count_windows proven; slot goes to the never-attested n-gram
+    # diversity scorer, text_signals' second rep this round)
+    "text_ngram_diversity",
     # (text_decontam demoted r5 for its Bloom-prefiltered variant —
     # both share ONE oracle, so the green row now proves the 128 KiB
     # bitmap probe path AND, by identity, the exact path)
@@ -129,7 +151,10 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # (text_bm25 demoted r6: driver-green r3-r5, postings machinery
     # also exercised by text_lm_familiarity's corpus stats; slot goes
     # to the never-attested per-source percent-rank normalizer)
-    "text_quality_pct_rank",
+    # (text_quality_pct_rank demoted r7 after its r6 first row; slot
+    # stays in text_signals: the Gopher rule gate — now ANSI-safe on
+    # zero-token docs — earns its first driver row)
+    "text_quality_rules",
     # (text_split_assign demoted r6 after r1-r5 green rows — hash-split
     # machinery also proven by text_mixture_sample + the in-window
     # text_pack_shards; slot goes to the new BPE tokenizer training so
@@ -169,12 +194,18 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # row; slot goes to the new baseline-JPEG codec so the lossy
     # transform path — DCT, quantization, Annex-K Huffman — gets a
     # driver row in its first round) ----------------------------------
-    "mm_decode_jpeg",
+    # (mm_decode_jpeg demoted r7 after its r6 first row; slot stays in
+    # multimodal: the FLAC subset codec — now with spec UTF-8 frame
+    # numbers — earns its first driver row)
+    "mm_decode_flac",
     # (mm_decode_video demoted r6 after its r5 green row; slot goes to
     # the new zlib/PNG codec so the compressed-format path — CRC,
     # DEFLATE, five-filter reconstruction — gets a driver row in its
     # first round)
-    "mm_decode_png",
+    # (mm_decode_png demoted r7 after its r6 first row; slot stays in
+    # multimodal: the MJPEG 1->N frame fan-out earns its first driver
+    # row, with the empty-payload oracle guard from the r7 advice fix)
+    "mm_decode_mjpeg",
     # (mm_decode_image demoted r6 after its r4+r5 green rows — the DIB
     # codec family keeps two window reps; slot goes to the new
     # training-shard packing op so the distributed prefix sum gets a
