@@ -1419,3 +1419,254 @@ def flac_decode_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, schema=FLAC_SCHEMA)
+
+
+# --- FLIC (Autodesk FLC) subset: real INTER-FRAME compressed video --------
+# The one compressed-video tier MJPEG cannot claim: temporal prediction.
+# FLIC is the classic public animation format (Autodesk Animator; the
+# format spec is long published and implemented by ffmpeg/SDL): a key
+# frame is byte-run coded (FLI_BRUN) and every later frame stores only
+# the lines/byte-spans that CHANGED vs the previous frame (FLI_LC) — a
+# genuine inter-frame delta codec expressible in pure stdlib, unlike
+# the motion-compensated H.264 tier which stays external-library-
+# blocked (see codec="real" notes above).
+
+FLIC_W, FLIC_H = 32, 8         # frame dims; fs = 256 bytes per frame
+FLIC_MAGIC = 0xAF12            # FLC (the 8bpp variant)
+FLIC_FRAME_MAGIC = 0xF1FA
+FLI_LC, FLI_BRUN, FLI_COPY = 12, 15, 16
+FLIC_SPEED_MS = 40
+FLIC_SCHEMA = ("doc_id bigint, frame_idx int, n_frames int, width int, "
+               "height int, is_key boolean, max_px int, mean_px double")
+
+
+def _flic_brun(frame: bytes, w: int, h: int) -> bytes:
+    """FLI_BRUN chunk data (key-frame RLE): per line, a packet-count
+    byte (obsolete per spec — decoders fill to line width) then signed
+    packets: count > 0 -> one byte repeated count times; count < 0 ->
+    -count literal bytes follow."""
+    out = bytearray()
+    for y in range(h):
+        line = frame[y * w:(y + 1) * w]
+        packets = []
+        i = 0
+        while i < len(line):
+            j = i
+            while j + 1 < len(line) and line[j + 1] == line[i] and j - i < 126:
+                j += 1
+            if j - i + 1 >= 3:                  # run worth replicating
+                packets.append(bytes([j - i + 1, line[i]]))
+                i = j + 1
+            else:                               # batch literals to the
+                k = i                           # next >=3 run (cap 127)
+                while k < len(line):
+                    r = k
+                    while (r + 1 < len(line) and line[r + 1] == line[k]
+                           and r - k < 126):
+                        r += 1
+                    if r - k + 1 >= 3 or k - i >= 127:
+                        break
+                    k = r + 1
+                k = max(k, i + 1)
+                lit = line[i:k]
+                packets.append(bytes([256 - len(lit)]) + lit)
+                i = k
+        out.append(len(packets) & 0xFF)
+        out += b"".join(packets)
+    return bytes(out)
+
+
+def _flic_lc(prev: bytes, frame: bytes, w: int, h: int) -> bytes | None:
+    """FLI_LC chunk data (the inter-frame delta): u16 lines-to-skip,
+    u16 lines encoded; per encoded line a packet-count byte then
+    packets of (u8 column skip, i8 count): count > 0 -> count literal
+    bytes; count < 0 -> one byte repeated -count times (note the sign
+    convention is OPPOSITE of BRUN's, per the spec). Returns None when
+    the frame equals prev — the frame is then stored with zero chunks
+    (a valid FLIC 'repeat frame')."""
+    changed = [y for y in range(h)
+               if frame[y * w:(y + 1) * w] != prev[y * w:(y + 1) * w]]
+    if not changed:
+        return None
+    first, last = changed[0], changed[-1]
+    out = bytearray(struct.pack("<HH", first, last - first + 1))
+    for y in range(first, last + 1):
+        a = prev[y * w:(y + 1) * w]
+        b = frame[y * w:(y + 1) * w]
+        packets = []
+        x = col = 0
+        while x < w:
+            if a[x] == b[x]:
+                x += 1
+                continue
+            seg = x
+            while x < w and a[x] != b[x] and x - seg < 127:
+                x += 1
+            packets.append(bytes([seg - col, x - seg]) + b[seg:x])
+            col = x
+        out.append(len(packets) & 0xFF)
+        out += b"".join(packets)
+    return bytes(out)
+
+
+def _encode_flic(payload: bytes, w: int = FLIC_W, h: int = FLIC_H) -> bytes:
+    """Containerize payload bytes as a REAL FLC stream: 128-byte
+    header (magic 0xAF12, 8bpp), 16-byte frame headers (magic 0xF1FA),
+    key frame FLI_BRUN (FLI_COPY fallback when RLE would expand),
+    delta frames FLI_LC against the previous frame. An empty payload
+    is a zero-frame file, mirroring ``_encode_mjpeg_avi``."""
+    fs = w * h
+    nf = (len(payload) + fs - 1) // fs if payload else 0
+    frames = [payload[i * fs:(i + 1) * fs].ljust(fs, b"\x00")
+              for i in range(nf)]
+
+    def chunk(ctype: int, data: bytes) -> bytes:
+        return struct.pack("<IH", 6 + len(data), ctype) + data
+
+    body = bytearray()
+    offs = []
+    prev = None
+    for f in frames:
+        offs.append(128 + len(body))
+        if prev is None:
+            data = _flic_brun(f, w, h)
+            chunks = [chunk(FLI_BRUN, data) if len(data) < fs
+                      else chunk(FLI_COPY, f)]
+        else:
+            lc = _flic_lc(prev, f, w, h)
+            chunks = [] if lc is None else [chunk(FLI_LC, lc)]
+        fbody = b"".join(chunks)
+        body += struct.pack("<IHH8x", 16 + len(fbody), FLIC_FRAME_MAGIC,
+                            len(chunks)) + fbody
+        prev = f
+    hdr = bytearray(128)
+    struct.pack_into("<IHHHHHHI", hdr, 0, 128 + len(body), FLIC_MAGIC, nf,
+                     w, h, 8, 3, FLIC_SPEED_MS)
+    if offs:                                    # oframe1/oframe2
+        struct.pack_into("<I", hdr, 80, offs[0])
+    if len(offs) > 1:
+        struct.pack_into("<I", hdr, 84, offs[1])
+    return bytes(hdr) + bytes(body)
+
+
+def _decode_flic(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """Real FLIC-subset decode: header validation, per-frame chunk
+    walk, BRUN/COPY key-frame reconstruction and LC delta application
+    onto the persistent framebuffer. Returns (w, h, frames) with every
+    frame fully materialized. Strict: sizes, magics, line overflows
+    and trailing bytes all raise."""
+    if len(blob) < 128:
+        raise ValueError("truncated FLIC header")
+    size, magic, nf, w, h, depth, _flags, _speed = struct.unpack_from(
+        "<IHHHHHHI", blob, 0)
+    if magic != FLIC_MAGIC:
+        raise ValueError(f"bad FLIC magic {magic:#x}")
+    if depth != 8:
+        raise ValueError("only 8bpp FLC supported")
+    if size != len(blob):
+        raise ValueError("header size != stream size")
+    fb = bytearray(w * h)
+    frames: list[bytes] = []
+    pos = 128
+    for _ in range(nf):
+        fsize, fmagic, nchunks = struct.unpack_from("<IHH", blob, pos)
+        if fmagic != FLIC_FRAME_MAGIC:
+            raise ValueError(f"bad frame magic {fmagic:#x}")
+        cpos = pos + 16
+        for _ in range(nchunks):
+            csize, ctype = struct.unpack_from("<IH", blob, cpos)
+            data = blob[cpos + 6:cpos + csize]
+            if ctype == FLI_COPY:
+                if len(data) != w * h:
+                    raise ValueError("FLI_COPY size mismatch")
+                fb[:] = data
+            elif ctype == FLI_BRUN:
+                dp = 0
+                for y in range(h):
+                    dp += 1                     # obsolete packet count
+                    x = 0
+                    while x < w:
+                        cnt = data[dp]
+                        dp += 1
+                        if cnt < 128:           # replicate
+                            fb[y * w + x:y * w + x + cnt] = \
+                                bytes([data[dp]]) * cnt
+                            dp += 1
+                            x += cnt
+                        else:                   # literal
+                            n = 256 - cnt
+                            fb[y * w + x:y * w + x + n] = data[dp:dp + n]
+                            dp += n
+                            x += n
+                    if x != w:
+                        raise ValueError("BRUN line overflow")
+            elif ctype == FLI_LC:
+                skip, nlines = struct.unpack_from("<HH", data, 0)
+                dp = 4
+                for y in range(skip, skip + nlines):
+                    npk = data[dp]
+                    dp += 1
+                    x = 0
+                    for _ in range(npk):
+                        x += data[dp]
+                        cnt = data[dp + 1]
+                        dp += 2
+                        if cnt < 128:           # literal
+                            fb[y * w + x:y * w + x + cnt] = \
+                                data[dp:dp + cnt]
+                            dp += cnt
+                            x += cnt
+                        else:                   # replicate
+                            n = 256 - cnt
+                            fb[y * w + x:y * w + x + n] = \
+                                bytes([data[dp]]) * n
+                            dp += 1
+                            x += n
+                    if x > w:
+                        raise ValueError("LC line overflow")
+            else:
+                raise ValueError(f"unsupported FLIC chunk type {ctype}")
+            cpos += csize
+        if cpos != pos + fsize:
+            raise ValueError("frame size != sum of chunks")
+        pos += fsize
+        frames.append(bytes(fb))
+    if pos != len(blob):
+        raise ValueError("trailing bytes after last frame")
+    return w, h, frames
+
+
+def flic_decode_frames(media: DataFrame) -> DataFrame:
+    """REAL INTER-FRAME compressed video decode, pure stdlib: the
+    Autodesk FLIC subset above — key frame RLE (FLI_BRUN) plus
+    line-delta frames (FLI_LC) applied onto a persistent framebuffer,
+    the temporal-prediction tier MJPEG's independent frames don't
+    exercise. Lossless by construction, so the oracle proves the whole
+    RLE -> delta -> framebuffer path bit-exact: per frame it emits the
+    max/mean of the RECONSTRUCTED pixels, which must equal exact byte
+    math over the payload slice (zero-padded last frame), exactly like
+    ``mm_decode_video``'s stats but through a genuinely predictive
+    decode. Empty payloads are zero-frame files -> zero rows."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "n_frames",
+                                    "width", "height", "is_key", "max_px",
+                                    "mean_px")}
+            fs = FLIC_W * FLIC_H
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(payload)
+                w, h, frames = _decode_flic(_encode_flic(payload))
+                for i, f in enumerate(frames):
+                    if f != payload[i * fs:(i + 1) * fs].ljust(fs, b"\x00"):
+                        raise ValueError("FLIC roundtrip not lossless")
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["n_frames"].append(len(frames))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["is_key"].append(i == 0)
+                    rows["max_px"].append(max(f))
+                    rows["mean_px"].append(sum(f) / fs)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=FLIC_SCHEMA)

@@ -844,6 +844,18 @@ def mm_decode_flac(spark, sf_dir):
     return multimodal.flac_decode_features(media)
 
 
+def mm_decode_flic(spark, sf_dir):
+    """REAL INTER-FRAME compressed video decode: the Autodesk FLIC
+    (FLC) subset — key frame RLE (FLI_BRUN/FLI_COPY) plus line-delta
+    frames (FLI_LC) applied onto a persistent framebuffer
+    (operators.multimodal.flic_decode_frames). The temporal-prediction
+    tier MJPEG's independent frames don't exercise; lossless, so the
+    per-frame max/mean of the RECONSTRUCTED pixels must equal exact
+    byte math over the payload slices."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return multimodal.flic_decode_frames(media)
+
+
 def mm_resize(spark, sf_dir):
     """Resize/transcode kernel (1 row in -> 1 row out mapInPandas shape).
 
@@ -1998,6 +2010,36 @@ ORACLES["mm_decode_mjpeg"] = f"""
                  AS i
           FROM f)"""
 
+# the lossless proof for the inter-frame path: per-frame stats over
+# the KERNEL's reconstructed framebuffer (BRUN key frame + LC deltas)
+# must equal exact byte math over the payload slices (zero-padded last
+# frame, so the mean divides by the constant frame size); empty
+# payloads are zero-frame files -> zero rows
+ORACLES["mm_decode_flic"] = f"""
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             list_transform(range(0, octet_length(encode(text))),
+                            i -> ('0x' || substr(hex(encode(text)),
+                                                 2*i + 1, 2))::BIGINT)
+               AS bytes
+      FROM documents),
+    f AS (SELECT doc_id, bytes,
+                 CASE WHEN n = 0 THEN 0
+                      ELSE greatest(1, CAST(ceil(
+                          n / {float(multimodal.FLIC_W * multimodal.FLIC_H)})
+                        AS BIGINT)) END AS nf
+          FROM b),
+    fs AS (SELECT {multimodal.FLIC_W * multimodal.FLIC_H} AS sz)
+    SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+           {multimodal.FLIC_W} AS width, {multimodal.FLIC_H} AS height,
+           i = 0 AS is_key,
+           CAST(COALESCE(list_max(list_slice(bytes, sz*i + 1, sz*i + sz)), 0)
+                AS INT) AS max_px,
+           COALESCE(list_aggregate(list_slice(bytes, sz*i + 1, sz*i + sz),
+                                   'sum'), 0)::DOUBLE / sz AS mean_px
+    FROM (SELECT doc_id, bytes, nf, unnest(range(0, nf)) AS i FROM f), fs"""
+
 # JPEG is lossy, so the oracle checks exactly-SQL-expressible geometry
 # (width / height / n_px / n_blocks are pure functions of the byte
 # count: rows of JPEG_W, height rounded up to whole 8-px block rows)
@@ -2440,6 +2482,9 @@ QUERIES = [
     Query("mm_decode_flac", mm_decode_flac, ORACLES["mm_decode_flac"],
           "REAL COMPRESSED LOSSLESS audio decode: from-scratch FLAC "
           "subset (fixed predictors + Rice, CRCs + MD5 verified)"),
+    Query("mm_decode_flic", mm_decode_flic, ORACLES["mm_decode_flic"],
+          "REAL INTER-FRAME video decode: Autodesk FLIC subset (BRUN "
+          "key frame + LC line deltas on a persistent framebuffer)"),
     Query("sim_recall_ann", sim_recall_ann, ORACLES["sim_recall_ann"],
           "recall@k per method (LSH / IVF nprobe=1/2 / PQ) vs brute force"),
     Query("corpus_clean", corpus_clean, ORACLES["corpus_clean"],

@@ -276,6 +276,20 @@ def test_mjpeg_empty_payload_yields_zero_frames(spark):
     assert sorted(r[0] for r in got) == [2]
 
 
+def test_flic_kernel_fanout_and_stats(spark, media):
+    rows = multimodal.flic_decode_frames(media).collect()
+    src = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    assert len(rows) >= len([p for p in src.values() if p])
+    fs = multimodal.FLIC_W * multimodal.FLIC_H
+    for r in rows:
+        p = src[r["doc_id"]]
+        nf = (len(p) + fs - 1) // fs if p else 0
+        sl = p[r["frame_idx"] * fs:(r["frame_idx"] + 1) * fs]
+        assert r["n_frames"] == nf
+        assert r["is_key"] == (r["frame_idx"] == 0)
+        assert r["max_px"] == max(sl) and r["mean_px"] == sum(sl) / fs
+
+
 def test_flac_roundtrip_lossless_and_compresses_smooth_signals():
     """The FLAC subset must be LOSSLESS for arbitrary bytes, and its
     fixed linear predictors must genuinely compress predictable
