@@ -1670,3 +1670,134 @@ def flic_decode_frames(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, schema=FLIC_SCHEMA)
+
+
+# --- MDCT transform audio: real LOSSY audio coding, numpy + stdlib --------
+# The lossy-audio tier (the MP2/AAC family's core mechanism) built from
+# scratch: a 50%-overlap MODIFIED DCT with the Princen-Bradley sine
+# window (TDAC — the time-domain alias of each block cancels against
+# its neighbors, giving PERFECT reconstruction before quantization),
+# uniform coefficient quantization with a FIXED step, and Rice-coded
+# zigzag coefficients (the same entropy machinery as the FLAC subset).
+# The named standards' psychoacoustic bit-allocation + Huffman layers
+# remain external-library territory; this is the honest transform-
+# coding core, with a bound the standards cannot offer: since the
+# windowed MDCT columns have L2 norm w_n (and w_a^2 + w_b^2 = 1 across
+# the two blocks covering a sample), the reconstruction error obeys
+#   |e|_inf <= (w_a + w_b) * ||dX||_2 <= sqrt(2) * sqrt(N) * q/2
+# which for N=64, q=2 is 8*sqrt(2) ~= 11.31 < 16 — the same provable
+# <=16 contract as the JPEG tier, here derived exactly.
+
+MDCT_N = 64                    # coefficients per block (2N-sample window)
+MDCT_Q = 2                     # uniform quantizer step
+MDCT_ERR_BOUND = 16
+MDCT_SCHEMA = ("doc_id bigint, n_samples bigint, n_frames int, "
+               "block_n int, q int, err_le_16 boolean")
+
+_MDCT_MATRIX_CACHE: dict[int, "object"] = {}
+
+
+def _mdct_matrix(N: int = MDCT_N):
+    """Orthonormal-scaled windowed MDCT analysis matrix (N x 2N):
+    M[k, n] = sqrt(2/N) * w_n * cos(pi/N * (n + 0.5 + N/2) * (k + 0.5))
+    with the sine window w_n = sin(pi/(2N) * (n + 0.5)). Synthesis is
+    M.T; overlap-adding adjacent blocks reconstructs exactly."""
+    import numpy as np
+    if N not in _MDCT_MATRIX_CACHE:
+        n = np.arange(2 * N)
+        k = np.arange(N)
+        w = np.sin(np.pi / (2 * N) * (n + 0.5))
+        _MDCT_MATRIX_CACHE[N] = (np.sqrt(2.0 / N) * w[None, :] * np.cos(
+            np.pi / N * (n[None, :] + 0.5 + N / 2.0) * (k[:, None] + 0.5)))
+    return _MDCT_MATRIX_CACHE[N]
+
+
+def _mdct_n_blocks(n_samples: int, N: int = MDCT_N) -> int:
+    """ceil(n/N) + 1 blocks (one extra for the TDAC boundary), 0 for
+    an empty payload."""
+    return (n_samples + N - 1) // N + 1 if n_samples else 0
+
+
+def _encode_mdct(payload: bytes, N: int = MDCT_N, q: int = MDCT_Q) -> bytes:
+    """Encode payload bytes (as centered 8-bit samples) to an MDC1
+    stream: magic, (n_samples, N, q) header, then per block a 4-bit
+    Rice parameter and the zigzag-Rice-coded quantized coefficients,
+    byte-aligned per block."""
+    import numpy as np
+    samples = (np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+               - 128.0)
+    M = _mdct_matrix(N)
+    n_blocks = _mdct_n_blocks(len(samples), N)
+    pad = np.zeros((n_blocks + 1) * N, dtype=np.float64)
+    pad[N:N + len(samples)] = samples
+    bits = _Bits()
+    for i in range(n_blocks):
+        qc = np.round((M @ pad[i * N:(i + 2) * N]) / q).astype(np.int64)
+        mean = int(np.mean(np.abs(qc)))
+        rice = max(0, min(14, mean.bit_length()))
+        bits.put(rice, 4)
+        for v in qc:
+            z = (int(v) << 1) if v >= 0 else ((-int(v)) << 1) - 1
+            bits.unary(z >> rice)
+            if rice:
+                bits.put(z & ((1 << rice) - 1), rice)
+        bits.align()
+    return b"MDC1" + struct.pack("<IHB", len(payload), N, q) + bits.bytes()
+
+
+def _decode_mdct(blob: bytes):
+    """Decode an MDC1 stream: Rice-decode each block's coefficients,
+    synthesize with the transposed MDCT matrix, and overlap-add into
+    the output. Returns (n_samples, n_blocks, reconstruction ndarray
+    of centered float samples)."""
+    import numpy as np
+    if blob[:4] != b"MDC1":
+        raise ValueError("not an MDC1 stream")
+    n, N, q = struct.unpack_from("<IHB", blob, 4)
+    M = _mdct_matrix(N)
+    n_blocks = _mdct_n_blocks(n, N)
+    bits = _Bits(blob[11:])
+    out = np.zeros((n_blocks + 1) * N, dtype=np.float64)
+    for i in range(n_blocks):
+        rice = bits.read(4)
+        qc = np.empty(N, dtype=np.int64)
+        for j in range(N):
+            u = bits.read_unary()
+            low = bits.read(rice) if rice else 0
+            z = (u << rice) | low
+            qc[j] = (z >> 1) if z % 2 == 0 else -((z + 1) >> 1)
+        bits.read_align()
+        out[i * N:(i + 2) * N] += M.T @ (qc.astype(np.float64) * q)
+    return n, n_blocks, out[N:N + n]
+
+
+def mdct_decode_features(media: DataFrame) -> DataFrame:
+    """REAL LOSSY transform-audio decode: the MDCT/TDAC codec above,
+    round-tripped per document with the reconstruction error checked
+    against the derived sqrt(2)*sqrt(N)*q/2 bound (< 16 for N=64,
+    q=2). Emits the geometry (exact, SQL-expressible from the byte
+    count) plus the bound flag — the same oracle contract as
+    ``mm_decode_jpeg``; the exact-valued proof lives in the hypothesis
+    property tests, which hunt the whole byte-payload space."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_samples", "n_frames",
+                                    "block_n", "q", "err_le_16")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(payload)
+                n, n_blocks, rec = _decode_mdct(_encode_mdct(payload))
+                if n != len(payload):
+                    raise ValueError("MDC1 length mismatch")
+                orig = (np.frombuffer(payload, dtype=np.uint8)
+                        .astype(np.float64) - 128.0)
+                err = float(np.max(np.abs(rec - orig))) if n else 0.0
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(n)
+                rows["n_frames"].append(n_blocks)
+                rows["block_n"].append(MDCT_N)
+                rows["q"].append(MDCT_Q)
+                rows["err_le_16"].append(err <= MDCT_ERR_BOUND)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=MDCT_SCHEMA)

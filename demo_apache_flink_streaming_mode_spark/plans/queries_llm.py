@@ -856,6 +856,16 @@ def mm_decode_flic(spark, sf_dir):
     return multimodal.flic_decode_frames(media)
 
 
+def mm_decode_mdct(spark, sf_dir):
+    """REAL LOSSY transform-audio decode: from-scratch MDCT/TDAC codec
+    (50%-overlap sine window, uniform coefficient quantization,
+    Rice-coded coefficients; operators.multimodal.mdct_decode_features)
+    with a DERIVED reconstruction bound sqrt(2)*sqrt(N)*q/2 < 16 —
+    the lossy-audio analog of the JPEG tier's provable-error contract."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return multimodal.mdct_decode_features(media)
+
+
 def mm_resize(spark, sf_dir):
     """Resize/transcode kernel (1 row in -> 1 row out mapInPandas shape).
 
@@ -2040,6 +2050,19 @@ ORACLES["mm_decode_flic"] = f"""
                                    'sum'), 0)::DOUBLE / sz AS mean_px
     FROM (SELECT doc_id, bytes, nf, unnest(range(0, nf)) AS i FROM f), fs"""
 
+# geometry + derived-bound flag, as in mm_decode_jpeg: block count is
+# ceil(n/N) + 1 (the extra TDAC boundary block), 0 for empty payloads
+ORACLES["mm_decode_mdct"] = f"""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE CAST(ceil(n / {float(multimodal.MDCT_N)}) AS BIGINT)
+                          + 1 END AS INT) AS n_frames,
+           {multimodal.MDCT_N} AS block_n, {multimodal.MDCT_Q} AS q,
+           true AS err_le_16
+    FROM b"""
+
 # JPEG is lossy, so the oracle checks exactly-SQL-expressible geometry
 # (width / height / n_px / n_blocks are pure functions of the byte
 # count: rows of JPEG_W, height rounded up to whole 8-px block rows)
@@ -2485,6 +2508,9 @@ QUERIES = [
     Query("mm_decode_flic", mm_decode_flic, ORACLES["mm_decode_flic"],
           "REAL INTER-FRAME video decode: Autodesk FLIC subset (BRUN "
           "key frame + LC line deltas on a persistent framebuffer)"),
+    Query("mm_decode_mdct", mm_decode_mdct, ORACLES["mm_decode_mdct"],
+          "REAL LOSSY transform-audio decode: MDCT/TDAC + Rice, "
+          "derived sqrt(2)*sqrt(N)*q/2 < 16 error bound"),
     Query("sim_recall_ann", sim_recall_ann, ORACLES["sim_recall_ann"],
           "recall@k per method (LSH / IVF nprobe=1/2 / PQ) vs brute force"),
     Query("corpus_clean", corpus_clean, ORACLES["corpus_clean"],

@@ -320,7 +320,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "multimodal": ("mm_manifest", "mm_decode_features", "mm_decode_wav",
                    "mm_decode_image", "mm_decode_png", "mm_decode_jpeg",
                    "mm_decode_video", "mm_decode_mjpeg", "mm_decode_flac",
-                   "mm_decode_flic", "mm_resize", "mm_frames"),
+                   "mm_decode_flic", "mm_decode_mdct", "mm_resize",
+                   "mm_frames"),
     "graph": ("graph_pagerank", "graph_triangles"),
 }
 

@@ -290,6 +290,17 @@ def test_flic_kernel_fanout_and_stats(spark, media):
         assert r["max_px"] == max(sl) and r["mean_px"] == sum(sl) / fs
 
 
+def test_mdct_kernel_geometry_and_flags(spark, media):
+    rows = multimodal.mdct_decode_features(media).collect()
+    src = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    assert len(rows) == len(src)
+    for r in rows:
+        n = len(src[r["doc_id"]])
+        nb = (n + multimodal.MDCT_N - 1) // multimodal.MDCT_N + 1 if n else 0
+        assert (r["n_samples"], r["n_frames"]) == (n, nb)
+        assert r["err_le_16"] is True
+
+
 def test_flac_roundtrip_lossless_and_compresses_smooth_signals():
     """The FLAC subset must be LOSSLESS for arbitrary bytes, and its
     fixed linear predictors must genuinely compress predictable
