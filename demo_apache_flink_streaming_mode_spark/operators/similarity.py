@@ -393,15 +393,15 @@ def cosine_near_dup_pairs(vecs: DataFrame, threshold: float,
     spread_vecs = _spread(vecs)
 
     def widen(out_id: str, prefix: str) -> DataFrame:
+        # one selectExpr call (vs dim Column objects): plan construction
+        # is a single py4j round-trip, same expressions either way
         u = unit_vectors(spread_vecs, id_col, vec_col, out_id, "uv")
-        return u.select(out_id, *[F.element_at("uv", i + 1).alias(f"{prefix}{i}")
-                                  for i in range(dim)])
+        return u.selectExpr(out_id, *[f"element_at(uv, {i + 1}) AS {prefix}{i}"
+                                      for i in range(dim)])
 
     a = widen("vec_a", "a")
     b = widen("vec_b", "b")
-    score = F.col("a0") * F.col("b0")
-    for i in range(1, dim):
-        score = score + F.col(f"a{i}") * F.col(f"b{i}")
+    score = F.expr(" + ".join(f"a{i} * b{i}" for i in range(dim)))
     return (a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "vec_b", score.alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
