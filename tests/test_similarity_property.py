@@ -60,3 +60,38 @@ def test_topk_bruteforce_matches_reference(spark, rows, k, unrolled):
                spark.createDataFrame(rows, schema), k,
                dim=DIM if unrolled else None).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.lists(st.floats(-3, 3, allow_nan=False,
+                                        width=32),
+                              min_size=4, max_size=4),
+                     min_size=1, max_size=6).map(
+    lambda vs: [(i + 1, v) for i, v in enumerate(vs)]))
+def test_sql_string_expressions_match_column_path(spark, rows):
+    """Guard for the r7 plan-construction optimization: the one-string
+    F.expr forms of dot_unrolled / dot_literal / lsh_bucket must be
+    BIT-IDENTICAL to the original per-term Column composition (SQL +
+    parses left-associative, so the trees are the same shape)."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import (
+        dot_literal, dot_unrolled)
+
+    dim = 4
+    planes = [S.hyperplane(j, dim) for j in range(3)]
+    df = spark.createDataFrame(
+        [(i, v, v[::-1]) for i, v in rows],
+        "vec_id long, a array<double>, b array<double>")
+    got = df.select(
+        dot_unrolled("a", "b", dim).alias("d_str"),
+        dot_unrolled(F.col("a"), F.col("b"), dim).alias("d_col"),
+        dot_literal("a", planes[0]).alias("l_str"),
+        dot_literal(F.col("a"), planes[0]).alias("l_col"),
+        S.lsh_bucket("a", planes).alias("b_str"),
+        S.lsh_bucket(F.col("a"), planes).alias("b_col")).collect()
+    for r in got:
+        assert r.d_str == r.d_col
+        assert r.l_str == r.l_col
+        assert r.b_str == r.b_col
