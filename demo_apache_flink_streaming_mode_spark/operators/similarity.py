@@ -531,6 +531,77 @@ def topk_pq(queries: DataFrame, corpus: DataFrame, k: int, m_sub: int,
             .select("query_id", "rank", "neighbor_id", "adc_dist"))
 
 
+def cosine_near_dup_clustered(vecs: DataFrame, threshold: float,
+                              n_cells: int, train_iters: int = 1,
+                              dim: int | None = None,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means cluster
+    the embeddings, then score cosine pairs WITHIN a cluster only —
+    the third blocking strategy next to LSH buckets
+    (``cosine_near_dup_blocked``) and the exact baseline
+    (``cosine_near_dup_pairs``). Clustering concentrates semantic
+    near-duplicates into the same cell, so the quadratic scoring runs
+    per cell, never across the corpus; the trade is pairs straddling a
+    cell boundary are missed, exactly as the paper accepts.
+
+    Zero-norm (degenerate) embeddings are excluded up front — they
+    have no direction to cluster on (and their NULL components rank
+    differently across engines).
+
+    Scale shape: k-means is ``train_iters`` linear passes (broadcast
+    centroids); assignment is one broadcast pass; the pair join
+    shuffles the corpus ONCE on the cell id. Emits (vec_a, vec_b,
+    cell, cos_sim).
+    """
+    u = (unit_vectors(_spread(vecs), id_col, vec_col, id_col, "uv")
+         .filter(F.col("uv").getItem(0).isNotNull())
+         .transform(cut_lineage))
+    cents = kmeans_centroids(u, n_cells, train_iters, id_col, "uv", dim)
+    asg = ivf_assign(u, cents, id_col, "uv", dim)
+    a = asg.select(F.col(id_col).alias("vec_a"), "cell",
+                   F.col("uv").alias("va"))
+    b = asg.select(F.col(id_col).alias("vec_b"), "cell",
+                   F.col("uv").alias("vb"))
+    return (a.join(b, "cell")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "cell",
+                    _dot("va", "vb", dim).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def topk_pq_rerank(queries: DataFrame, corpus: DataFrame, k: int,
+                   m_sub: int, sub_dim: int, n_codes: int, iters: int = 1,
+                   mult: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
+    """Two-stage ANN: PQ/ADC SHORTLIST then exact cosine RE-RANK — the
+    standard production search shape (FAISS-style IndexIVFPQ + refine):
+    the compressed index proposes ``k * mult`` candidates per query
+    cheaply (table lookups over byte codes, never touching the float
+    vectors), and exact math runs ONLY on that shortlist, recovering
+    most of the recall the quantization lost.
+
+    Scale shape: stage 1 is ``topk_pq`` unchanged (the corpus is read
+    as m_sub code bytes per vector); stage 2 joins the tiny
+    |queries| * k * mult shortlist (broadcast, with the query unit
+    vectors attached) against the corpus unit vectors — exact dots on
+    shortlist rows only, one broadcast hash join, no quadratic leg
+    anywhere. Ranking ties break by neighbor id, as everywhere.
+    """
+    short = (topk_pq(queries, corpus, k * mult, m_sub, sub_dim, n_codes,
+                     iters, id_col, vec_col)
+             .select("query_id", "neighbor_id"))
+    qu = (unit_vectors(queries, id_col, vec_col, "query_id", "qv")
+          .filter(F.col("qv").getItem(0).isNotNull()))
+    cu = unit_vectors(_spread(corpus), id_col, vec_col, "neighbor_id", "cv")
+    sj = short.join(qu, "query_id")
+    scored = (cu.join(F.broadcast(sj), "neighbor_id")
+              .select("query_id", "neighbor_id",
+                      _dot("qv", "cv", dim).alias("cos_sim")))
+    return _rank_topk(scored, k)
+
+
 def int8_scale_codes(vec_col: str) -> tuple[Column, Column]:
     """The engine-portable symmetric int8 quantization pair for a
     double-array column: scale = max|v|/127 (nullif-guarded, cf.

@@ -366,6 +366,17 @@ def dedup_cosine_lsh(spark, sf_dir):
         num_planes=NUM_PLANES, dim=DIM)
 
 
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cluster the embeddings
+    (the engine's own DataFrame-only Lloyd's), cosine pairs scored
+    WITHIN a cluster only — the semantic-blocking third leg next to
+    the LSH-blocked and exact-baseline embedding dedups
+    (operators.similarity.cosine_near_dup_clustered)."""
+    return similarity.cosine_near_dup_clustered(
+        _embs(spark, sf_dir), COS_DUP_THRESHOLD,
+        n_cells=N_CELLS, train_iters=KMEANS_ITERS, dim=DIM)
+
+
 def sim_topk_ivf(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
@@ -408,6 +419,24 @@ def sim_topk_pq(spark, sf_dir):
     return similarity.topk_pq(queries, embs, TOPK, m_sub=PQ_M,
                               sub_dim=PQ_SUB_DIM, n_codes=PQ_CODES,
                               iters=PQ_ITERS)
+
+
+PQ_RERANK_MULT = 4      # ADC shortlist depth = TOPK * this
+
+
+def sim_topk_pq_rerank(spark, sf_dir):
+    """Two-stage ANN (FAISS IndexIVFPQ+refine shape): PQ/ADC shortlist
+    of TOPK * PQ_RERANK_MULT candidates per query, then EXACT cosine
+    re-ranking on the shortlist only
+    (operators.similarity.topk_pq_rerank) — exact float math never
+    touches more than |queries| * k * mult rows, recovering the recall
+    the 64x compression lost."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.topk_pq_rerank(queries, embs, TOPK, m_sub=PQ_M,
+                                     sub_dim=PQ_SUB_DIM, n_codes=PQ_CODES,
+                                     iters=PQ_ITERS, mult=PQ_RERANK_MULT,
+                                     dim=DIM)
 
 
 def dedup_quality_keeper(spark, sf_dir):
@@ -949,16 +978,13 @@ _EMB_D = (
     f"  n0 AS (SELECT vec_id, v, nullif(sqrt({_DOT.format(a='v', b='v')}), 0) AS nrm FROM e0),\n"
     "  e AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS uv FROM n0)")
 
-def _ivf_trained_oracle(train_iters: int, nprobe: int = 1) -> str:
-    """Iterative Lloyd's-k-means oracle: one (assign, dims, cent) CTE
-    trio per iteration, then the standard IVF probe with the trained
-    centroids. Mirrors ``similarity.kmeans_centroids`` bit-for-bit:
-    means are in-id-order left folds (list(... ORDER BY vec_id) then
-    list_aggregate 'sum'), zero-norm vectors excluded from training.
-    ``nprobe`` widens the query-side probe to the ``rn <= nprobe``
-    nearest cells (corpus placement stays rn = 1), exactly like
-    ``similarity.topk_ivf(nprobe=...)``.
-    """
+def _kmeans_ctes(train_iters: int) -> tuple[str, str]:
+    """Shared iterative Lloyd's-k-means CTE block (mirrors
+    ``similarity.kmeans_centroids`` bit-for-bit: seeds are the N_CELLS
+    lowest-id vectors, means are in-id-order left folds, zero-norm
+    vectors excluded). Returns (joined CTE string, name of the final
+    centroid CTE); callers prepend ``_EMB_D`` and build their own
+    assignment/probe on top."""
     ctes = [f"""
         eg AS (SELECT vec_id, uv FROM e WHERE uv[1] IS NOT NULL),
         cent0 AS (
@@ -985,8 +1011,19 @@ def _ivf_trained_oracle(train_iters: int, nprobe: int = 1) -> str:
           SELECT cell, list(m ORDER BY pos) AS cv
           FROM dims{it} GROUP BY cell)""")
         cent = f"cent{it}"
+    return ",".join(ctes), cent
+
+
+def _ivf_trained_oracle(train_iters: int, nprobe: int = 1) -> str:
+    """Iterative Lloyd's-k-means oracle (CTEs shared via
+    ``_kmeans_ctes``), then the standard IVF probe with the trained
+    centroids. ``nprobe`` widens the query-side probe to the
+    ``rn <= nprobe`` nearest cells (corpus placement stays rn = 1),
+    exactly like ``similarity.topk_ivf(nprobe=...)``.
+    """
+    km, cent = _kmeans_ctes(train_iters)
     return f"""
-        WITH {_EMB_D},{','.join(ctes)},
+        WITH {_EMB_D},{km},
         assigned AS (
           SELECT vec_id, cell, uv FROM (
             SELECT e.vec_id, c.cell, e.uv,
@@ -1020,12 +1057,14 @@ _L2SQ = ("list_aggregate(list_transform(range(1, len({a})+1), "
          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')")
 
 
-def _pq_oracle(iters: int) -> str:
+def _pq_oracle(iters: int, k: int = TOPK) -> str:
     """Product-quantization ADC oracle. Mirrors ``similarity.topk_pq``
     bit-for-bit: per-subspace seeds are the PQ_CODES lowest-id
     subvectors, Lloyd's means are in-id-order left folds, assignment
     ties to the smallest code, the final ADC sum folds in subspace
-    order, zero-norm vectors excluded up front.
+    order, zero-norm vectors excluded up front. ``k`` parameterizes
+    the emitted depth (the rerank oracle asks for the wider
+    shortlist).
     """
     ctes = [f"""
         eg AS (SELECT vec_id, uv FROM e WHERE uv[1] IS NOT NULL),
@@ -1086,7 +1125,7 @@ def _pq_oracle(iters: int) -> str:
                      ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
           FROM scored)
         SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, adc_dist
-        FROM ranked WHERE rn <= {TOPK}"""
+        FROM ranked WHERE rn <= {k}"""
 
 
 _PLANES_CTE = f"""
@@ -2134,6 +2173,56 @@ ORACLES["sim_knn_agreement"] = f"""
 ORACLES["sim_topk_ivf_probe2"] = _ivf_trained_oracle(KMEANS_ITERS,
                                                      nprobe=IVF_NPROBE)
 ORACLES["sim_topk_pq"] = _pq_oracle(PQ_ITERS)
+
+# rerank: the PQ oracle at shortlist depth feeds an exact-cosine
+# re-scoring over the same unit vectors (the _DOT fold order matches
+# the Spark side's dot_unrolled bit-for-bit, as in the brute-force
+# oracle); ties re-break by neighbor id at the re-ranked depth
+ORACLES["sim_topk_pq_rerank"] = f"""
+    WITH {_EMB_D},
+    short AS (
+      SELECT query_id, neighbor_id
+      FROM ({_pq_oracle(PQ_ITERS, TOPK * PQ_RERANK_MULT)})),
+    q AS (SELECT vec_id AS query_id, uv AS qv FROM e
+          WHERE vec_id % {QUERY_MOD} = 0 AND uv[1] IS NOT NULL),
+    c AS (SELECT vec_id AS neighbor_id, uv AS cv FROM e),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_DOT.format(a='q.qv', b='c.cv')} AS cos_sim
+      FROM short s
+      JOIN q USING (query_id)
+      JOIN c USING (neighbor_id)),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM scored)
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
+    FROM ranked WHERE rn <= {TOPK}"""
+
+# SemDeDup oracle: the shared k-means CTEs, a fresh rn=1 assignment
+# over the non-degenerate vectors, then within-cell pair scoring —
+# mirrors similarity.cosine_near_dup_clustered bit-for-bit
+def _semantic_oracle(train_iters: int) -> str:
+    km, cent = _kmeans_ctes(train_iters)
+    return f"""
+        WITH {_EMB_D},{km},
+        assigned AS (
+          SELECT vec_id, cell, uv FROM (
+            SELECT eg.vec_id, c.cell, eg.uv,
+                   ROW_NUMBER() OVER (PARTITION BY eg.vec_id
+                       ORDER BY {_DOT.format(a='eg.uv', b='c.cv')} DESC,
+                                c.cell ASC) AS rn
+            FROM eg, {cent} c) WHERE rn = 1)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(a.cell AS INT) AS cell,
+               {_cos('a.uv', 'b.uv')} AS cos_sim
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_cos('a.uv', 'b.uv')} >= {COS_DUP_THRESHOLD}"""
+
+
+ORACLES["dedup_semantic"] = _semantic_oracle(KMEANS_ITERS)
 ORACLES["dedup_simhash_pairs"] = f"""
     WITH sh AS ({ORACLES['dedup_simhash']})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2397,6 +2486,9 @@ QUERIES = [
           "precision@k + MRR (rational metrics, bit-exact)"),
     Query("dedup_cosine_lsh", dedup_cosine_lsh, ORACLES["dedup_cosine_lsh"],
           "embedding near-dup pairs behind LSH-bucket blocking (scale path)"),
+    Query("dedup_semantic", dedup_semantic, ORACLES["dedup_semantic"],
+          "SemDeDup: k-means-clustered embedding near-dup pairs "
+          "(semantic blocking, within-cell cosine only)"),
     Query("sim_topk_ivf", sim_topk_ivf, ORACLES["sim_topk_ivf"],
           "IVF-cell approximate top-k (coarse quantize + probe own cell)"),
     Query("sim_topk_ivf_trained", sim_topk_ivf_trained,
@@ -2407,6 +2499,10 @@ QUERIES = [
           "trained IVF searching the query's 2 nearest cells (nprobe=2)"),
     Query("sim_topk_pq", sim_topk_pq, ORACLES["sim_topk_pq"],
           "product-quantization ANN: per-subspace codebooks + ADC lookup"),
+    Query("sim_topk_pq_rerank", sim_topk_pq_rerank,
+          ORACLES["sim_topk_pq_rerank"],
+          "two-stage ANN: PQ/ADC shortlist + exact cosine re-rank on "
+          "the shortlist only (FAISS refine shape)"),
     Query("sim_topk_int8", sim_topk_int8, ORACLES["sim_topk_int8"],
           "top-k over int8-quantized unit vectors (exact integer dots)"),
     Query("dedup_simhash_pairs", dedup_simhash_pairs,

@@ -287,11 +287,13 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                       "dedup_incremental_near"),
     "dedup_clusters": ("dedup_clusters",),
     "dedup_simhash": ("dedup_simhash", "dedup_simhash_pairs"),
-    "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh"),
+    "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh",
+                        "dedup_semantic"),
     "decontam": ("text_decontam", "text_decontam_bloom"),
     "ann_topk": ("sim_topk_bruteforce", "sim_ann_lsh", "sim_topk_ivf",
                  "sim_topk_ivf_trained", "sim_topk_ivf_probe2",
-                 "sim_topk_pq", "sim_recall_ann", "sim_eval_retrieval"),
+                 "sim_topk_pq", "sim_topk_pq_rerank", "sim_recall_ann",
+                 "sim_eval_retrieval"),
     "ann_int8": ("sim_topk_int8", "sim_quantize_int8"),
     "knn_label": ("sim_knn_label_vote", "sim_knn_label_vote_exact",
                   "sim_knn_agreement"),

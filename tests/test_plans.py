@@ -29,6 +29,10 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 "sim_topk_int8", "sim_topk_ivf",
                 "sim_topk_ivf_trained", "sim_topk_ivf_probe2", "text_bm25",
                 "text_tfidf",
+                # same bounded broadcast-centroid assignment pass as the
+                # IVF family (ivf_assign's crossJoin with <= N_CELLS rows);
+                # the pair scoring itself is a cell equi-join
+                "dedup_semantic",
                 # embed the brute-force baseline by definition (they
                 # ARE the exact references being measured against);
                 # the judged sim_knn_label_vote itself votes over the
