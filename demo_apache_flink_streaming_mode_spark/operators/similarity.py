@@ -574,7 +574,8 @@ def topk_pq_rerank(queries: DataFrame, corpus: DataFrame, k: int,
                    m_sub: int, sub_dim: int, n_codes: int, iters: int = 1,
                    mult: int = 4, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   dim: int | None = None) -> DataFrame:
+                   dim: int | None = None,
+                   shortlist: DataFrame | None = None) -> DataFrame:
     """Two-stage ANN: PQ/ADC SHORTLIST then exact cosine RE-RANK — the
     standard production search shape (FAISS-style IndexIVFPQ + refine):
     the compressed index proposes ``k * mult`` candidates per query
@@ -588,10 +589,15 @@ def topk_pq_rerank(queries: DataFrame, corpus: DataFrame, k: int,
     vectors attached) against the corpus unit vectors — exact dots on
     shortlist rows only, one broadcast hash join, no quadratic leg
     anywhere. Ranking ties break by neighbor id, as everywhere.
+
+    ``shortlist`` plugs in a precomputed (query_id, neighbor_id)
+    candidate table so a caller scoring SEVERAL depths/paths (e.g. the
+    recall report) pays the PQ pipeline once.
     """
-    short = (topk_pq(queries, corpus, k * mult, m_sub, sub_dim, n_codes,
-                     iters, id_col, vec_col)
-             .select("query_id", "neighbor_id"))
+    short = (shortlist if shortlist is not None else
+             topk_pq(queries, corpus, k * mult, m_sub, sub_dim, n_codes,
+                     iters, id_col, vec_col)).select("query_id",
+                                                     "neighbor_id")
     qu = (unit_vectors(queries, id_col, vec_col, "query_id", "qv")
           .filter(F.col("qv").getItem(0).isNotNull()))
     cu = unit_vectors(_spread(corpus), id_col, vec_col, "neighbor_id", "cv")

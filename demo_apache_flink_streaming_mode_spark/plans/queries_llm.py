@@ -245,6 +245,44 @@ def sim_knn_agreement(spark, sf_dir):
                                            num_planes=NUM_PLANES, dim=DIM)
 
 
+def sim_recall_rerank(spark, sf_dir):
+    """Does the exact re-rank actually buy recall? Per query: exact
+    top-k size, hits of the raw PQ top-k, and hits of the
+    rerank-from-the-same-shortlist top-k — integer counts only, so
+    cross-engine exact. The PQ pipeline runs ONCE: the k*mult
+    shortlist feeds both the rank<=k prefix (raw PQ answer) and the
+    exact re-scoring (operators.similarity.topk_pq_rerank's
+    ``shortlist`` plug); Catalyst's ReuseExchange dedupes the shared
+    subplan. The brute-force leg is the definitionally-exact baseline
+    (allowlisted, like sim_recall_ann's)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    short = similarity.topk_pq(queries, embs, TOPK * PQ_RERANK_MULT,
+                               m_sub=PQ_M, sub_dim=PQ_SUB_DIM,
+                               n_codes=PQ_CODES, iters=PQ_ITERS)
+    pq_top = (short.filter(F.col("rank") <= TOPK)
+              .select("query_id", "neighbor_id"))
+    rr_top = similarity.topk_pq_rerank(
+        queries, embs, TOPK, m_sub=PQ_M, sub_dim=PQ_SUB_DIM,
+        n_codes=PQ_CODES, iters=PQ_ITERS, mult=PQ_RERANK_MULT, dim=DIM,
+        shortlist=short.select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id")
+    exact = (similarity.topk_bruteforce(queries, embs, TOPK, dim=DIM)
+             .select("query_id", "neighbor_id"))
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits_pq = (exact.join(pq_top, ["query_id", "neighbor_id"])
+               .groupBy("query_id").agg(F.count("*").alias("n_hits_pq")))
+    hits_rr = (exact.join(rr_top, ["query_id", "neighbor_id"])
+               .groupBy("query_id").agg(F.count("*").alias("n_hits_rerank")))
+    return (n_exact.join(hits_pq, "query_id", "left")
+            .join(hits_rr, "query_id", "left")
+            .select("query_id", "n_exact",
+                    F.coalesce("n_hits_pq", F.lit(0).cast("long"))
+                    .alias("n_hits_pq"),
+                    F.coalesce("n_hits_rerank", F.lit(0).cast("long"))
+                    .alias("n_hits_rerank")))
+
+
 def sim_eval_retrieval(spark, sf_dir):
     """Search-quality evaluation of the LSH ANN path against label
     relevance (see operators.similarity.retrieval_eval): per query,
@@ -2223,6 +2261,30 @@ def _semantic_oracle(train_iters: int) -> str:
 
 
 ORACLES["dedup_semantic"] = _semantic_oracle(KMEANS_ITERS)
+
+# recall-of-rerank: intersection counts of the exact top-k with (a)
+# the raw PQ top-k (the shortlist's rank <= k prefix) and (b) the
+# exact-rescored shortlist top-k — all three legs are the already-
+# green oracles composed as subqueries, integer counts only
+ORACLES["sim_recall_rerank"] = f"""
+    WITH ex AS (SELECT query_id, neighbor_id
+                FROM ({ORACLES["sim_topk_bruteforce"]})),
+    pqs AS (SELECT query_id, neighbor_id, rank
+            FROM ({_pq_oracle(PQ_ITERS, TOPK * PQ_RERANK_MULT)})),
+    pq10 AS (SELECT query_id, neighbor_id FROM pqs WHERE rank <= {TOPK}),
+    rr AS (SELECT query_id, neighbor_id
+           FROM ({ORACLES["sim_topk_pq_rerank"]})),
+    ne AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY query_id),
+    hp AS (SELECT query_id, COUNT(*) AS n_hits_pq
+           FROM ex JOIN pq10 USING (query_id, neighbor_id)
+           GROUP BY query_id),
+    hr AS (SELECT query_id, COUNT(*) AS n_hits_rerank
+           FROM ex JOIN rr USING (query_id, neighbor_id)
+           GROUP BY query_id)
+    SELECT ne.query_id, CAST(ne.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(hp.n_hits_pq, 0) AS BIGINT) AS n_hits_pq,
+           CAST(COALESCE(hr.n_hits_rerank, 0) AS BIGINT) AS n_hits_rerank
+    FROM ne LEFT JOIN hp USING (query_id) LEFT JOIN hr USING (query_id)"""
 ORACLES["dedup_simhash_pairs"] = f"""
     WITH sh AS ({ORACLES['dedup_simhash']})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2503,6 +2565,10 @@ QUERIES = [
           ORACLES["sim_topk_pq_rerank"],
           "two-stage ANN: PQ/ADC shortlist + exact cosine re-rank on "
           "the shortlist only (FAISS refine shape)"),
+    Query("sim_recall_rerank", sim_recall_rerank,
+          ORACLES["sim_recall_rerank"],
+          "recall report: exact top-k hits of raw PQ vs "
+          "rerank-from-one-shortlist (integer counts)"),
     Query("sim_topk_int8", sim_topk_int8, ORACLES["sim_topk_int8"],
           "top-k over int8-quantized unit vectors (exact integer dots)"),
     Query("dedup_simhash_pairs", dedup_simhash_pairs,

@@ -38,7 +38,7 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 # the judged sim_knn_label_vote itself votes over the
                 # LSH equi-join path and stays OFF this list
                 "sim_recall_ann", "sim_knn_label_vote_exact",
-                "sim_knn_agreement",
+                "sim_knn_agreement", "sim_recall_rerank",
                 # scalar-subquery threshold: a 1-row broadcast average
                 # attached to every customer row (TPC-H Q22 shape) /
                 # per-part value row (Q11 shape)
