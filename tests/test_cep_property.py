@@ -11,6 +11,7 @@ timestamps, interleaved keys) the fixture data may never produce.
 
 from __future__ import annotations
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -49,8 +50,7 @@ events_strategy = st.lists(
     min_size=0, max_size=18)
 
 
-@settings(max_examples=25, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(25)
 @given(events_strategy)
 def test_funnel_matches_reference(spark, raw):
     rows = [(key, eid, ts, ty) for eid, (key, ts, ty) in enumerate(raw)]

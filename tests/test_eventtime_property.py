@@ -14,6 +14,7 @@ chapter4/EventTimeOperations.java:104,121-123).
 
 from __future__ import annotations
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -47,8 +48,7 @@ def _run(spark, rows, arrival_order):
     return {r["eid"]: (r["watermark_ms"], r["is_late"]) for r in got}
 
 
-@settings(max_examples=25, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(25)
 @given(arrivals_strategy)
 def test_classify_late_two_phase_matches_sequential(spark, raw):
     rows = [(bkt, eid, ms) for eid, (bkt, ms) in enumerate(raw)]
@@ -56,8 +56,7 @@ def test_classify_late_two_phase_matches_sequential(spark, raw):
     assert got == _ref(rows, BUFFER_MS)
 
 
-@settings(max_examples=15, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(15)
 @given(arrivals_strategy)
 def test_classify_late_fallback_matches_sequential(spark, raw):
     # single-component arrival order exercises the sequential-window

@@ -13,14 +13,14 @@ from __future__ import annotations
 
 from collections import Counter
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from demo_apache_flink_streaming_mode_spark.operators import joins as J
 from demo_apache_flink_streaming_mode_spark.operators.scale import zorder_key
 
-SLOW = settings(max_examples=12, deadline=None,
-                suppress_health_check=[HealthCheck.too_slow])
+SLOW = hypo.budget(12)
 
 left_rows = st.lists(
     st.tuples(st.integers(1, 2), st.integers(0, 20)),

@@ -10,6 +10,7 @@ inputs including shapes the fixture data never produces.
 
 from __future__ import annotations
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from demo_apache_flink_streaming_mode_spark.operators.timeseries import (
@@ -77,8 +78,7 @@ series_strategy = st.lists(
     min_size=1, max_size=16)
 
 
-@settings(max_examples=25, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(25)
 @given(series_strategy)
 def test_resample_ffill_matches_reference(spark, raw):
     rows = [(k, ts, float(v), eid) for eid, (k, ts, v) in enumerate(raw)]
@@ -89,8 +89,7 @@ def test_resample_ffill_matches_reference(spark, raw):
     assert got == _ref_ffill(rows)
 
 
-@settings(max_examples=25, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(25)
 @given(series_strategy)
 def test_resample_interp_matches_reference(spark, raw):
     rows = [(k, ts, float(v)) for k, ts, v in raw]
@@ -122,8 +121,7 @@ def _ref_moving(rows, window):
     return sorted(out, key=lambda t: (t[0], t[1]))
 
 
-@settings(max_examples=25, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(25)
 @given(series_strategy, st.integers(1, 4))
 def test_moving_features_matches_reference(spark, raw, window):
     # eid disambiguates ts collisions so both forms see one total order

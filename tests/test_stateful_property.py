@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -26,8 +27,7 @@ events = st.lists(
     min_size=1, max_size=25,
 ).map(lambda rs: [(k, i + 1, ms, a) for i, (k, ms, a) in enumerate(rs)])
 
-SLOW = settings(max_examples=15, deadline=None,
-                suppress_health_check=[HealthCheck.too_slow])
+SLOW = hypo.budget(15)
 
 
 def _by_key_ordered(rows):
