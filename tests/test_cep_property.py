@@ -12,7 +12,7 @@ timestamps, interleaved keys) the fixture data may never produce.
 from __future__ import annotations
 
 import hypo
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import given, strategies as st
 
 from pyspark.sql import functions as F
 

@@ -15,7 +15,7 @@ chapter4/EventTimeOperations.java:104,121-123).
 from __future__ import annotations
 
 import hypo
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import given, strategies as st
 from pyspark.sql import functions as F
 
 from demo_apache_flink_streaming_mode_spark.operators.eventtime import (

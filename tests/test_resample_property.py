@@ -11,7 +11,7 @@ inputs including shapes the fixture data never produces.
 from __future__ import annotations
 
 import hypo
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import given, strategies as st
 
 from demo_apache_flink_streaming_mode_spark.operators.timeseries import (
     moving_features, resample_ffill, resample_interp)

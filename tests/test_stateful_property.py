@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections import defaultdict
 
 import hypo
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import given, strategies as st
 from pyspark.sql import functions as F
 
 from demo_apache_flink_streaming_mode_spark.operators import stateful as ST
