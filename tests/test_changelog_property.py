@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -25,8 +26,7 @@ ops = st.lists(
 ).map(lambda rs: [(k, i + 1, v, d) for i, (k, v, d) in enumerate(rs)])
 
 
-@settings(max_examples=15, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(15)
 @given(rows=ops)
 def test_changelog_apply_matches_reference(spark, rows):
     last, n_changes = {}, defaultdict(int)

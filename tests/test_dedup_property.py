@@ -13,12 +13,12 @@ from __future__ import annotations
 import hashlib
 from itertools import combinations
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from demo_apache_flink_streaming_mode_spark.operators import dedup as D
 
-SLOW = settings(max_examples=12, deadline=None,
-                suppress_health_check=[HealthCheck.too_slow])
+SLOW = hypo.budget(12)
 
 word = st.text(alphabet="ab", min_size=1, max_size=3)
 corpus = st.lists(

@@ -16,12 +16,12 @@ from __future__ import annotations
 from collections import Counter, defaultdict
 from itertools import combinations
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from demo_apache_flink_streaming_mode_spark.operators import graph as G
 
-SLOW = settings(max_examples=10, deadline=None,
-                suppress_health_check=[HealthCheck.too_slow])
+SLOW = hypo.budget(10)
 
 edges = st.lists(
     st.tuples(st.integers(1, 6), st.integers(1, 6)).filter(

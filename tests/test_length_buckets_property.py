@@ -14,6 +14,7 @@ attacks only the counting/grouping logic, exactly.
 
 from __future__ import annotations
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from demo_apache_flink_streaming_mode_spark.operators.text import (
@@ -33,8 +34,7 @@ def _ref(toks, bs, n_buckets):
                   for b, v in per_bucket.items())
 
 
-@settings(max_examples=20, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(20)
 @given(lengths_strategy, st.integers(2, 10))
 def test_length_buckets_match_counting_rule(spark, toks, n_buckets):
     docs = spark.createDataFrame(

@@ -12,6 +12,7 @@ the comparison is strict equality.
 
 from __future__ import annotations
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from demo_apache_flink_streaming_mode_spark.operators.text import (
@@ -43,8 +44,7 @@ def _ref(token_docs, min_count):
     return out
 
 
-@settings(max_examples=20, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(20)
 @given(docs_strategy)
 def test_lm_familiarity_matches_reference(spark, token_docs):
     docs = spark.createDataFrame(

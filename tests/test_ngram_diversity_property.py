@@ -13,6 +13,7 @@ the double compares exactly.
 
 from __future__ import annotations
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from demo_apache_flink_streaming_mode_spark.operators.text import (
@@ -39,8 +40,7 @@ def _ref(token_docs):
     return out
 
 
-@settings(max_examples=20, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(20)
 @given(docs_strategy)
 def test_ngram_diversity_matches_reference(spark, token_docs):
     docs = spark.createDataFrame(

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from demo_apache_flink_streaming_mode_spark.operators.scale import pack_shards
@@ -37,8 +38,7 @@ def _ref_layout(rows, budget, num_buckets):
     return out
 
 
-@settings(max_examples=20, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(20)
 @given(rows=rows_strategy, budget=st.integers(min_value=1, max_value=120),
        num_buckets=st.sampled_from([1, 3, 8]))
 def test_pack_shards_matches_sequential_reference(spark, rows, budget,

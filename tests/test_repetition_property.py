@@ -13,6 +13,7 @@ integers in the same order on both sides, so equality is exact.
 
 from __future__ import annotations
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from demo_apache_flink_streaming_mode_spark.operators.text import (
@@ -44,8 +45,7 @@ def _ref(token_docs):
     return out
 
 
-@settings(max_examples=20, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(20)
 @given(docs_strategy)
 def test_repetition_stats_match_reference(spark, token_docs):
     docs = spark.createDataFrame(

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from demo_apache_flink_streaming_mode_spark.operators import similarity as S
@@ -40,8 +41,7 @@ def _dot(a, b):
     return acc
 
 
-@settings(max_examples=12, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(12)
 @given(rows=corpus, k=st.sampled_from([1, 3]), unrolled=st.booleans())
 def test_topk_bruteforce_matches_reference(spark, rows, k, unrolled):
     qrows = rows[:2]
@@ -62,8 +62,7 @@ def test_topk_bruteforce_matches_reference(spark, rows, k, unrolled):
     assert got == want
 
 
-@settings(max_examples=10, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(10)
 @given(rows=st.lists(st.lists(st.floats(-3, 3, allow_nan=False,
                                         width=32),
                               min_size=4, max_size=4),

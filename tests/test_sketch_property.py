@@ -15,14 +15,14 @@ import hashlib
 from collections import Counter, defaultdict
 
 import pytest
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from demo_apache_flink_streaming_mode_spark.operators import sketches as SK
 from demo_apache_flink_streaming_mode_spark.operators.sketches import (
     HLL_ALPHA, HLL_M, _POW2_61)
 
-SLOW = settings(max_examples=12, deadline=None,
-                suppress_health_check=[HealthCheck.too_slow])
+SLOW = hypo.budget(12)
 
 kv_rows = st.lists(
     st.tuples(st.integers(1, 2), st.integers(0, 500)),

@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 from collections import Counter
 
+import hypo
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from demo_apache_flink_streaming_mode_spark.operators import text as T
@@ -29,8 +30,7 @@ doc = st.lists(word, min_size=1, max_size=10).map(" ".join)
 corpus = st.lists(doc, min_size=1, max_size=5).map(
     lambda ds: [(i + 1, d) for i, d in enumerate(ds)])
 
-SLOW = settings(max_examples=15, deadline=None,
-                suppress_health_check=[HealthCheck.too_slow])
+SLOW = hypo.budget(15)
 
 
 def _spans(tokens: list[str], n: int) -> list[str]:
@@ -253,8 +253,7 @@ def test_quality_rules_match_reference(spark, rows):
     assert got == want
 
 
-@settings(max_examples=8, deadline=None,
-          suppress_health_check=[HealthCheck.too_slow])
+@hypo.budget(8)
 @given(rows=corpus, merges=st.sampled_from([1, 3]))
 def test_bpe_train_matches_reference(spark, rows, merges):
     got = [(r.rank, r.left_sym, r.right_sym, r.weight)
