@@ -70,34 +70,25 @@ def sliding_stats(df: DataFrame, ts: str, width: str, slide: str,
                     "n", "min_ts", "max_ts"))
 
 
-def exclusive_session_gap(gap: str) -> Column:
-    """Fixed session gap under Flink's HALF-OPEN interval rule.
+def session_gap_ms(gap_ms: Column) -> Column:
+    """Per-record session gap (milliseconds, > 0) as a CalendarInterval
+    via exact DECIMAL arithmetic (``session_window`` rejects
+    DayTimeIntervalType, so ``make_interval`` it is).
 
-    Flink sessions are unions of ``[ts, ts+gap)`` intervals
-    (``TimeWindow.intersects`` on half-open windows): an event starting
-    exactly AT the running max of prior interval ends opens a NEW
-    session. Spark's native ``session_window`` instead merges
-    exact-touch intervals (``next_ts <= prev_end`` joins the session).
-    Shrinking every interval by one microsecond — Spark's full
-    timestamp resolution — turns Spark's closed merge test into the
-    strict one: ``next_ts <= (prev_end - 1us)  <=>  next_ts <
-    prev_end``, i.e. exactly the half-open rule, with the running-max
-    merge behaviour (an old long-gap interval spanning past its
-    successors) preserved because every end shifts by the same 1us.
-    The window's extent is only used for grouping here, so the shifted
-    end never surfaces in output.
+    Boundary rule (r8, verified against Flink 1.9.1 source): Flink's
+    ``TimeWindow.intersects`` is INCLUSIVE on the touch
+    (``this.start <= other.end && this.end >= other.start``), so the
+    per-event windows ``[t, t+gap)`` and ``[t+gap, t+2gap)`` MERGE —
+    ``EventTimeSessionWindowsTest.testMergeConsecutiveWindows`` pins
+    exactly this.  A new session starts only when ``diff > gap``.
+    Spark's native ``session_window`` implements the same inclusive
+    merge, so the gap is passed through UNMODIFIED.  (Round 7 shipped a
+    1-microsecond-shrunk gap implementing the opposite, split-on-touch
+    rule — a misreading of Flink's half-open window extent as an
+    exclusive *merge* test; reverted here with the oracles, property
+    references and streaming parity tests moved in lockstep.)
     """
-    return F.expr(
-        f"cast('{gap}' as interval) - cast('1 microseconds' as interval)")
-
-
-def exclusive_session_gap_ms(gap_ms: Column) -> Column:
-    """Per-record session gap (milliseconds, > 0) under the same
-    half-open rule as :func:`exclusive_session_gap`: builds the
-    CalendarInterval ``gap_ms`` milliseconds minus one microsecond via
-    exact DECIMAL microsecond arithmetic (``session_window`` rejects
-    DayTimeIntervalType, so ``make_interval`` it is)."""
-    us = gap_ms.cast("long") * F.lit(1000) - F.lit(1)
+    us = gap_ms.cast("long") * F.lit(1000)
     return F.make_interval(
         secs=(us.cast("decimal(18,0)") / F.lit(1_000_000)).cast("decimal(18,6)"))
 
@@ -115,16 +106,18 @@ def session_stats(df: DataFrame, ts: str, gap: str, key: str) -> DataFrame:
     """A6 — gap-based session window aggregate.
 
     Reference: ``keyBy(user).window(ProcessingTimeSessionWindows.withGap(5s))
-    .reduce`` (``chapter3/WindowOperations.java:124-138``); a session closes
-    after `gap` inactivity, sessions being unions of half-open
-    ``[ts, ts+gap)`` intervals — an event at exactly ``prev_ts + gap``
-    starts a NEW session. Spark-first: native ``session_window``
-    (state-store backed in streaming, hash-agg in batch) over the
-    1us-shrunk gap (:func:`exclusive_session_gap`), which makes
-    Spark's merge-on-touch match Flink's exclusive boundary exactly.
-    session_start is the session's first event time.
+    .reduce`` (``chapter3/WindowOperations.java:124-138``); a session
+    closes after `gap` inactivity.  Sessions are unions of per-event
+    ``[ts, ts+gap)`` windows merged under Flink's INCLUSIVE
+    ``TimeWindow.intersects`` — touching windows merge, so an event at
+    exactly ``prev_ts + gap`` joins the SAME session and a new one
+    starts only when the silence EXCEEDS the gap.  Spark-first: native
+    ``session_window`` (state-store backed in streaming, hash-agg in
+    batch) implements the identical inclusive-merge rule, used
+    unmodified (see :func:`session_gap_ms` for the boundary-rule
+    provenance).  session_start is the session's first event time.
     """
-    return _session_agg(df, ts, key, exclusive_session_gap(gap))
+    return _session_agg(df, ts, key, F.expr(f"cast('{gap}' as interval)"))
 
 
 def dynamic_session_stats(df: DataFrame, ts: str, key: str,
@@ -136,15 +129,15 @@ def dynamic_session_stats(df: DataFrame, ts: str, key: str,
     event keeps the session alive longer than a click. ``gap_ms`` is a
     per-record LONG milliseconds column (> 0). Spark-first: native
     ``session_window(ts, gap_expr)`` builds the per-event
-    [ts, ts+gap) interval and merges overlaps, batch (hash agg) and
-    streaming (state store) alike; the 1us interval shrink
-    (:func:`exclusive_session_gap_ms`) keeps the boundary HALF-OPEN as
-    in Flink — a session closes when the next event starts at-or-after
-    the running max of prior interval ends.
+    [ts, ts+gap) interval and merges overlaps (inclusive on the touch,
+    matching Flink's ``TimeWindow.intersects`` — see
+    :func:`session_gap_ms`), batch (hash agg) and streaming (state
+    store) alike: a session closes only when the next event starts
+    strictly AFTER the running max of prior interval ends.
 
     Same output shape as ``session_stats``.
     """
-    return _session_agg(df, ts, key, exclusive_session_gap_ms(gap_ms))
+    return _session_agg(df, ts, key, session_gap_ms(gap_ms))
 
 
 def keyed_agg(df: DataFrame, keys: list[str], value: str) -> DataFrame:

@@ -105,12 +105,13 @@ def a13_dynamic_session(spark, sf_dir):
     an error event keeps the user's session open for 10 hours, any
     other event for 4 — the session survives long silences after a
     failure but closes quickly in normal traffic. Native
-    session_window(ts, gap_expr) over the half-open-shrunk gap; the
-    oracle reproduces the interval merge with a running max of
-    per-event interval ends (a plain lag is wrong under variable gaps:
-    an old long-gap event can span past its successors), opening a new
-    session when ms >= that running max — the same exclusive boundary
-    the operator now implements."""
+    session_window(ts, gap_expr), unmodified; the oracle reproduces
+    the interval merge with a running max of per-event interval ends
+    (a plain lag is wrong under variable gaps: an old long-gap event
+    can span past its successors), opening a new session when ms
+    strictly EXCEEDS that running max — Flink's inclusive
+    TimeWindow.intersects boundary (see operators/windows.py
+    session_gap_ms for the r8 provenance)."""
     gap_ms = (F.when(F.col("event_type") == "error", F.lit(A13_ERROR_GAP_MS))
               .otherwise(F.lit(A13_BASE_GAP_MS)))
     return windows.dynamic_session_stats(_events(spark, sf_dir), "ts",
@@ -534,7 +535,7 @@ ORACLES = {
           SELECT user_id, event_id, epoch_ms(ts) AS ms,
                  CASE WHEN lag(epoch_ms(ts)) OVER {_LAG_WINDOW} IS NULL
                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER {_LAG_WINDOW}
-                           >= {SESSION_GAP_MS}
+                           > {SESSION_GAP_MS}
                       THEN 1 ELSE 0 END AS new_sess
           FROM events),
         s AS (
@@ -560,7 +561,7 @@ ORACLES = {
           FROM o),
         f AS (
           SELECT user_id, event_id, ms,
-                 CASE WHEN prev_end IS NULL OR ms >= prev_end
+                 CASE WHEN prev_end IS NULL OR ms > prev_end
                       THEN 1 ELSE 0 END AS new_sess
           FROM e),
         s AS (

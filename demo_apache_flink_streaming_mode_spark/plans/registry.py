@@ -65,7 +65,7 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # (q3_shipping_priority + q5_local_supplier_volume demoted r7 after
     # r1-r6 green rows: the tpch family keeps q1 + q_top3 +
     # q_customers_with_big_order in-window; slots go to the corrected
-    # half-open dynamic session rule (a13 — the r6 judge's headline
+    # dynamic session rule (a13 — the r6 judge's headline
     # divergence, which must earn a driver row under the fixed
     # semantics) and to dedup_cosine_lsh, preempting the
     # dedup_embedding family's r8 staleness)

@@ -125,15 +125,17 @@ def test_dynamic_session_parity(spark, batch_events, stream_events):
 
 def test_session_tie_parity_streaming(spark, tmp_path):
     """Boundary-tie rule holds in the STREAMING state-store merge too:
-    exact-touch intervals (event at the running max of prior ends) must
-    SPLIT, matching the batch operator, the DuckDB oracle and the
-    property reference — the r6 judge's falsifying class fed through
-    the streaming path. Rows: ties at 1ms gaps, a fixed-gap tie at
-    5000ms, and a long-gap event spanning past its successors."""
+    exact-touch intervals (event at the running max of prior ends)
+    MERGE — Flink's inclusive ``TimeWindow.intersects`` (r8 revert) —
+    matching the batch operator, the DuckDB oracle and the property
+    reference. Rows: ties at 1ms gaps, a fixed-gap tie at 5000ms, a
+    long-gap event spanning past its successors, and a 1us-past-the-
+    gap control that must still SPLIT."""
     rows = [(1, 0, 1, 1), (2, 1_000, 1, 1),                   # 1ms tie
             (3, 5_000_000, 2, 5_000), (4, 10_000_000, 2, 5_000),  # 5s tie
             (5, 0, 3, 100_000), (6, 10_000_000, 3, 10_000),
-            (7, 50_000_000, 3, 10_000), (8, 200_000_000, 3, 10_000)]
+            (7, 50_000_000, 3, 10_000), (8, 200_000_000, 3, 10_000),
+            (9, 0, 4, 1), (10, 1_001, 4, 1)]  # 1us past the gap
     d = tmp_path / "ties"
     d.mkdir()
     with open(d / "ties.csv", "w") as f:
@@ -151,12 +153,13 @@ def test_session_tie_parity_streaming(spark, tmp_path):
     batch = _typed(spark.read.schema(EVENTS_CSV).csv(str(d)))
     want = _rows(sessions(batch), "user_id", "session_start")
     assert got == want
-    # and the split actually happened (would be 1 session per key
-    # under Spark's raw merge-on-touch for keys 1 and 2)
+    # and the boundary rule actually bit: exact touches merged (keys
+    # 1 and 2 -> ONE session each, as Flink's testMergeConsecutiveWindows
+    # demands), while 1us past the gap still split (key 4)
     per_key = {}
     for uid, *_ in got:
         per_key[uid] = per_key.get(uid, 0) + 1
-    assert per_key == {1: 2, 2: 2, 3: 2}
+    assert per_key == {1: 1, 2: 1, 3: 2, 4: 2}
 
 
 def test_running_total_update_mode(spark, batch_events, stream_events):

@@ -39,8 +39,11 @@ keyed_rows = st.lists(
 
 
 def _ref_sessions(rows):
-    """Running-max-of-ends merge: a session closes when an event starts
-    at-or-after the max end of every prior interval in the session."""
+    """Running-max-of-ends merge under Flink's INCLUSIVE
+    ``TimeWindow.intersects``: a session closes only when an event
+    starts strictly AFTER the max end of every prior interval in the
+    session (an event exactly AT the running end still merges —
+    ``EventTimeSessionWindowsTest.testMergeConsecutiveWindows``)."""
     per = defaultdict(list)
     for k, ms, g in rows:
         per[k].append((ms, g))
@@ -49,7 +52,7 @@ def _ref_sessions(rows):
         evs.sort()
         start = end = mx = n = None
         for ms, g in evs:
-            if start is None or ms >= end:
+            if start is None or ms > end:
                 if start is not None:
                     out.add((k, start, n, start, mx))
                 start, end, n, mx = ms, ms + g, 1, ms
@@ -77,8 +80,9 @@ def test_dynamic_session_matches_reference(spark, rows):
        gap=st.integers(1, 40))
 def test_fixed_session_matches_reference(spark, rows, gap):
     """Fixed-gap sibling of the dynamic property: session_stats must
-    follow the same exclusive half-open rule (diff >= gap starts a new
-    session), which for a constant gap equals the running-max rule."""
+    follow the same inclusive merge rule (a new session only when
+    diff > gap), which for a constant gap equals the running-max
+    rule."""
     df = (spark.createDataFrame(rows, "user_id long, ms long")
           .select("user_id", F.timestamp_millis(F.col("ms")).alias("ts")))
     got = {(r.user_id, r.session_start, r.n, r.min_ts, r.max_ts)
@@ -87,38 +91,41 @@ def test_fixed_session_matches_reference(spark, rows, gap):
     assert got == _ref_sessions([(k, ms, gap) for k, ms in rows])
 
 
-def test_session_exact_touch_starts_new_session(spark):
-    """Pinned falsifying example from the r6 judge's thorough run:
-    an event starting exactly AT a prior interval's end opens a NEW
-    session (Flink half-open [ts, ts+gap)); Spark's raw session_window
-    would merge the touch. Dynamic form: [(1, 0ms, gap 1ms),
-    (1, 1ms, gap 1ms)] -> two single-event sessions."""
+def test_session_exact_touch_merges(spark):
+    """Boundary-tie rule, pinned in BOTH directions (r8: reverted to
+    Flink's actual semantics after the r7 advice flag).  Flink 1.9.1
+    ``TimeWindow.intersects`` is inclusive (``start <= other.end &&
+    end >= other.start``), so the per-event windows [0,1) and [1,2)
+    MERGE (``EventTimeSessionWindowsTest.testMergeConsecutiveWindows``)
+    — an event at exactly ``prev_ts + gap`` joins the SAME session.
+    Dynamic form: [(1, 0ms, gap 1ms), (1, 1ms, gap 1ms)] -> ONE
+    two-event session."""
     df = (spark.createDataFrame([(1, 0, 1), (1, 1, 1)],
                                 "user_id long, ms long, gap_ms long")
           .select("user_id", "gap_ms",
                   F.timestamp_millis(F.col("ms")).alias("ts")))
     got = sorted((r.session_start, r.n) for r in WO.dynamic_session_stats(
         df, "ts", "user_id", F.col("gap_ms")).collect())
-    assert got == [(0, 1), (1, 1)]
+    assert got == [(0, 2)]
 
-    # fixed-gap twin: events at 0 and 5000 ms with a 5 s gap -> split
+    # fixed-gap twin: events at 0 and 5000 ms with a 5 s gap -> merge
     d2 = (spark.createDataFrame([(1, 0), (1, 5000)], "user_id long, ms long")
           .select("user_id", F.timestamp_millis(F.col("ms")).alias("ts")))
     got2 = sorted((r.session_start, r.n) for r in WO.session_stats(
         d2, "ts", "5 seconds", "user_id").collect())
-    assert got2 == [(0, 1), (5000, 1)]
+    assert got2 == [(0, 2)]
 
-    # and one microsecond earlier still merges (the shrink is exactly
-    # one unit of Spark's timestamp resolution, not a semantic slop)
+    # control: one microsecond PAST the gap splits — the boundary is
+    # exact at Spark's full timestamp resolution, not a semantic slop
     d3 = (spark.createDataFrame([(1,)], "user_id long")
           .select("user_id",
                   F.expr("timestamp_micros(0)").alias("ts"))
           .union(spark.createDataFrame([(1,)], "user_id long")
                  .select("user_id",
-                         F.expr("timestamp_micros(4999999)").alias("ts"))))
-    got3 = [r.n for r in WO.session_stats(d3, "ts", "5 seconds",
-                                          "user_id").collect()]
-    assert got3 == [2]
+                         F.expr("timestamp_micros(5000001)").alias("ts"))))
+    got3 = sorted(r.n for r in WO.session_stats(d3, "ts", "5 seconds",
+                                                "user_id").collect())
+    assert got3 == [1, 1]
 
 
 @SLOW
