@@ -1517,6 +1517,10 @@ def _encode_flic(payload: bytes, w: int = FLIC_W, h: int = FLIC_H) -> bytes:
     is a zero-frame file, mirroring ``_encode_mjpeg_avi``."""
     fs = w * h
     nf = (len(payload) + fs - 1) // fs if payload else 0
+    if nf > 0xFFFF:     # header frame count is u16 — same hidden size-cap
+        raise ValueError(   # class as the FLAC UTF-8 frame-number fix (r7)
+            f"payload needs {nf} frames; FLC caps at 65535 "
+            f"({0xFFFF * fs} bytes at {w}x{h})")
     frames = [payload[i * fs:(i + 1) * fs].ljust(fs, b"\x00")
               for i in range(nf)]
 
@@ -1581,49 +1585,71 @@ def _decode_flic(blob: bytes) -> tuple[int, int, list[bytes]]:
                     raise ValueError("FLI_COPY size mismatch")
                 fb[:] = data
             elif ctype == FLI_BRUN:
+                # every bound is validated BEFORE the slice write: a
+                # mismatched-length bytearray slice assignment silently
+                # RESIZES the framebuffer, and an overflowing write
+                # bleeds into the next row — strict means pre-checked
                 dp = 0
                 for y in range(h):
+                    if dp >= len(data):
+                        raise ValueError("BRUN data underrun")
                     dp += 1                     # obsolete packet count
                     x = 0
                     while x < w:
+                        if dp >= len(data):
+                            raise ValueError("BRUN data underrun")
                         cnt = data[dp]
                         dp += 1
                         if cnt < 128:           # replicate
+                            if cnt == 0:        # undefined; would not advance
+                                raise ValueError("BRUN zero-length packet")
+                            if x + cnt > w or dp >= len(data):
+                                raise ValueError("BRUN line overflow")
                             fb[y * w + x:y * w + x + cnt] = \
                                 bytes([data[dp]]) * cnt
                             dp += 1
                             x += cnt
                         else:                   # literal
                             n = 256 - cnt
+                            if x + n > w or dp + n > len(data):
+                                raise ValueError("BRUN line overflow")
                             fb[y * w + x:y * w + x + n] = data[dp:dp + n]
                             dp += n
                             x += n
-                    if x != w:
-                        raise ValueError("BRUN line overflow")
             elif ctype == FLI_LC:
+                if len(data) < 4:
+                    raise ValueError("LC chunk underrun")
                 skip, nlines = struct.unpack_from("<HH", data, 0)
+                if skip + nlines > h:
+                    raise ValueError("LC line range exceeds height")
                 dp = 4
                 for y in range(skip, skip + nlines):
+                    if dp >= len(data):
+                        raise ValueError("LC data underrun")
                     npk = data[dp]
                     dp += 1
                     x = 0
                     for _ in range(npk):
+                        if dp + 2 > len(data):
+                            raise ValueError("LC data underrun")
                         x += data[dp]
                         cnt = data[dp + 1]
                         dp += 2
                         if cnt < 128:           # literal
+                            if x + cnt > w or dp + cnt > len(data):
+                                raise ValueError("LC line overflow")
                             fb[y * w + x:y * w + x + cnt] = \
                                 data[dp:dp + cnt]
                             dp += cnt
                             x += cnt
                         else:                   # replicate
                             n = 256 - cnt
+                            if x + n > w or dp >= len(data):
+                                raise ValueError("LC line overflow")
                             fb[y * w + x:y * w + x + n] = \
                                 bytes([data[dp]]) * n
                             dp += 1
                             x += n
-                    if x > w:
-                        raise ValueError("LC line overflow")
             else:
                 raise ValueError(f"unsupported FLIC chunk type {ctype}")
             cpos += csize
