@@ -288,7 +288,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "dedup_clusters": ("dedup_clusters",),
     "dedup_simhash": ("dedup_simhash", "dedup_simhash_pairs"),
     "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh",
-                        "dedup_semantic"),
+                        "dedup_semantic", "dedup_semantic_recall"),
     "decontam": ("text_decontam", "text_decontam_bloom"),
     "ann_topk": ("sim_topk_bruteforce", "sim_ann_lsh", "sim_topk_ivf",
                  "sim_topk_ivf_trained", "sim_topk_ivf_probe2",

@@ -39,6 +39,9 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 # LSH equi-join path and stays OFF this list
                 "sim_recall_ann", "sim_knn_label_vote_exact",
                 "sim_knn_agreement", "sim_recall_rerank",
+                # embeds the exact all-pairs baseline it measures
+                # against, plus three 1-row count attaches
+                "dedup_semantic_recall",
                 # scalar-subquery threshold: a 1-row broadcast average
                 # attached to every customer row (TPC-H Q22 shape) /
                 # per-part value row (Q11 shape)
