@@ -86,28 +86,35 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # pipeline stays in-window through corpus_clean, which embeds it;
     # slot goes to the new repeated-span boilerplate family so the
     # islands coverage union gets a driver row in its first round)
-    # (text_dup_spans demoted r7 after its r6 green row; the slot stays
-    # in the span_dedup family: the never-attested C4-style removal twin
-    # earns its first row over the same islands machinery)
-    "text_strip_boilerplate",
-    # (dedup_minhash_lsh demoted r7 after r1-r6 green rows; the slot
-    # stays in the dedup_minhash family: the never-attested incremental
-    # near-dup probe — the standing-index anti-join shape — earns its
-    # first row)
-    "dedup_incremental_near",
+    # (text_strip_boilerplate demoted r8 after its r7 first row —
+    # span_dedup family proven twice (r6 text_dup_spans, r7 strip);
+    # slot goes to dedup_quality_keeper: the dedup_exact family's last
+    # driver row is r5, hitting the 4-round staleness bound at r9, and
+    # the quality-ranked keeper variant has never been attested)
+    "dedup_quality_keeper",
+    # (dedup_incremental_near demoted r8 after its r7 first row; slot
+    # goes to the never-attested SemDeDup clustered embedding dedup —
+    # registered r7 with a full unrolled-k-means oracle but never given
+    # a driver row, breaking the first-round-attestation convention the
+    # r7 advice flagged; its boundary-miss recall report lands in the
+    # tail this same round)
+    "dedup_semantic",
     # (dedup_clusters demoted r6: connected-components proven by two
     # driver rounds and still exercised in-window through corpus_clean,
     # which embeds the cluster pipeline; slot goes to the never-attested
     # SimHash pigeonhole-band family)
-    # (dedup_simhash_pairs demoted r7 after its r6 first row; slot goes
-    # to dedup_winnow_pairs — the text_fingerprint family's last driver
-    # row is r3, hitting the 4-round staleness bound THIS round)
-    "dedup_winnow_pairs",
+    # (dedup_winnow_pairs demoted r8 after its r7 first row — the
+    # text_fingerprint family is fresh through r11; slot goes to the
+    # never-attested two-stage PQ->exact re-rank, the r7 FAISS-refine
+    # addition the advice flagged as missing its first-round row)
+    "sim_topk_pq_rerank",
     "dedup_cdc_chunks",
     # -- operational diagnostics (promoted r5) -------------------------
-    # (events_key_skew_report demoted r7 after r5+r6 green rows; slot
-    # stays in events_ops: the never-attested z-order layout report)
-    "events_zorder_stats",
+    # (events_zorder_stats demoted r8 after its r7 first row — the
+    # events_ops family is fresh through r11; slot goes to the reworked
+    # single-pass kNN agreement report, whose shared-leg plan has never
+    # had a driver row though its oracle shipped in r6)
+    "sim_knn_agreement",
     # -- similarity / ANN family (ivf_probe2 demoted r4: probe widening
     # proven by sim_topk_ivf_trained + the recall report's ivf2 leg) ---
     "sim_ann_lsh",
@@ -140,10 +147,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # (a11_count_window demoted r6 after its r5 green row; slot goes
     # to the never-attested sliding-count-window sibling, which embeds
     # a11's bucketing plus the slide explode)
-    # (a12_sliding_count_window demoted r7 after its r6 first row —
-    # count_windows proven; slot goes to the never-attested n-gram
-    # diversity scorer, text_signals' second rep this round)
-    "text_ngram_diversity",
+    # (text_ngram_diversity demoted r8 after its r7 first row —
+    # text_signals proven r6+r7 with two distinct reps; slot goes to
+    # the never-attested FLIC inter-frame video codec so the temporal-
+    # prediction tier gets its driver row)
+    "mm_decode_flic",
     # (text_decontam demoted r5 for its Bloom-prefiltered variant —
     # both share ONE oracle, so the green row now proves the 128 KiB
     # bitmap probe path AND, by identity, the exact path)
@@ -151,10 +159,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # (text_bm25 demoted r6: driver-green r3-r5, postings machinery
     # also exercised by text_lm_familiarity's corpus stats; slot goes
     # to the never-attested per-source percent-rank normalizer)
-    # (text_quality_pct_rank demoted r7 after its r6 first row; slot
-    # stays in text_signals: the Gopher rule gate — now ANSI-safe on
-    # zero-token docs — earns its first driver row)
-    "text_quality_rules",
+    # (text_quality_rules demoted r8 after its r7 first row — the
+    # ANSI-safe Gopher gate is proven and text_signals stays fresh
+    # through r11; slot goes to the never-attested MDCT/TDAC lossy
+    # transform-audio codec so the r7 codec pair is fully attested)
+    "mm_decode_mdct",
     # (text_split_assign demoted r6 after r1-r5 green rows — hash-split
     # machinery also proven by text_mixture_sample + the in-window
     # text_pack_shards; slot goes to the new BPE tokenizer training so
