@@ -782,6 +782,13 @@ def knn_agreement_report(queries: DataFrame, corpus: DataFrame, k: int,
     order + tiebreak, so it equals ``topk_lsh``'s rank among bucket
     candidates). The <= 2k-per-query survivor frame is persisted for
     the two vote legs; nothing corpus-sized is cached.
+
+    Cache contract: the persisted frame STAYS cached for the Spark
+    session — a lazily-returned plan cannot unpersist itself, so
+    repeated calls in a long-lived session accumulate one bounded
+    (|queries| * 2k rows) cache entry each. Callers that invoke this
+    repeatedly (e.g. a bench loop) should ``spark.catalog.clearCache()``
+    between invocations, as ``bench.py`` does.
     """
     planes = [hyperplane(j, dim) for j in range(num_planes)]
 

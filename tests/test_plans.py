@@ -97,6 +97,38 @@ def test_scan_pushdown_and_pruning(spark, name, table_col, filter_col,
         f"{name}: {filter_col} filter not pushed to the scan")
 
 
+@pytest.mark.parametrize("name,min_reused", [
+    # measured r8 on Spark 4.1: 6 ReusedExchange nodes — the PQ
+    # shortlist pipeline feeds both the rank<=k prefix and the exact
+    # re-rank leg, deduped at runtime by AQE's stage reuse
+    ("sim_recall_rerank", 3),
+    # measured r8: 17 — the four ANN legs share the normalized corpus
+    # and the two IVF legs share one trained codebook
+    ("sim_recall_ann", 8),
+])
+def test_composed_reports_reuse_exchanges(spark, name, min_reused):
+    """The composed recall reports deliberately re-plan their shared
+    pipelines (PQ shortlist / normalized corpus / trained centroids)
+    and rely on exchange reuse to dedupe them — the docstrings say so,
+    and r4 measured the eager-materialization alternative 40% slower.
+    If a future planner change silently stops reusing, every shared
+    leg re-executes and the query cost multiplies with no test
+    noticing — so pin it: reuse happens at RUNTIME under AQE, so
+    execute at sf0.001 and assert the final adaptive plan carries a
+    healthy floor of ReusedExchange nodes (floors at ~half the
+    measured counts to absorb planner drift while still catching a
+    wholesale reuse loss)."""
+    df = get(name).fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, "adaptive plan did not finalize"
+    got = plan.count("ReusedExchange")
+    assert got >= min_reused, (
+        f"{name}: only {got} ReusedExchange nodes in the final plan "
+        f"(expected >= {min_reused}) — shared pipelines are being "
+        f"re-executed")
+
+
 def test_w3_watermark_is_two_phase(spark):
     """The classify_late running max must NOT funnel the full stream
     through one task: the per-row window is hash-partitioned by the
