@@ -478,9 +478,33 @@ def pq_train_codebooks(u: DataFrame, m_sub: int, sub_dim: int,
     return cb.transform(cut_lineage)
 
 
+def pq_index(corpus: DataFrame, m_sub: int, sub_dim: int, n_codes: int,
+             iters: int = 1, id_col: str = "vec_id",
+             vec_col: str = "embedding"
+             ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the STATIC side of the PQ search once: (codebooks, corpus
+    codes, corpus unit vectors), each lineage-cut so repeated probes —
+    a query loop, or streaming micro-batches of queries via
+    ``foreachBatch`` stream-static joins — never replay training or
+    encoding. This is the deploy shape: train/encode offline, serve
+    many query batches against the frozen index (``topk_pq`` /
+    ``topk_pq_rerank`` accept it via ``index=``)."""
+    u = (unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
+         .filter(F.col("uv").getItem(0).isNotNull())
+         .transform(cut_lineage))
+    cb = pq_train_codebooks(u, m_sub, sub_dim, n_codes, iters, id_col, "uv")
+    sub = pq_subvectors(u, m_sub, sub_dim, id_col, "uv")
+    codes = (pq_assign(sub, cb, id_col)
+             .select(F.col(id_col).alias("neighbor_id"), "m", "code")
+             .transform(cut_lineage))
+    return cb, codes, u
+
+
 def topk_pq(queries: DataFrame, corpus: DataFrame, k: int, m_sub: int,
             sub_dim: int, n_codes: int, iters: int = 1,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            index: tuple[DataFrame, DataFrame, DataFrame] | None = None
+            ) -> DataFrame:
     """PQ-compressed ANN top-k via asymmetric distance computation.
 
     The memory-bound ANN scale path: the corpus is stored as m_sub
@@ -501,14 +525,25 @@ def topk_pq(queries: DataFrame, corpus: DataFrame, k: int, m_sub: int,
     components would rank NULLS FIRST on Spark but NULLS LAST on
     DuckDB). Approximate — recall is bounded by quantization error;
     raise n_codes / m_sub for recall at scale.
+
+    ``index`` plugs in a prebuilt ``pq_index`` (codebooks, codes,
+    corpus unit vectors) so repeated probes skip training/encoding.
     """
-    u = (unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
-         .filter(F.col("uv").getItem(0).isNotNull())
-         .transform(cut_lineage))
-    cb = pq_train_codebooks(u, m_sub, sub_dim, n_codes, iters, id_col, "uv")
-    sub = pq_subvectors(u, m_sub, sub_dim, id_col, "uv")
-    codes = (pq_assign(sub, cb, id_col)
-             .select(F.col(id_col).alias("neighbor_id"), "m", "code"))
+    if index is not None:
+        cb, codes, _u = index
+    else:
+        # inline one-shot form: only the iteratively-referenced unit
+        # vectors are lineage-cut; codes stay a lazy plan (the single
+        # downstream join needs them once — cf. pq_index, which cuts
+        # them because an index is probed repeatedly)
+        u = (unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
+             .filter(F.col("uv").getItem(0).isNotNull())
+             .transform(cut_lineage))
+        cb = pq_train_codebooks(u, m_sub, sub_dim, n_codes, iters,
+                                id_col, "uv")
+        sub = pq_subvectors(u, m_sub, sub_dim, id_col, "uv")
+        codes = (pq_assign(sub, cb, id_col)
+                 .select(F.col(id_col).alias("neighbor_id"), "m", "code"))
     # the query side normalizes + subvectors INDEPENDENTLY of the
     # corpus, so out-of-corpus query vectors work (for queries that ARE
     # corpus rows the math is bit-identical either way)
@@ -575,7 +610,9 @@ def topk_pq_rerank(queries: DataFrame, corpus: DataFrame, k: int,
                    mult: int = 4, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    dim: int | None = None,
-                   shortlist: DataFrame | None = None) -> DataFrame:
+                   shortlist: DataFrame | None = None,
+                   index: tuple[DataFrame, DataFrame, DataFrame] | None = None
+                   ) -> DataFrame:
     """Two-stage ANN: PQ/ADC SHORTLIST then exact cosine RE-RANK — the
     standard production search shape (FAISS-style IndexIVFPQ + refine):
     the compressed index proposes ``k * mult`` candidates per query
@@ -592,15 +629,24 @@ def topk_pq_rerank(queries: DataFrame, corpus: DataFrame, k: int,
 
     ``shortlist`` plugs in a precomputed (query_id, neighbor_id)
     candidate table so a caller scoring SEVERAL depths/paths (e.g. the
-    recall report) pays the PQ pipeline once.
+    recall report) pays the PQ pipeline once. ``index`` plugs in a
+    prebuilt ``pq_index`` — the serve shape: a frozen trained index
+    probed by many query batches (including streaming micro-batches),
+    with the re-rank's exact dots read from the index's materialized
+    corpus unit vectors (equivalent to recomputing them: degenerate
+    rows the index filters can never appear in a shortlist — they
+    hold no codes).
     """
     short = (shortlist if shortlist is not None else
              topk_pq(queries, corpus, k * mult, m_sub, sub_dim, n_codes,
-                     iters, id_col, vec_col)).select("query_id",
-                                                     "neighbor_id")
+                     iters, id_col, vec_col,
+                     index=index)).select("query_id", "neighbor_id")
     qu = (unit_vectors(queries, id_col, vec_col, "query_id", "qv")
           .filter(F.col("qv").getItem(0).isNotNull()))
-    cu = unit_vectors(_spread(corpus), id_col, vec_col, "neighbor_id", "cv")
+    cu = (index[2].select(F.col(id_col).alias("neighbor_id"),
+                          F.col("uv").alias("cv"))
+          if index is not None else
+          unit_vectors(_spread(corpus), id_col, vec_col, "neighbor_id", "cv"))
     sj = short.join(qu, "query_id")
     scored = (cu.join(F.broadcast(sj), "neighbor_id")
               .select("query_id", "neighbor_id",

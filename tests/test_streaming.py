@@ -1076,3 +1076,52 @@ def test_span_probe_stream_static_parity(spark, sf_dir, tmp_path):
     got = sorted((r.doc_id, r.start)
                  for r in spark.table("t_spanprobe").collect())
     assert got == want and len(got) > 0
+
+
+def test_pq_rerank_stream_static_parity(spark, sf_dir, tmp_path):
+    """Two-stage PQ->exact re-rank in serve shape (VERDICT r7 item 8):
+    the PQ index (codebooks, corpus codes, corpus unit vectors) is
+    built ONCE as a frozen static side (similarity.pq_index), then
+    streaming micro-batches of queries probe it via foreachBatch
+    stream-static dataflow. Each query lands in exactly one
+    micro-batch and ranking is per-query, so the union over batches
+    must equal the batch top-k exactly — and the index-backed batch
+    form must equal the train-inline form (the plumbing changes no
+    values)."""
+    from demo_apache_flink_streaming_mode_spark.operators import similarity
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        DIM, PQ_CODES, PQ_ITERS, PQ_M, PQ_RERANK_MULT, PQ_SUB_DIM,
+        QUERY_MOD, TOPK)
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    idx = similarity.pq_index(embs, PQ_M, PQ_SUB_DIM, PQ_CODES, PQ_ITERS)
+
+    def rerank(q, index=None):
+        return similarity.topk_pq_rerank(
+            q, embs, TOPK, m_sub=PQ_M, sub_dim=PQ_SUB_DIM,
+            n_codes=PQ_CODES, iters=PQ_ITERS, mult=PQ_RERANK_MULT,
+            dim=DIM, index=index)
+
+    want = sorted(tuple(r) for r in rerank(queries, index=idx).collect())
+    scratch = sorted(tuple(r) for r in rerank(queries).collect())
+    assert want == scratch and len(want) > 0
+
+    d = str(tmp_path / "query_batches")
+    queries.repartition(3).write.mode("overwrite").parquet(d)
+    stream = sources.file_stream(spark, d + "/part-*", queries.schema,
+                                 fmt="parquet", max_files_per_trigger=1)
+    got: list[tuple] = []
+    n_batches = []
+
+    def probe(batch_df, epoch_id):
+        got.extend(tuple(r) for r in rerank(batch_df, index=idx).collect())
+        n_batches.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(probe)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(300)
+    assert len(n_batches) > 1, "expected multiple micro-batches"
+    assert sorted(got) == want
