@@ -105,6 +105,10 @@ def test_scan_pushdown_and_pruning(spark, name, table_col, filter_col,
     # measured r8: 17 — the four ANN legs share the normalized corpus
     # and the two IVF legs share one trained codebook
     ("sim_recall_ann", 8),
+    # measured r8: 6 — the k-means training passes and the exact-pair
+    # leg's normalized corpus are each planned once and reused across
+    # the three count legs
+    ("dedup_semantic_recall", 3),
 ])
 def test_composed_reports_reuse_exchanges(spark, name, min_reused):
     """The composed recall reports deliberately re-plan their shared
