@@ -954,6 +954,19 @@ def mm_decode_flic(spark, sf_dir):
     return multimodal.flic_decode_frames(media)
 
 
+def mm_decode_mcv(spark, sf_dir):
+    """REAL MOTION-COMPENSATED video decode: the from-scratch MCV1
+    codec — exhaustive SAD block-matching motion estimation at encode,
+    vector-directed compensation from the previous reconstructed frame
+    plus Rice-coded residuals at decode
+    (operators.multimodal.mcv_decode_frames). The motion-prediction
+    tier that stayed external-library-blocked through r7; lossless, so
+    the per-frame max/mean of the RECONSTRUCTED pixels must equal
+    exact byte math over the payload slices."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return multimodal.mcv_decode_frames(media)
+
+
 def mm_decode_mdct(spark, sf_dir):
     """REAL LOSSY transform-audio decode: from-scratch MDCT/TDAC codec
     (50%-overlap sine window, uniform coefficient quantization,
@@ -2158,6 +2171,35 @@ ORACLES["mm_decode_flic"] = f"""
                                    'sum'), 0)::DOUBLE / sz AS mean_px
     FROM (SELECT doc_id, bytes, nf, unnest(range(0, nf)) AS i FROM f), fs"""
 
+# the lossless proof for the MOTION-COMPENSATED path: identical
+# contract to mm_decode_flic (reconstructed per-frame stats == exact
+# byte math over zero-padded payload slices), through block-matching
+# estimation + compensation instead of line deltas
+ORACLES["mm_decode_mcv"] = f"""
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             list_transform(range(0, octet_length(encode(text))),
+                            i -> ('0x' || substr(hex(encode(text)),
+                                                 2*i + 1, 2))::BIGINT)
+               AS bytes
+      FROM documents),
+    f AS (SELECT doc_id, bytes,
+                 CASE WHEN n = 0 THEN 0
+                      ELSE greatest(1, CAST(ceil(
+                          n / {float(multimodal.MCV_W * multimodal.MCV_H)})
+                        AS BIGINT)) END AS nf
+          FROM b),
+    fs AS (SELECT {multimodal.MCV_W * multimodal.MCV_H} AS sz)
+    SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+           {multimodal.MCV_W} AS width, {multimodal.MCV_H} AS height,
+           i = 0 AS is_key,
+           CAST(COALESCE(list_max(list_slice(bytes, sz*i + 1, sz*i + sz)), 0)
+                AS INT) AS max_px,
+           COALESCE(list_aggregate(list_slice(bytes, sz*i + 1, sz*i + sz),
+                                   'sum'), 0)::DOUBLE / sz AS mean_px
+    FROM (SELECT doc_id, bytes, nf, unnest(range(0, nf)) AS i FROM f), fs"""
+
 # geometry + derived-bound flag, as in mm_decode_jpeg: block count is
 # ceil(n/N) + 1 (the extra TDAC boundary block), 0 for empty payloads
 ORACLES["mm_decode_mdct"] = f"""
@@ -2724,6 +2766,9 @@ QUERIES = [
     Query("mm_decode_flic", mm_decode_flic, ORACLES["mm_decode_flic"],
           "REAL INTER-FRAME video decode: Autodesk FLIC subset (BRUN "
           "key frame + LC line deltas on a persistent framebuffer)"),
+    Query("mm_decode_mcv", mm_decode_mcv, ORACLES["mm_decode_mcv"],
+          "REAL MOTION-COMPENSATED video decode: block-matching motion "
+          "estimation + Rice-coded residuals (MCV1, lossless)"),
     Query("mm_decode_mdct", mm_decode_mdct, ORACLES["mm_decode_mdct"],
           "REAL LOSSY transform-audio decode: MDCT/TDAC + Rice, "
           "derived sqrt(2)*sqrt(N)*q/2 < 16 error bound"),

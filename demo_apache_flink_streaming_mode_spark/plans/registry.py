@@ -203,10 +203,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # row; slot goes to the new baseline-JPEG codec so the lossy
     # transform path — DCT, quantization, Annex-K Huffman — gets a
     # driver row in its first round) ----------------------------------
-    # (mm_decode_jpeg demoted r7 after its r6 first row; slot stays in
-    # multimodal: the FLAC subset codec — now with spec UTF-8 frame
-    # numbers — earns its first driver row)
-    "mm_decode_flac",
+    # (mm_decode_flac demoted r8 after its r7 first row; slot stays in
+    # multimodal: the NEW motion-compensated video codec — the r8
+    # addition closing the motion-estimation gap — earns its driver
+    # row in its first round, per the attestation convention)
+    "mm_decode_mcv",
     # (mm_decode_video demoted r6 after its r5 green row; slot goes to
     # the new zlib/PNG codec so the compressed-format path — CRC,
     # DEFLATE, five-filter reconstruction — gets a driver row in its
@@ -332,8 +333,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "multimodal": ("mm_manifest", "mm_decode_features", "mm_decode_wav",
                    "mm_decode_image", "mm_decode_png", "mm_decode_jpeg",
                    "mm_decode_video", "mm_decode_mjpeg", "mm_decode_flac",
-                   "mm_decode_flic", "mm_decode_mdct", "mm_resize",
-                   "mm_frames"),
+                   "mm_decode_flic", "mm_decode_mdct", "mm_decode_mcv",
+                   "mm_resize", "mm_frames"),
     "graph": ("graph_pagerank", "graph_triangles"),
 }
 

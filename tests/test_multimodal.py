@@ -290,6 +290,24 @@ def test_flic_kernel_fanout_and_stats(spark, media):
         assert r["max_px"] == max(sl) and r["mean_px"] == sum(sl) / fs
 
 
+def test_mcv_kernel_fanout_and_stats(spark, media):
+    """MCV mirrors FLIC's lossless contract through genuine motion
+    estimation: per-frame stats over the reconstructed pixels equal
+    exact byte math over the (zero-padded) payload slices."""
+    rows = multimodal.mcv_decode_frames(media).collect()
+    src = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    assert len(rows) >= len([p for p in src.values() if p])
+    fs = multimodal.MCV_W * multimodal.MCV_H
+    for r in rows:
+        p = src[r["doc_id"]]
+        nf = (len(p) + fs - 1) // fs if p else 0
+        sl = p[r["frame_idx"] * fs:(r["frame_idx"] + 1) * fs]
+        assert r["n_frames"] == max(1, nf) if p else nf
+        assert r["is_key"] == (r["frame_idx"] == 0)
+        assert r["max_px"] == (max(sl) if sl else 0)
+        assert r["mean_px"] == sum(sl) / fs
+
+
 def test_mdct_kernel_geometry_and_flags(spark, media):
     rows = multimodal.mdct_decode_features(media).collect()
     src = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
