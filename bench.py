@@ -155,7 +155,7 @@ def main() -> None:
     if not committable:
         log(f"*** WARNING: {n_single}/{len(passes)} queries have a single "
             "sample — this run is UNDER-BUDGET and NOT a committable "
-            "benchmark. Re-run with SPARK_GRAFT_BENCH_BUDGET=1300 on a "
+            "benchmark. Re-run with SPARK_GRAFT_BENCH_BUDGET=2200 on a "
             "quiet host. Side files quarantined as *.UNDERBUDGET.json. ***")
     here = os.path.dirname(os.path.abspath(__file__))
     result = {
