@@ -566,6 +566,23 @@ def topk_pq(queries: DataFrame, corpus: DataFrame, k: int, m_sub: int,
             .select("query_id", "rank", "neighbor_id", "adc_dist"))
 
 
+def semantic_cells(vecs: DataFrame, n_cells: int, train_iters: int = 1,
+                   dim: int | None = None, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """k-means cell assignment over the unit vectors — the semantic
+    BLOCKING stage shared by the SemDeDup dedup
+    (:func:`cosine_near_dup_clustered`) and the cluster-topics report
+    (``corpus_topics``). Returns (id_col, cell, uv); zero-norm
+    degenerate embeddings are excluded up front (no direction to
+    cluster on). Training is ``train_iters`` linear passes with
+    broadcast centroids; assignment is one more broadcast pass."""
+    u = (unit_vectors(_spread(vecs), id_col, vec_col, id_col, "uv")
+         .filter(F.col("uv").getItem(0).isNotNull())
+         .transform(cut_lineage))
+    cents = kmeans_centroids(u, n_cells, train_iters, id_col, "uv", dim)
+    return ivf_assign(u, cents, id_col, "uv", dim)
+
+
 def cosine_near_dup_clustered(vecs: DataFrame, threshold: float,
                               n_cells: int, train_iters: int = 1,
                               dim: int | None = None,
@@ -589,11 +606,7 @@ def cosine_near_dup_clustered(vecs: DataFrame, threshold: float,
     shuffles the corpus ONCE on the cell id. Emits (vec_a, vec_b,
     cell, cos_sim).
     """
-    u = (unit_vectors(_spread(vecs), id_col, vec_col, id_col, "uv")
-         .filter(F.col("uv").getItem(0).isNotNull())
-         .transform(cut_lineage))
-    cents = kmeans_centroids(u, n_cells, train_iters, id_col, "uv", dim)
-    asg = ivf_assign(u, cents, id_col, "uv", dim)
+    asg = semantic_cells(vecs, n_cells, train_iters, dim, id_col, vec_col)
     a = asg.select(F.col(id_col).alias("vec_a"), "cell",
                    F.col("uv").alias("va"))
     b = asg.select(F.col(id_col).alias("vec_b"), "cell",

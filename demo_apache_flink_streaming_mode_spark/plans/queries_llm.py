@@ -45,6 +45,7 @@ DECON_SHINGLE_N = 5     # decontamination n-gram length
 DECON_MOD = 20          # benchmark set = md5('bench:'||doc_id) % MOD == 0
 DECON_THRESHOLD = 0.2   # contaminated if >= 20% gram overlap
 TFIDF_TOPN = 3          # keywords kept per document
+TOPIC_TOPN = 5          # labeling terms kept per semantic cluster
 MM_DIM = 8              # fake-codec feature dimension
 MM_RESIZE_BYTES = 256   # resize kernel target size
 MM_FRAME_BYTES, MM_EVERY_N = 1024, 4  # frame-sample kernel params
@@ -444,6 +445,51 @@ def dedup_semantic_recall(spark, sf_dir):
                            F.lit(None).cast("double"))
                     .otherwise(F.col("n_found").cast("double")
                                / F.col("n_exact")).alias("recall")))
+
+
+def corpus_topics(spark, sf_dir):
+    """Cluster-topic report — the cluster-balanced curation primitive
+    (inspect/reweight a corpus BY SEMANTIC REGION, the organizing step
+    behind cluster-based sampling and SemDeDup-style pruning): k-means
+    cells over the embeddings (operators.similarity.semantic_cells,
+    the exact blocking stage dedup_semantic uses) joined 1:1 to the
+    documents, then per cell the doc count and the top TOPIC_TOPN
+    LABELING TERMS by cell-level term frequency weighted with the
+    corpus Robertson idf ((N - df + 0.5)/(df + 0.5), rational — no
+    libm, cross-engine exact), ties by term ascending.
+
+    Scale shape: clustering is linear passes with broadcast centroids;
+    token counting is the text_tfidf dataflow (explode -> map-side
+    combined counts; the df/N sides are vocab-bounded and 1-row
+    broadcasts); the per-cell top-n is a rank window partitioned by
+    cell — no global sort anywhere.
+    """
+    from pyspark.sql import Window as W
+    embs = _embs(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    cells = (similarity.semantic_cells(embs, N_CELLS,
+                                       train_iters=KMEANS_ITERS, dim=DIM)
+             .select(F.col("vec_id").alias("doc_id"), "cell"))
+    toks = (dedup.spread(docs, "doc_id")
+            .select("doc_id",
+                    F.explode(dedup.word_tokens(F.col("text"))).alias("term")))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    ctf = (tf.join(cells, "doc_id")
+           .groupBy("cell", "term").agg(F.sum("tf").alias("ctf")))
+    nc = cells.groupBy("cell").agg(F.count("*").alias("n_docs_cell"))
+    scored = (ctf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select("cell", "term",
+                      (F.col("ctf").cast("double")
+                       * (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                       / (F.col("df") + F.lit(0.5))).alias("score")))
+    w = W.partitionBy("cell").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPIC_TOPN)
+            .join(nc, "cell")
+            .select("cell", "rank", "term", "n_docs_cell", "score"))
 
 
 def sim_topk_ivf(spark, sf_dir):
@@ -2335,6 +2381,41 @@ def _semantic_oracle(train_iters: int) -> str:
 
 ORACLES["dedup_semantic"] = _semantic_oracle(KMEANS_ITERS)
 
+# cluster-topics: the SemDeDup k-means CTEs (shared machinery) feed a
+# cell->doc map; term counting is text_tfidf's dataflow aggregated per
+# cell; score = CAST(tf AS DOUBLE) * (N - df + 0.5) / (df + 0.5), the
+# identical IEEE op chain as the Spark side
+ORACLES["corpus_topics"] = f"""
+    WITH {_EMB_D},{_kmeans_ctes(KMEANS_ITERS)[0]},
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT eg.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY eg.vec_id
+                   ORDER BY {_DOT.format(a='eg.uv', b='c.cv')} DESC,
+                            c.cell ASC) AS rn
+        FROM eg, {_kmeans_ctes(KMEANS_ITERS)[1]} c) WHERE rn = 1),
+    cells AS (SELECT vec_id AS doc_id, cell FROM assigned),
+    tok AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+              FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    ctf AS (SELECT c.cell, t.term, SUM(t.tf) AS ctf
+            FROM tf t JOIN cells c USING (doc_id) GROUP BY 1, 2),
+    nc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs_cell
+           FROM cells GROUP BY 1),
+    scored AS (SELECT cell, term,
+                      CAST(ctf AS DOUBLE) * (n_docs - df + 0.5) / (df + 0.5)
+                        AS score
+               FROM ctf JOIN dfreq USING (term), n),
+    r AS (SELECT cell, term, score,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                     ORDER BY score DESC, term ASC) AS rank
+          FROM scored)
+    SELECT CAST(r.cell AS INT) AS cell, CAST(rank AS INT) AS rank, term,
+           nc.n_docs_cell, score
+    FROM r JOIN nc USING (cell) WHERE rank <= {TOPIC_TOPN}"""
+
 # SemDeDup boundary-miss quantification: both legs are the already-
 # green oracles composed verbatim; integer counts plus one IEEE double
 # division (bit-exact cross-engine), NULL-guarded for the empty case
@@ -2777,6 +2858,9 @@ QUERIES = [
     Query("corpus_clean", corpus_clean, ORACLES["corpus_clean"],
           "end-to-end curation decision per doc (benchmark/exact/near/"
           "contaminated/keep)"),
+    Query("corpus_topics", corpus_topics, ORACLES["corpus_topics"],
+          "cluster-topic report: k-means cells x top idf-weighted "
+          "labeling terms (cluster-balanced curation primitive)"),
     Query("dedup_jaccard_report", dedup_jaccard_report,
           ORACLES["dedup_jaccard_report"],
           "MinHash-estimate vs exact Jaccard per candidate pair"),

@@ -212,10 +212,14 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # the new zlib/PNG codec so the compressed-format path — CRC,
     # DEFLATE, five-filter reconstruction — gets a driver row in its
     # first round)
-    # (mm_decode_png demoted r7 after its r6 first row; slot stays in
-    # multimodal: the MJPEG 1->N frame fan-out earns its first driver
-    # row, with the empty-payload oracle guard from the r7 advice fix)
-    "mm_decode_mjpeg",
+    # (mm_decode_png demoted r7 after its r6 first row; mm_decode_mjpeg
+    # held this slot r7 and earned its first row — demoted r8, see the
+    # corpus_topics note below)
+    # (mm_decode_mjpeg demoted r8 after its r7 first row — multimodal
+    # keeps three window reps (flic/mdct/mcv); slot goes to the NEW
+    # cluster-topics report so the curation family's r8 addition earns
+    # its driver row in its first round)
+    "corpus_topics",
     # (mm_decode_image demoted r6 after its r4+r5 green rows — the DIB
     # codec family keeps two window reps; slot goes to the new
     # training-shard packing op so the distributed prefix sum gets a
@@ -320,7 +324,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                       "text_stratified_sample", "text_pack_shards",
                       "text_shard_report"),
     "pii": ("text_pii_redact",),
-    "curation": ("corpus_clean", "corpus_report"),
+    "curation": ("corpus_clean", "corpus_report", "corpus_topics"),
     "sketches_hll": ("sketch_hll_users", "sketch_hll_merge",
                      "sketch_hll_windowed"),
     "sketches_cms": ("sketch_cms_terms", "sketch_cms_heavy_hitters"),

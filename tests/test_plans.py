@@ -33,6 +33,9 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 # IVF family (ivf_assign's crossJoin with <= N_CELLS rows);
                 # the pair scoring itself is a cell equi-join
                 "dedup_semantic",
+                # the same centroid-assignment pass plus text_tfidf's
+                # 1-row broadcast corpus-size attach
+                "corpus_topics",
                 # embed the brute-force baseline by definition (they
                 # ARE the exact references being measured against);
                 # the judged sim_knn_label_vote itself votes over the
