@@ -583,6 +583,62 @@ def semantic_cells(vecs: DataFrame, n_cells: int, train_iters: int = 1,
     return ivf_assign(u, cents, id_col, "uv", dim)
 
 
+def semantic_index(corpus: DataFrame, n_cells: int, train_iters: int = 1,
+                   dim: int | None = None, id_col: str = "vec_id",
+                   vec_col: str = "embedding"
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Frozen semantic index over the STANDING corpus: (centroids,
+    corpus cell assignment with unit vectors), both lineage-cut — the
+    SemDeDup serve shape. Train once, then probe increments (batch or
+    streaming micro-batches) against it via
+    :func:`cosine_incremental_clustered`'s ``index=``."""
+    cu = (unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
+          .filter(F.col("uv").getItem(0).isNotNull())
+          .transform(cut_lineage))
+    cents = kmeans_centroids(cu, n_cells, train_iters, id_col, "uv", dim)
+    casg = ivf_assign(cu, cents, id_col, "uv", dim).transform(cut_lineage)
+    return cents, casg
+
+
+def cosine_incremental_clustered(new: DataFrame, corpus: DataFrame,
+                                 threshold: float, n_cells: int,
+                                 train_iters: int = 1,
+                                 dim: int | None = None,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 index: tuple[DataFrame, DataFrame] | None
+                                 = None) -> DataFrame:
+    """Increment-vs-corpus SEMANTIC near-dup — incremental SemDeDup:
+    centroids are trained on the standing CORPUS only (the frozen
+    semantic index), the NEW batch is assigned into those cells, and
+    scoring runs increment x corpus within a cell only — never a
+    corpus self-join and never increment x whole-corpus. The semantic
+    counterpart of the MinHash ``lsh_candidates_against`` probe, and
+    the natural streaming shape: the index is static, each micro-batch
+    of new embeddings probes it through one cell equi-join.
+
+    Emits (new_id, dup_of, cell, cos_sim >= threshold). Boundary
+    caveat as in SemDeDup: a new doc whose true near-dup sits in a
+    NEIGHBORING cell is missed (quantified for the batch form by
+    ``dedup_semantic_recall``). ``index`` plugs in a prebuilt
+    :func:`semantic_index` so repeated probes skip training.
+    """
+    cents, casg = (index if index is not None else
+                   semantic_index(corpus, n_cells, train_iters, dim,
+                                  id_col, vec_col))
+    nu = (unit_vectors(new, id_col, vec_col, id_col, "uv")
+          .filter(F.col("uv").getItem(0).isNotNull()))
+    nasg = ivf_assign(nu, cents, id_col, "uv", dim)
+    a = nasg.select(F.col(id_col).alias("new_id"), "cell",
+                    F.col("uv").alias("va"))
+    b = casg.select(F.col(id_col).alias("dup_of"), "cell",
+                    F.col("uv").alias("vb"))
+    return (a.join(b, "cell")
+            .select("new_id", "dup_of", "cell",
+                    _dot("va", "vb", dim).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
 def cosine_near_dup_clustered(vecs: DataFrame, threshold: float,
                               n_cells: int, train_iters: int = 1,
                               dim: int | None = None,

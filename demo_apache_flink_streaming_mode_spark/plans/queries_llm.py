@@ -447,6 +447,24 @@ def dedup_semantic_recall(spark, sf_dir):
                                / F.col("n_exact")).alias("recall")))
 
 
+def dedup_incremental_semantic(spark, sf_dir):
+    """Increment-vs-corpus SEMANTIC dedup — incremental SemDeDup (see
+    operators.similarity.cosine_incremental_clustered): k-means cells
+    trained on the STANDING corpus only (vec_id % INC_MOD != 0, the
+    frozen semantic index), the new batch (vec_id % INC_MOD == 0)
+    assigned into those cells and scored against same-cell corpus
+    members only. Completes the incremental quartet (exact hash /
+    MinHash near / span overlap / semantic) and is the batch twin of
+    the stream-static probe parity-tested in
+    tests/test_streaming.py."""
+    embs = _embs(spark, sf_dir)
+    new = embs.filter(F.col("vec_id") % INC_MOD == 0)
+    corpus = embs.filter(F.col("vec_id") % INC_MOD != 0)
+    return similarity.cosine_incremental_clustered(
+        new, corpus, COS_DUP_THRESHOLD, n_cells=N_CELLS,
+        train_iters=KMEANS_ITERS, dim=DIM)
+
+
 def corpus_topics(spark, sf_dir):
     """Cluster-topic report — the cluster-balanced curation primitive
     (inspect/reweight a corpus BY SEMANTIC REGION, the organizing step
@@ -1106,15 +1124,17 @@ _EMB_D = (
     f"  n0 AS (SELECT vec_id, v, nullif(sqrt({_DOT.format(a='v', b='v')}), 0) AS nrm FROM e0),\n"
     "  e AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS uv FROM n0)")
 
-def _kmeans_ctes(train_iters: int) -> tuple[str, str]:
+def _kmeans_ctes(train_iters: int, extra_where: str = "") -> tuple[str, str]:
     """Shared iterative Lloyd's-k-means CTE block (mirrors
     ``similarity.kmeans_centroids`` bit-for-bit: seeds are the N_CELLS
     lowest-id vectors, means are in-id-order left folds, zero-norm
     vectors excluded). Returns (joined CTE string, name of the final
     centroid CTE); callers prepend ``_EMB_D`` and build their own
-    assignment/probe on top."""
+    assignment/probe on top. ``extra_where`` narrows the training set
+    (the incremental-semantic oracle trains on the corpus split only)."""
     ctes = [f"""
-        eg AS (SELECT vec_id, uv FROM e WHERE uv[1] IS NOT NULL),
+        eg AS (SELECT vec_id, uv FROM e
+               WHERE uv[1] IS NOT NULL{extra_where}),
         cent0 AS (
           SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, uv AS cv
           FROM (SELECT * FROM eg ORDER BY vec_id LIMIT {N_CELLS}))"""]
@@ -2381,6 +2401,37 @@ def _semantic_oracle(train_iters: int) -> str:
 
 ORACLES["dedup_semantic"] = _semantic_oracle(KMEANS_ITERS)
 
+# incremental SemDeDup: the k-means CTEs trained on the CORPUS split
+# only (extra_where), corpus placement from the training set's own
+# rows, the new batch assigned against the same centroids, then one
+# cell equi-join increment x corpus — mirrors
+# similarity.cosine_incremental_clustered bit-for-bit
+_INC_KM, _INC_CENT = _kmeans_ctes(
+    KMEANS_ITERS, extra_where=f" AND vec_id % {INC_MOD} != 0")
+ORACLES["dedup_incremental_semantic"] = f"""
+    WITH {_EMB_D},{_INC_KM},
+    casg AS (
+      SELECT vec_id, cell, uv FROM (
+        SELECT eg.vec_id, c.cell, eg.uv,
+               ROW_NUMBER() OVER (PARTITION BY eg.vec_id
+                   ORDER BY {_DOT.format(a='eg.uv', b='c.cv')} DESC,
+                            c.cell ASC) AS rn
+        FROM eg, {_INC_CENT} c) WHERE rn = 1),
+    nq AS (SELECT vec_id, uv FROM e
+           WHERE uv[1] IS NOT NULL AND vec_id % {INC_MOD} = 0),
+    nasg AS (
+      SELECT vec_id, cell, uv FROM (
+        SELECT nq.vec_id, c.cell, nq.uv,
+               ROW_NUMBER() OVER (PARTITION BY nq.vec_id
+                   ORDER BY {_DOT.format(a='nq.uv', b='c.cv')} DESC,
+                            c.cell ASC) AS rn
+        FROM nq, {_INC_CENT} c) WHERE rn = 1)
+    SELECT n.vec_id AS new_id, c.vec_id AS dup_of,
+           CAST(n.cell AS INT) AS cell,
+           {_cos('n.uv', 'c.uv')} AS cos_sim
+    FROM nasg n JOIN casg c ON n.cell = c.cell
+    WHERE {_cos('n.uv', 'c.uv')} >= {COS_DUP_THRESHOLD}"""
+
 # cluster-topics: the SemDeDup k-means CTEs (shared machinery) feed a
 # cell->doc map; term counting is text_tfidf's dataflow aggregated per
 # cell; score = CAST(tf AS DOUBLE) * (N - df + 0.5) / (df + 0.5), the
@@ -2728,6 +2779,10 @@ QUERIES = [
           ORACLES["dedup_semantic_recall"],
           "SemDeDup boundary-miss report: clustered pairs vs the exact "
           "baseline (counts + recall)"),
+    Query("dedup_incremental_semantic", dedup_incremental_semantic,
+          ORACLES["dedup_incremental_semantic"],
+          "incremental SemDeDup: new batch probed into corpus-trained "
+          "cells, increment x corpus within-cell only"),
     Query("sim_topk_ivf", sim_topk_ivf, ORACLES["sim_topk_ivf"],
           "IVF-cell approximate top-k (coarse quantize + probe own cell)"),
     Query("sim_topk_ivf_trained", sim_topk_ivf_trained,

@@ -70,7 +70,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # semantics) and to dedup_cosine_lsh, preempting the
     # dedup_embedding family's r8 staleness)
     "a13_dynamic_session",
-    "dedup_cosine_lsh",
+    # (dedup_cosine_lsh demoted r8 after its r7 re-attestation — the
+    # dedup_embedding family keeps two window reps; slot goes to the
+    # NEW incremental-SemDeDup probe so the r8 addition earns its
+    # first-round driver row)
+    "dedup_incremental_semantic",
     "q_top3_parts_per_brand",
     "q_customers_with_big_order",
     # bucketed-layout join (new family, r5): claims text_quality's slot
@@ -302,7 +306,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "dedup_clusters": ("dedup_clusters",),
     "dedup_simhash": ("dedup_simhash", "dedup_simhash_pairs"),
     "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh",
-                        "dedup_semantic", "dedup_semantic_recall"),
+                        "dedup_semantic", "dedup_semantic_recall",
+                        "dedup_incremental_semantic"),
     "decontam": ("text_decontam", "text_decontam_bloom"),
     "ann_topk": ("sim_topk_bruteforce", "sim_ann_lsh", "sim_topk_ivf",
                  "sim_topk_ivf_trained", "sim_topk_ivf_probe2",

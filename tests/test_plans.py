@@ -36,6 +36,9 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 # the same centroid-assignment pass plus text_tfidf's
                 # 1-row broadcast corpus-size attach
                 "corpus_topics",
+                # corpus-trained centroid assignment for BOTH sides of
+                # the incremental probe; the scoring is a cell equi-join
+                "dedup_incremental_semantic",
                 # embed the brute-force baseline by definition (they
                 # ARE the exact references being measured against);
                 # the judged sim_knn_label_vote itself votes over the

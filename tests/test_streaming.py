@@ -1125,3 +1125,49 @@ def test_pq_rerank_stream_static_parity(spark, sf_dir, tmp_path):
     q.awaitTermination(300)
     assert len(n_batches) > 1, "expected multiple micro-batches"
     assert sorted(got) == want
+
+
+def test_semantic_dedup_stream_static_parity(spark, sf_dir, tmp_path):
+    """Incremental SemDeDup in serve shape: the semantic index
+    (corpus-trained centroids + corpus cell placement) is frozen once
+    (similarity.semantic_index), then micro-batches of NEW embeddings
+    probe it via foreachBatch — each new doc is independent, so the
+    union over batches must equal the batch
+    cosine_incremental_clustered exactly."""
+    from demo_apache_flink_streaming_mode_spark.operators import similarity
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        COS_DUP_THRESHOLD, DIM, INC_MOD, KMEANS_ITERS, N_CELLS)
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    new = embs.filter(F.col("vec_id") % INC_MOD == 0)
+    corpus = embs.filter(F.col("vec_id") % INC_MOD != 0)
+    idx = similarity.semantic_index(corpus, N_CELLS,
+                                    train_iters=KMEANS_ITERS, dim=DIM)
+
+    def probe_df(n, index=None):
+        return similarity.cosine_incremental_clustered(
+            n, corpus, COS_DUP_THRESHOLD, n_cells=N_CELLS,
+            train_iters=KMEANS_ITERS, dim=DIM, index=index)
+
+    want = sorted(tuple(r) for r in probe_df(new, index=idx).collect())
+    scratch = sorted(tuple(r) for r in probe_df(new).collect())
+    assert want == scratch and len(want) > 0
+
+    d = str(tmp_path / "new_embs")
+    new.repartition(3).write.mode("overwrite").parquet(d)
+    stream = sources.file_stream(spark, d + "/part-*", new.schema,
+                                 fmt="parquet", max_files_per_trigger=1)
+    got: list[tuple] = []
+    batches = []
+
+    def probe(batch_df, epoch_id):
+        got.extend(tuple(r) for r in probe_df(batch_df, index=idx).collect())
+        batches.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(probe)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_sem")).start())
+    q.awaitTermination(300)
+    assert len(batches) > 1, "expected multiple micro-batches"
+    assert sorted(got) == want
