@@ -267,7 +267,9 @@ def kmeans_centroids(u: DataFrame, n_cells: int, iters: int,
 def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int, n_cells: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int | None = None, train_iters: int = 0,
-             nprobe: int = 1) -> DataFrame:
+             nprobe: int = 1,
+             index: tuple[DataFrame, DataFrame, DataFrame] | None = None
+             ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
     `n_cells` cells, search the query's `nprobe` nearest cells.
 
@@ -283,31 +285,59 @@ def topk_ivf(queries: DataFrame, corpus: DataFrame, k: int, n_cells: int,
     probes cost only the wider candidate join, not a second pass.
     """
     return topk_ivf_probes(queries, corpus, k, n_cells, [nprobe], id_col,
-                           vec_col, dim, train_iters)[nprobe]
+                           vec_col, dim, train_iters, index)[nprobe]
+
+
+def ivf_index(corpus: DataFrame, n_cells: int, train_iters: int = 0,
+              dim: int | None = None, id_col: str = "vec_id",
+              vec_col: str = "embedding"
+              ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Frozen IVF index — the serve-shape triple (centroids, corpus
+    placement, corpus unit vectors), each lineage-cut so repeated
+    probes (a query loop, or streaming micro-batches via foreachBatch
+    stream-static joins) never replay training or placement. The
+    third frozen-index sibling next to :func:`pq_index` and
+    :func:`semantic_index`; plug into ``topk_ivf``/``topk_ivf_probes``
+    via ``index=``."""
+    u = (unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
+         .transform(cut_lineage))
+    centroids = (kmeans_centroids(u, n_cells, train_iters, id_col, "uv",
+                                  dim=dim)
+                 if train_iters else seed_centroids(u, n_cells, id_col, "uv"))
+    assigned = (ivf_assign(u, centroids, id_col, "uv", dim=dim)
+                .transform(cut_lineage))
+    return centroids, assigned, u
 
 
 def topk_ivf_probes(queries: DataFrame, corpus: DataFrame, k: int,
                     n_cells: int, nprobes: list[int],
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int | None = None,
-                    train_iters: int = 0) -> dict[int, DataFrame]:
+                    train_iters: int = 0,
+                    index: tuple[DataFrame, DataFrame, DataFrame] | None
+                    = None) -> dict[int, DataFrame]:
     """Shared-codebook IVF: train the coarse quantizer and place the
     corpus ONCE, then emit one top-k result per requested ``nprobe`` —
     the shape a recall sweep needs (training dominates; extra probe
-    widths only widen the candidate join).
+    widths only widen the candidate join). ``index`` plugs in a
+    prebuilt :func:`ivf_index` so repeated probes skip both.
     """
-    u = unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
-    if train_iters:
-        # materialize the normalized corpus once before the iterative
-        # training loop: the plan otherwise re-executes the scan +
-        # normalization lineage per iteration plus the final assignment
-        # (~2+train_iters rescans). The standard iterative-algorithm
-        # tradeoff; measured ~10-20% at sf0.1 and grows with scan cost.
-        u = u.transform(cut_lineage)
-        centroids = kmeans_centroids(u, n_cells, train_iters, id_col, "uv", dim=dim)
+    if index is not None:
+        centroids, assigned, u = index
     else:
-        centroids = seed_centroids(u, n_cells, id_col, "uv")
-    assigned = ivf_assign(u, centroids, id_col, "uv", dim=dim)
+        u = unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
+        if train_iters:
+            # materialize the normalized corpus once before the iterative
+            # training loop: the plan otherwise re-executes the scan +
+            # normalization lineage per iteration plus the final assignment
+            # (~2+train_iters rescans). The standard iterative-algorithm
+            # tradeoff; measured ~10-20% at sf0.1 and grows with scan cost.
+            u = u.transform(cut_lineage)
+            centroids = kmeans_centroids(u, n_cells, train_iters, id_col,
+                                         "uv", dim=dim)
+        else:
+            centroids = seed_centroids(u, n_cells, id_col, "uv")
+        assigned = ivf_assign(u, centroids, id_col, "uv", dim=dim)
     qset = queries.select(F.col(id_col).alias("query_id")).distinct()
     c = assigned.select(F.col(id_col).alias("neighbor_id"), "cell",
                         F.col("uv").alias("cv"))

@@ -1171,3 +1171,48 @@ def test_semantic_dedup_stream_static_parity(spark, sf_dir, tmp_path):
     q.awaitTermination(300)
     assert len(batches) > 1, "expected multiple micro-batches"
     assert sorted(got) == want
+
+
+def test_ivf_topk_stream_static_parity(spark, sf_dir, tmp_path):
+    """IVF ANN in serve shape — the third frozen-index sibling: the
+    trained IVF index (centroids, corpus placement, corpus unit
+    vectors; similarity.ivf_index) is built once, then micro-batches
+    of queries probe it via foreachBatch. Per-query top-k is
+    independent, so the union over batches must equal the batch
+    topk_ivf exactly, and the index-backed batch form must equal the
+    train-inline form."""
+    from demo_apache_flink_streaming_mode_spark.operators import similarity
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        DIM, KMEANS_ITERS, N_CELLS, QUERY_MOD, TOPK)
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    idx = similarity.ivf_index(embs, N_CELLS, train_iters=KMEANS_ITERS,
+                               dim=DIM)
+
+    def topk(q, index=None):
+        return similarity.topk_ivf(q, embs, TOPK, n_cells=N_CELLS, dim=DIM,
+                                   train_iters=KMEANS_ITERS, index=index)
+
+    want = sorted(tuple(r) for r in topk(queries, index=idx).collect())
+    scratch = sorted(tuple(r) for r in topk(queries).collect())
+    assert want == scratch and len(want) > 0
+
+    d = str(tmp_path / "ivf_queries")
+    queries.repartition(3).write.mode("overwrite").parquet(d)
+    stream = sources.file_stream(spark, d + "/part-*", queries.schema,
+                                 fmt="parquet", max_files_per_trigger=1)
+    got: list[tuple] = []
+    batches = []
+
+    def probe(batch_df, epoch_id):
+        got.extend(tuple(r) for r in topk(batch_df, index=idx).collect())
+        batches.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(probe)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_ivf")).start())
+    q.awaitTermination(300)
+    assert len(batches) > 1, "expected multiple micro-batches"
+    assert sorted(got) == want
