@@ -127,11 +127,13 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # its ADC leg still runs in-window inside nothing — pytest + tail;
     # slot goes to the never-attested int8-quantization family)
     "sim_topk_int8",
-    # (sim_recall_ann demoted r6: driver-green r4+r5 and inherently the
-    # most expensive verify row — its four legs are each proven
-    # separately; slot goes to the re-registered ANN-backed kNN vote,
-    # whose LSH path has never had a driver row)
-    "sim_knn_label_vote",
+    # (sim_knn_label_vote demoted r8 after r6+r7 green rows — its vote
+    # legs are embedded VERBATIM as CTEs in the in-window
+    # sim_knn_agreement oracle, so the vote semantics keep driver
+    # coverage; slot goes to dedup_clusters, whose single-member family
+    # last earned a row in r5 and ages out at r9 — preempting the SLO
+    # one round early, as the r7 rotation did for dedup_cosine_lsh)
+    "dedup_clusters",
     # -- time-series family (j5 interp demoted r6 after its r5 green
     # row — grid+carry machinery proven; slot goes to the never-
     # attested rolling-feature extraction) ----------------------------
