@@ -17,7 +17,10 @@ Structure (deadline-bounded — the harness ALWAYS terminates):
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default all cores), SPARK_GRAFT_WARM_DIR,
-SPARK_GRAFT_BENCH_BUDGET seconds (default 420).
+SPARK_GRAFT_BENCH_BUDGET seconds (default: 14 s/query over the
+registry, floored at 2200 — sized so an unattended run completes
+min-of-5 for every query; the old 420 s default guaranteed every
+driver-side artifact carried the UNDER-BUDGET banner).
 """
 
 from __future__ import annotations
@@ -36,7 +39,13 @@ from demo_apache_flink_streaming_mode_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    # Default budget scales with the registry (~14 s/query covers warmup
+    # + 5 timed passes at sf0.1 on this host class, measured r8:
+    # 159 queries ~ 2200 s), so the no-env-var run — the one the driver
+    # executes — produces a committable min-of-5 artifact.
+    default_budget = max(2200, 14 * len(ALL_QUERIES))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET",
+                                  str(default_budget)))
     deadline = time.monotonic() + budget
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -155,8 +164,9 @@ def main() -> None:
     if not committable:
         log(f"*** WARNING: {n_single}/{len(passes)} queries have a single "
             "sample — this run is UNDER-BUDGET and NOT a committable "
-            "benchmark. Re-run with SPARK_GRAFT_BENCH_BUDGET=2200 on a "
-            "quiet host. Side files quarantined as *.UNDERBUDGET.json. ***")
+            "benchmark. Re-run with a larger SPARK_GRAFT_BENCH_BUDGET "
+            f"(default {default_budget}) on a quiet host. Side files "
+            "quarantined as *.UNDERBUDGET.json. ***")
     here = os.path.dirname(os.path.abspath(__file__))
     result = {
         "metric": "total_query_runtime",

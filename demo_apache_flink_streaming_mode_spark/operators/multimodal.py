@@ -1939,6 +1939,8 @@ def _decode_mcv(blob: bytes):
     (dy, dx) per block in scan order. Strict: magic, geometry, vector
     range, pixel range and trailing bytes all raise."""
     import numpy as np
+    if len(blob) < 14:
+        raise ValueError("MCV1 header truncated")
     if blob[:4] != MCV_MAGIC:
         raise ValueError("not an MCV1 stream")
     n, w, h, b, r = struct.unpack_from("<IHHBB", blob, 4)

@@ -302,7 +302,7 @@ def test_mcv_kernel_fanout_and_stats(spark, media):
         p = src[r["doc_id"]]
         nf = (len(p) + fs - 1) // fs if p else 0
         sl = p[r["frame_idx"] * fs:(r["frame_idx"] + 1) * fs]
-        assert r["n_frames"] == max(1, nf) if p else nf
+        assert r["n_frames"] == (max(1, nf) if p else nf)
         assert r["is_key"] == (r["frame_idx"] == 0)
         assert r["max_px"] == (max(sl) if sl else 0)
         assert r["mean_px"] == sum(sl) / fs
