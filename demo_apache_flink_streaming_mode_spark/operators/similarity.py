@@ -630,6 +630,69 @@ def semantic_index(corpus: DataFrame, n_cells: int, train_iters: int = 1,
     return cents, casg
 
 
+# --- Frozen-index persistence (the deploy shape's missing half) -----------
+#
+# ``pq_index`` / ``ivf_index`` / ``semantic_index`` freeze the trained
+# static side in-session (lineage-cut executor blocks). The real deploy
+# at 100 TB trains ONCE, writes the index to storage, and serves it from
+# fresh sessions for days — so the static side must round-trip through a
+# table layout. Layout choice per part:
+#
+# - tiny broadcast sides (codebooks, centroids: <= n_cells / m*n_codes
+#   rows) -> plain parquet tables; they re-broadcast at serve time.
+# - corpus-sized sides -> BUCKETED parquet (``scale.write_bucketed``) on
+#   their serve-time join key: probes equi-join the placement on
+#   ``cell`` (IVF probe, incremental SemDeDup) and the re-rank /
+#   increment paths join unit vectors on the id — bucketing makes the
+#   big corpus side of those joins exchange-free in any later session.
+#
+# Catalog note: this build runs Spark's in-memory catalog, so table
+# NAMES live for the process (``spark.newSession()`` shares them) while
+# the parquet + bucket spec persist in the warehouse dir; on a real
+# cluster the same calls against a persistent metastore make the index
+# durable across drivers.  "__first__" = bucket on the part's first
+# column (the caller's id column, whose name is parameterized).
+_INDEX_LAYOUT: dict[str, tuple[tuple[str, str | None], ...]] = {
+    "pq": (("codebooks", None), ("codes", "neighbor_id"),
+           ("unit", "__first__")),
+    "ivf": (("centroids", None), ("assigned", "cell"),
+            ("unit", "__first__")),
+    "semantic": (("centroids", None), ("assigned", "cell")),
+}
+
+
+def save_index(kind: str, index: tuple[DataFrame, ...], name: str,
+               buckets: int = 8) -> None:
+    """Persist a frozen index (the tuple returned by ``pq_index`` /
+    ``ivf_index`` / ``semantic_index``) as catalog tables
+    ``{name}__{part}``; corpus-sized parts are written bucketed on
+    their serve-time join key (see the layout note above)."""
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        write_bucketed)
+    layout = _INDEX_LAYOUT[kind]
+    if len(index) != len(layout):
+        raise ValueError(f"{kind} index has {len(layout)} parts, "
+                         f"got {len(index)}")
+    for df, (part, key) in zip(index, layout):
+        table = f"{name}__{part}"
+        if key is None:
+            df.write.format("parquet").mode("overwrite").saveAsTable(table)
+        else:
+            write_bucketed(df, table,
+                           df.columns[0] if key == "__first__" else key,
+                           buckets=buckets)
+
+
+def load_index(spark, kind: str, name: str) -> tuple[DataFrame, ...]:
+    """Reload a persisted frozen index as the same tuple shape the
+    in-session builder returns — plug into the consuming operator via
+    ``index=``. The reloaded tuple is proven bit-identical to the
+    in-session one by ``tests/test_index_persist.py`` (same top-k /
+    dup-pair values for all three shapes)."""
+    return tuple(spark.table(f"{name}__{part}")
+                 for part, _ in _INDEX_LAYOUT[kind])
+
+
 def cosine_incremental_clustered(new: DataFrame, corpus: DataFrame,
                                  threshold: float, n_cells: int,
                                  train_iters: int = 1,

@@ -1,0 +1,128 @@
+"""Frozen-index save/load round-trip parity (VERDICT r8 item 3).
+
+The ``*_index`` trio freezes the trained static side in-session; the
+real deploy at 100 TB writes it to storage and serves it from FRESH
+sessions. ``similarity.save_index`` persists each part as a catalog
+table — corpus-sized parts bucketed on their serve-time join key via
+``scale.write_bucketed`` — and ``load_index`` reloads the same tuple
+shape. These tests prove the round trip changes NO values: for each of
+the three index shapes, the consuming operator run in a NEW SparkSession
+against the reloaded index returns bit-identical rows (exact float
+equality, no tolerance) to the in-session index.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_apache_flink_streaming_mode_spark.operators import similarity
+from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+    COS_DUP_THRESHOLD, DIM, INC_MOD, KMEANS_ITERS, N_CELLS, PQ_CODES,
+    PQ_ITERS, PQ_M, PQ_RERANK_MULT, PQ_SUB_DIM, QUERY_MOD, TOPK)
+from demo_apache_flink_streaming_mode_spark.session import ensure_runtime_confs
+from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+
+def _fresh_session(spark):
+    # newSession shares the SparkContext and catalog (so the persisted
+    # tables resolve) but has ISOLATED SQL confs and temp views — the
+    # closest a single test process gets to "a later serving driver".
+    # The engine must re-apply its runtime confs, exactly as a fresh
+    # driver would via get_spark/ensure_runtime_confs.
+    return ensure_runtime_confs(spark.newSession())
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _is_bucketed(spark, table: str) -> bool:
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    return any(r["col_name"] == "Num Buckets" for r in desc)
+
+
+def test_pq_index_save_load_parity(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    idx = similarity.pq_index(embs, PQ_M, PQ_SUB_DIM, PQ_CODES, PQ_ITERS)
+
+    def rerank(s, q, index):
+        corpus = load_table(s, sf_dir, "embeddings")
+        return similarity.topk_pq_rerank(
+            q, corpus, TOPK, m_sub=PQ_M, sub_dim=PQ_SUB_DIM,
+            n_codes=PQ_CODES, iters=PQ_ITERS, mult=PQ_RERANK_MULT,
+            dim=DIM, index=index)
+
+    want = _rows(rerank(spark, queries, idx))
+    similarity.save_index("pq", idx, "t_pqidx")
+
+    ns = _fresh_session(spark)
+    loaded = similarity.load_index(ns, "pq", "t_pqidx")
+    q2 = load_table(ns, sf_dir, "embeddings").filter(
+        F.col("vec_id") % QUERY_MOD == 0)
+    got = _rows(rerank(ns, q2, loaded))
+    assert got == want and len(got) > 0
+    # corpus-sized parts carry the bucket spec; broadcast sides don't
+    assert _is_bucketed(ns, "t_pqidx__codes")
+    assert _is_bucketed(ns, "t_pqidx__unit")
+    assert not _is_bucketed(ns, "t_pqidx__codebooks")
+
+
+def test_ivf_index_save_load_parity(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    idx = similarity.ivf_index(embs, N_CELLS, train_iters=KMEANS_ITERS,
+                               dim=DIM)
+
+    def topk(s, q, index):
+        corpus = load_table(s, sf_dir, "embeddings")
+        return similarity.topk_ivf(q, corpus, TOPK, n_cells=N_CELLS,
+                                   dim=DIM, train_iters=KMEANS_ITERS,
+                                   index=index)
+
+    want = _rows(topk(spark, queries, idx))
+    similarity.save_index("ivf", idx, "t_ivfidx")
+
+    ns = _fresh_session(spark)
+    loaded = similarity.load_index(ns, "ivf", "t_ivfidx")
+    q2 = load_table(ns, sf_dir, "embeddings").filter(
+        F.col("vec_id") % QUERY_MOD == 0)
+    got = _rows(topk(ns, q2, loaded))
+    assert got == want and len(got) > 0
+    assert _is_bucketed(ns, "t_ivfidx__assigned")
+
+
+def test_semantic_index_save_load_parity(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    new = embs.filter(F.col("vec_id") % INC_MOD == 0)
+    corpus = embs.filter(F.col("vec_id") % INC_MOD != 0)
+    idx = similarity.semantic_index(corpus, N_CELLS,
+                                    train_iters=KMEANS_ITERS, dim=DIM)
+
+    def probe(s, n, index):
+        c = load_table(s, sf_dir, "embeddings").filter(
+            F.col("vec_id") % INC_MOD != 0)
+        return similarity.cosine_incremental_clustered(
+            n, c, COS_DUP_THRESHOLD, n_cells=N_CELLS,
+            train_iters=KMEANS_ITERS, dim=DIM, index=index)
+
+    want = _rows(probe(spark, new, idx))
+    similarity.save_index("semantic", idx, "t_semidx")
+
+    ns = _fresh_session(spark)
+    loaded = similarity.load_index(ns, "semantic", "t_semidx")
+    n2 = load_table(ns, sf_dir, "embeddings").filter(
+        F.col("vec_id") % INC_MOD == 0)
+    got = _rows(probe(ns, n2, loaded))
+    assert got == want and len(got) > 0
+    assert _is_bucketed(ns, "t_semidx__assigned")
+
+
+def test_save_index_rejects_wrong_shape(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    idx = similarity.semantic_index(embs, N_CELLS, train_iters=0, dim=DIM)
+    with pytest.raises(ValueError, match="parts"):
+        similarity.save_index("pq", idx, "t_badidx")  # 2 parts, pq needs 3
+    with pytest.raises(KeyError):
+        similarity.save_index("nope", idx, "t_badidx")
