@@ -1848,9 +1848,13 @@ def mdct_decode_features(media: DataFrame) -> DataFrame:
 # (the FLAC/MDCT entropy machinery). Residuals are coded losslessly,
 # so reconstruction is bit-exact — the oracle proves the whole
 # search -> compensate -> entropy-code -> reassemble path on payload
-# byte math, like FLIC. What remains external-library territory after
-# this: sub-pixel/bidirectional motion, rate-distortion mode decisions
-# and the arithmetic-coding layers of the named standards.
+# byte math, like FLIC. MCV2 (below) adds the next motion rung from
+# scratch: HALF-PEL estimation/compensation — vectors in half-pixel
+# units predicted off a bilinearly interpolated plane of the previous
+# reconstructed frame (the H.26x half-sample rounding rules), still
+# lossless. What remains external-library territory after this:
+# bidirectional (B-frame) motion, rate-distortion mode decisions and
+# the arithmetic-coding layers of the named standards.
 
 MCV_W, MCV_H = 16, 16          # frame dims; fs = 256 bytes per frame
 MCV_B = 8                      # motion block size (4 blocks per frame)
@@ -2003,6 +2007,174 @@ def mcv_decode_frames(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 payload = bytes(payload)
                 w, h, frames, _mvs = _decode_mcv(_encode_mcv(payload))
+                for i, f in enumerate(frames):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["n_frames"].append(len(frames))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["is_key"].append(i == 0)
+                    rows["max_px"].append(max(f) if f else 0)
+                    rows["mean_px"].append(sum(f) / len(f) if f else 0.0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=MCV_SCHEMA)
+
+
+# --- MCV2: HALF-PEL motion (sub-pixel estimation + compensation) ----------
+# Same stream shape as MCV1 (I-frame then P-frames, Rice residuals,
+# lossless) but motion vectors are in HALF-PIXEL units: each P-block
+# carries (dy, dx) in [-2r, 2r] half-units, coded as two 5-bit fields,
+# and the predictor samples a bilinearly interpolated half-pel plane of
+# the previous RECONSTRUCTED frame. Interpolation uses the H.26x
+# half-sample rounding rules ((a+b+1)>>1 on an axis midpoint,
+# (a+b+c+d+2)>>2 on the center) so the plane is integer-exact and the
+# residual coding stays lossless end-to-end. This delivers the
+# "sub-pixel" half of what the r8 VERDICT listed as blocked; the
+# encoder search is exhaustive over the (4r+1)^2 half-pel candidates
+# with the same deterministic smallest-(dy,dx) tie-break as MCV1.
+
+MCV2_MAGIC = b"MCV2"
+
+
+def _half_pel_plane(prev):
+    """Bilinear half-pel plane of an (h, w) int frame: shape
+    (2h-1, 2w-1), H[2i,2j] = P[i,j], axis midpoints (a+b+1)>>1,
+    centers (a+b+c+d+2)>>2 — all integer math."""
+    import numpy as np
+    h, w = prev.shape
+    H = np.empty((2 * h - 1, 2 * w - 1), dtype=np.int64)
+    H[::2, ::2] = prev
+    H[1::2, ::2] = (prev[:-1, :] + prev[1:, :] + 1) >> 1
+    H[::2, 1::2] = (prev[:, :-1] + prev[:, 1:] + 1) >> 1
+    H[1::2, 1::2] = (prev[:-1, :-1] + prev[1:, :-1] + prev[:-1, 1:]
+                     + prev[1:, 1:] + 2) >> 2
+    return H
+
+
+def _encode_mcv2(payload: bytes, w: int = MCV_W, h: int = MCV_H,
+                 b: int = MCV_B, r: int = MCV_R) -> bytes:
+    """Encode payload bytes as an MCV2 half-pel stream. Deterministic:
+    candidates scanned dy then dx ascending over half-units, strictly
+    smaller SAD wins — ties resolve to the smallest (dy, dx), so a
+    zero vector beats any equal-cost sub-pixel one."""
+    import numpy as np
+    if w % b or h % b:
+        raise ValueError("block size must divide frame dims")
+    if r > 7:
+        raise ValueError("search range must keep 4r within 5 bits")
+    fs = w * h
+    nf = _mcv_n_frames(len(payload), fs)
+    bits = _Bits()
+    prev = None
+    for i in range(nf):
+        f = np.frombuffer(
+            payload[i * fs:(i + 1) * fs].ljust(fs, b"\x00"),
+            dtype=np.uint8).astype(np.int64).reshape(h, w)
+        H = _half_pel_plane(prev) if prev is not None else None
+        for by in range(0, h, b):
+            for bx in range(0, w, b):
+                cur = f[by:by + b, bx:bx + b]
+                if prev is None:
+                    _mcv_rice_block(bits, (cur - 128).ravel())
+                    continue
+                best = None
+                for dy in range(-2 * r, 2 * r + 1):
+                    ty = 2 * by + dy
+                    if not (0 <= ty <= 2 * (h - b)):
+                        continue
+                    for dx in range(-2 * r, 2 * r + 1):
+                        tx = 2 * bx + dx
+                        if not (0 <= tx <= 2 * (w - b)):
+                            continue
+                        cand = H[ty:ty + 2 * b:2, tx:tx + 2 * b:2]
+                        sad = int(np.abs(cur - cand).sum())
+                        if best is None or sad < best[0]:
+                            best = (sad, dy, dx, cand)
+                _sad, dy, dx, pred = best
+                bits.put(dy + 2 * r, 5)
+                bits.put(dx + 2 * r, 5)
+                _mcv_rice_block(bits, (cur - pred).ravel())
+        bits.align()
+        prev = f                       # lossless: reconstructed == input
+    return (MCV2_MAGIC
+            + struct.pack("<IHHBB", len(payload), w, h, b, r)
+            + bits.bytes())
+
+
+def _decode_mcv2(blob: bytes):
+    """Decode an MCV2 stream. Returns (w, h, frames, mvs) with mvs the
+    per-P-frame list of (dy, dx) in HALF-PIXEL units per block in scan
+    order. Strict: header length, magic, geometry, vector range, pixel
+    range and trailing bytes all raise ValueError."""
+    import numpy as np
+    if len(blob) < 14:
+        raise ValueError("MCV2 header truncated")
+    if blob[:4] != MCV2_MAGIC:
+        raise ValueError("not an MCV2 stream")
+    n, w, h, b, r = struct.unpack_from("<IHHBB", blob, 4)
+    if w % b or h % b:
+        raise ValueError("block size must divide frame dims")
+    fs = w * h
+    nf = _mcv_n_frames(n, fs)
+    bits = _Bits(blob[14:])
+    frames: list[bytes] = []
+    mvs: list[list[tuple[int, int]]] = []
+    prev = None
+    for i in range(nf):
+        rec = np.empty((h, w), dtype=np.int64)
+        H = _half_pel_plane(prev) if prev is not None else None
+        fmv: list[tuple[int, int]] = []
+        for by in range(0, h, b):
+            for bx in range(0, w, b):
+                if prev is None:
+                    pred = np.full((b, b), 128, dtype=np.int64)
+                else:
+                    dy = bits.read(5) - 2 * r
+                    dx = bits.read(5) - 2 * r
+                    ty, tx = 2 * by + dy, 2 * bx + dx
+                    if not (abs(dy) <= 2 * r and abs(dx) <= 2 * r
+                            and 0 <= ty <= 2 * (h - b)
+                            and 0 <= tx <= 2 * (w - b)):
+                        raise ValueError("motion vector outside frame")
+                    fmv.append((dy, dx))
+                    pred = H[ty:ty + 2 * b:2, tx:tx + 2 * b:2]
+                resid = np.array(_mcv_rice_read(bits, b * b),
+                                 dtype=np.int64).reshape(b, b)
+                blk = pred + resid
+                if blk.min() < 0 or blk.max() > 255:
+                    raise ValueError("reconstructed pixel out of range")
+                rec[by:by + b, bx:bx + b] = blk
+        bits.read_align()
+        if prev is not None:
+            mvs.append(fmv)
+        prev = rec
+        frames.append(rec.astype(np.uint8).tobytes())
+    if (bits.rpos >> 3) != len(bits.data):
+        raise ValueError("trailing bytes after last frame")
+    return w, h, frames, mvs
+
+
+def mcv2_decode_frames(media: DataFrame) -> DataFrame:
+    """REAL HALF-PEL motion-compensated video decode, pure
+    stdlib+numpy: the MCV2 codec above — sub-pixel block-matching
+    estimation at encode, vector-directed compensation off the
+    bilinearly interpolated half-pel plane of the previous
+    RECONSTRUCTED frame plus Rice-coded residuals at decode. Lossless
+    by construction, so the oracle proves the whole interpolate ->
+    search -> compensate -> entropy-code path bit-exact: per frame it
+    emits max/mean of the RECONSTRUCTED pixels, which must equal exact
+    byte math over the payload slice (zero-padded last frame) — the
+    same contract as ``mcv_decode_frames``, one motion rung up. Empty
+    payloads are zero-frame streams -> zero rows."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "n_frames",
+                                    "width", "height", "is_key", "max_px",
+                                    "mean_px")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(payload)
+                w, h, frames, _mvs = _decode_mcv2(_encode_mcv2(payload))
                 for i, f in enumerate(frames):
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(i)

@@ -262,7 +262,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # codec family keeps two window reps; slot goes to the new
     # training-shard packing op so the distributed prefix sum gets a
     # driver row in its first round)
-    "text_pack_shards",
+    # (text_pack_shards demoted r9 after its r8 first row — the
+    # text_sampling family is fresh through r12; slot goes to the NEW
+    # half-pel motion codec so the r9 sub-pixel rung earns its driver
+    # row in its first round, per the attestation convention)
+    "mm_decode_mcv2",
     # -- corpus curation ----------------------------------------------
     "corpus_clean",
     "corpus_report",
@@ -377,7 +381,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "mm_decode_image", "mm_decode_png", "mm_decode_jpeg",
                    "mm_decode_video", "mm_decode_mjpeg", "mm_decode_flac",
                    "mm_decode_flic", "mm_decode_mdct", "mm_decode_mcv",
-                   "mm_resize", "mm_frames"),
+                   "mm_decode_mcv2", "mm_resize", "mm_frames"),
     "graph": ("graph_pagerank", "graph_triangles"),
 }
 
