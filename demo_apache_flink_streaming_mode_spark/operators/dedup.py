@@ -79,6 +79,37 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # --- MinHash + LSH -------------------------------------------------------
 
 
+def exact_hash_index(corpus_docs: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """The STANDING exact-dedup store: distinct md5 digests of the
+    corpus — what a daily pipeline persists and probes (one row per
+    distinct text, 16 bytes each, bounded by content cardinality not
+    row count). Output: (h). Persist/reload through
+    ``similarity.save_index``/``load_index`` (kind ``dedup_exact``,
+    bucketed on ``h`` so the daily probe join reads it
+    exchange-free)."""
+    return corpus_docs.select(F.md5(text_col).alias("h")).distinct()
+
+
+def incremental_exact(batch_docs: DataFrame, index: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """Increment-vs-corpus EXACT dedup: classify each NEW doc against
+    the standing digest store (:func:`exact_hash_index`) as
+    dup_of_corpus (digest already stored), dup_in_batch (fresh digest
+    but a lower-id batch doc has it first), or unique. One
+    16-byte-digest shuffle; the index side is already distinct, so
+    join input is bounded by corpus content cardinality."""
+    batch = batch_docs.select("doc_id", F.md5(text_col).alias("h"))
+    corpus = index.withColumn("in_corpus", F.lit(True))
+    first = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    return (batch.join(corpus, "h", "left").join(first, "h")
+            .select("doc_id",
+                    F.when(F.col("in_corpus"), "dup_of_corpus")
+                    .when(F.col("doc_id") != F.col("first_id"),
+                          "dup_in_batch")
+                    .otherwise("unique").alias("status")))
+
+
 def doc_shingles(docs: DataFrame, text_col: str = "text",
                  shingle_n: int = 3) -> DataFrame:
     """Exploded (doc_id, g) distinct word n-gram shingles.
@@ -160,9 +191,21 @@ def minhash_signature_stateless(docs: DataFrame, text_col: str = "text",
     return docs.select("doc_id", sig.alias("sig"))
 
 
-def lsh_candidates_against(new_sigs: DataFrame, corpus_sigs: DataFrame,
+def minhash_band_index(corpus_sigs: DataFrame, bands: int = 4,
+                       rows_per_band: int = 2) -> DataFrame:
+    """The STANDING MinHash-LSH store: the corpus band table
+    (doc_id, sig, band, band_hash) — what a daily pipeline persists
+    and band-equi-joins each increment against. Persist/reload through
+    ``similarity.save_index``/``load_index`` (kind ``dedup_minhash``,
+    bucketed on ``band_hash``)."""
+    return _band_table(corpus_sigs, bands, rows_per_band)
+
+
+def lsh_candidates_against(new_sigs: DataFrame,
+                           corpus_sigs: DataFrame | None,
                            bands: int = 4, rows_per_band: int = 2,
-                           num_hashes: int | None = None) -> DataFrame:
+                           num_hashes: int | None = None,
+                           index: DataFrame | None = None) -> DataFrame:
     """Increment-vs-corpus LSH: candidate (new doc, corpus doc) pairs —
     a NEW batch's signatures probed against the standing corpus's band
     table, the near-dup analog of exact incremental dedup. At 100 TB
@@ -174,13 +217,18 @@ def lsh_candidates_against(new_sigs: DataFrame, corpus_sigs: DataFrame,
 
     Output: (doc_id, corpus_doc_id, est_jaccard) — one row per
     candidate pair, est as in ``lsh_candidate_pairs``.
+
+    ``index`` plugs in a prebuilt (possibly reloaded-from-storage)
+    :func:`minhash_band_index` so the probe skips re-banding the
+    corpus; ``corpus_sigs`` may then be None.
     """
     if num_hashes is not None and num_hashes != bands * rows_per_band:
         raise ValueError(
             f"banding {bands}x{rows_per_band} does not cover a "
             f"{num_hashes}-hash signature")
     a = _band_table(new_sigs, bands, rows_per_band).alias("a")
-    b = (_band_table(corpus_sigs, bands, rows_per_band)
+    b = ((index if index is not None
+          else _band_table(corpus_sigs, bands, rows_per_band))
          .hint("shuffle_hash").alias("b"))
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                       lambda x, y: x == y), lambda e: e))

@@ -20,6 +20,7 @@ left-to-right IEEE order, bit-identical to a sequential SQL oracle.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
@@ -658,13 +659,40 @@ _INDEX_LAYOUT: dict[str, tuple[tuple[str, str | None], ...]] = {
     "ivf": (("centroids", None), ("assigned", "cell"),
             ("unit", "__first__")),
     "semantic": (("centroids", None), ("assigned", "cell")),
+    # the dedup standing stores (the incremental quartet's persisted
+    # side): each probes through one equi-join on its bucket key —
+    # dedup.exact_hash_index / dedup.minhash_band_index /
+    # text.span_hash_index, single-part tuples
+    "dedup_exact": (("hashes", "h"),),
+    "dedup_minhash": (("bands", "band_hash"),),
+    "dedup_span": (("spans", "h"),),
 }
+
+
+def _drop_stale_location(spark, table: str) -> None:
+    """In-memory-catalog hazard: a previous DRIVER's managed table left
+    its warehouse directory behind, but THIS driver's catalog has no
+    entry for it — so ``saveAsTable`` (even overwrite) fails with
+    LOCATION_ALREADY_EXISTS. An index rebuild must win: if the name is
+    unknown to the catalog but its managed location exists, the
+    directory is orphaned data and is removed. With a persistent
+    metastore (production) the catalog knows the table and plain
+    overwrite handles it, so this is a no-op there."""
+    if spark.catalog.tableExists(table):
+        return
+    import shutil
+    from urllib.parse import urlparse
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme not in ("", "file"):
+        return  # non-local warehouse: nothing safe to clean from here
+    shutil.rmtree(os.path.join(wh.path, table.lower()), ignore_errors=True)
 
 
 def save_index(kind: str, index: tuple[DataFrame, ...], name: str,
                buckets: int = 8) -> None:
     """Persist a frozen index (the tuple returned by ``pq_index`` /
-    ``ivf_index`` / ``semantic_index``) as catalog tables
+    ``ivf_index`` / ``semantic_index``, or a 1-tuple of one of the
+    dedup standing stores) as catalog tables
     ``{name}__{part}``; corpus-sized parts are written bucketed on
     their serve-time join key (see the layout note above)."""
     from demo_apache_flink_streaming_mode_spark.operators.scale import (
@@ -675,6 +703,7 @@ def save_index(kind: str, index: tuple[DataFrame, ...], name: str,
                          f"got {len(index)}")
     for df, (part, key) in zip(index, layout):
         table = f"{name}__{part}"
+        _drop_stale_location(df.sparkSession, table)
         if key is None:
             df.write.format("parquet").mode("overwrite").saveAsTable(table)
         else:

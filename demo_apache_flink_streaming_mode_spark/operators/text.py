@@ -655,9 +655,22 @@ def boilerplate_strip(docs: DataFrame, text_col: str = "text",
                     F.concat_ws(" ", kept).alias("cleaned_text")))
 
 
-def span_overlap_against(new_docs: DataFrame, corpus_docs: DataFrame,
+def span_hash_index(corpus_docs: DataFrame, text_col: str = "text",
+                    span_n: int = DUP_SPAN_N) -> DataFrame:
+    """The STANDING span store: distinct ``span_n``-word span digests
+    of the corpus — what a daily pipeline persists and probes each
+    increment's spans against. Output: (h). Persist/reload through
+    ``similarity.save_index``/``load_index`` (kind ``dedup_span``,
+    bucketed on ``h``)."""
+    return (_span_occ(_span_base(corpus_docs, text_col, span_n))
+            .select("h").distinct())
+
+
+def span_overlap_against(new_docs: DataFrame,
+                         corpus_docs: DataFrame | None,
                          text_col: str = "text",
-                         span_n: int = DUP_SPAN_N) -> DataFrame:
+                         span_n: int = DUP_SPAN_N,
+                         index: DataFrame | None = None) -> DataFrame:
     """Increment-vs-corpus repeated-span probe — the span-level member
     of the incremental-dedup trio (exact hash / MinHash near-dup /
     span overlap): for each NEW document, how many of its ``span_n``-
@@ -673,11 +686,14 @@ def span_overlap_against(new_docs: DataFrame, corpus_docs: DataFrame,
     as ``dedup.lsh_candidates_against``, and the hit explode +
     equi-join is stateless, so the dataflow runs stream-static
     unchanged.
+
+    ``index`` plugs in a prebuilt (possibly reloaded-from-storage)
+    :func:`span_hash_index`; ``corpus_docs`` may then be None.
     """
     base = _span_base(new_docs, text_col, span_n)
     occ = _span_occ(base)
-    idx = (_span_occ(_span_base(corpus_docs, text_col, span_n))
-           .select("h").distinct())
+    idx = (index if index is not None
+           else span_hash_index(corpus_docs, text_col, span_n))
     return _span_coverage_report(base, occ.join(idx, "h"), span_n,
                                  "n_corpus_spans", "overlap_ratio")
 

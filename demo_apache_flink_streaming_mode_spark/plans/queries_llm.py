@@ -85,18 +85,12 @@ def dedup_incremental(spark, sf_dir):
     shuffle; the corpus side collapses to DISTINCT hashes before the
     join, so join input is bounded by corpus hash cardinality, not
     row count — at 100 TB the corpus leg is the persisted hash store
-    a daily pipeline maintains."""
-    docs = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("h"))
+    a daily pipeline maintains (dedup.exact_hash_index, save/load
+    round-trip proven by tests/test_index_persist.py)."""
+    docs = _docs(spark, sf_dir)
     batch = docs.filter(F.col("doc_id") % INC_MOD == 0)
-    corpus = (docs.filter(F.col("doc_id") % INC_MOD != 0)
-              .select("h").distinct().withColumn("in_corpus", F.lit(True)))
-    first = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
-    return (batch.join(corpus, "h", "left").join(first, "h")
-            .select("doc_id",
-                    F.when(F.col("in_corpus"), "dup_of_corpus")
-                    .when(F.col("doc_id") != F.col("first_id"),
-                          "dup_in_batch")
-                    .otherwise("unique").alias("status")))
+    idx = dedup.exact_hash_index(docs.filter(F.col("doc_id") % INC_MOD != 0))
+    return dedup.incremental_exact(batch, idx)
 
 
 def dedup_incremental_near(spark, sf_dir):

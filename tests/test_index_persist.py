@@ -16,10 +16,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from demo_apache_flink_streaming_mode_spark.operators import similarity
+from demo_apache_flink_streaming_mode_spark.operators import (
+    dedup, similarity, text)
 from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
-    COS_DUP_THRESHOLD, DIM, INC_MOD, KMEANS_ITERS, N_CELLS, PQ_CODES,
-    PQ_ITERS, PQ_M, PQ_RERANK_MULT, PQ_SUB_DIM, QUERY_MOD, TOPK)
+    BANDS, COS_DUP_THRESHOLD, DIM, INC_MOD, KMEANS_ITERS, N_CELLS, PQ_CODES,
+    PQ_ITERS, PQ_M, PQ_RERANK_MULT, PQ_SUB_DIM, QUERY_MOD, ROWS_PER_BAND,
+    SHINGLE_N, TOPK)
 from demo_apache_flink_streaming_mode_spark.session import ensure_runtime_confs
 from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
 
@@ -117,6 +119,59 @@ def test_semantic_index_save_load_parity(spark, sf_dir):
     got = _rows(probe(ns, n2, loaded))
     assert got == want and len(got) > 0
     assert _is_bucketed(ns, "t_semidx__assigned")
+
+
+def _split_docs(s, sf_dir):
+    docs = load_table(s, sf_dir, "documents").select("doc_id", "text")
+    return (docs.filter(F.col("doc_id") % INC_MOD == 0),
+            docs.filter(F.col("doc_id") % INC_MOD != 0))
+
+
+def test_dedup_exact_index_save_load_parity(spark, sf_dir):
+    new, corpus = _split_docs(spark, sf_dir)
+    idx = dedup.exact_hash_index(corpus)
+    want = _rows(dedup.incremental_exact(new, idx))
+    similarity.save_index("dedup_exact", (idx,), "t_exidx")
+
+    ns = _fresh_session(spark)
+    (loaded,) = similarity.load_index(ns, "dedup_exact", "t_exidx")
+    new2, _ = _split_docs(ns, sf_dir)
+    got = _rows(dedup.incremental_exact(new2, loaded))
+    assert got == want and len(got) > 0
+    assert _is_bucketed(ns, "t_exidx__hashes")
+
+
+def test_dedup_minhash_index_save_load_parity(spark, sf_dir):
+    new, corpus = _split_docs(spark, sf_dir)
+    sig = lambda d: dedup.minhash_signature(d, shingle_n=SHINGLE_N,
+                                            num_hashes=BANDS * ROWS_PER_BAND)
+    idx = dedup.minhash_band_index(sig(corpus), BANDS, ROWS_PER_BAND)
+    want = _rows(dedup.lsh_candidates_against(sig(new), sig(corpus),
+                                              BANDS, ROWS_PER_BAND))
+    similarity.save_index("dedup_minhash", (idx,), "t_mhidx")
+
+    ns = _fresh_session(spark)
+    (loaded,) = similarity.load_index(ns, "dedup_minhash", "t_mhidx")
+    new2, _ = _split_docs(ns, sf_dir)
+    got = _rows(dedup.lsh_candidates_against(sig(new2), None,
+                                             BANDS, ROWS_PER_BAND,
+                                             index=loaded))
+    assert got == want and len(got) > 0
+    assert _is_bucketed(ns, "t_mhidx__bands")
+
+
+def test_dedup_span_index_save_load_parity(spark, sf_dir):
+    new, corpus = _split_docs(spark, sf_dir)
+    idx = text.span_hash_index(corpus)
+    want = _rows(text.span_overlap_against(new, corpus))
+    similarity.save_index("dedup_span", (idx,), "t_spidx")
+
+    ns = _fresh_session(spark)
+    (loaded,) = similarity.load_index(ns, "dedup_span", "t_spidx")
+    new2, _ = _split_docs(ns, sf_dir)
+    got = _rows(text.span_overlap_against(new2, None, index=loaded))
+    assert got == want and len(got) > 0
+    assert _is_bucketed(ns, "t_spidx__spans")
 
 
 def test_save_index_rejects_wrong_shape(spark, sf_dir):
