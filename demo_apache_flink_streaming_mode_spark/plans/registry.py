@@ -215,7 +215,13 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # by sketch_hll_users + the streaming parity test; the merge row
     # proves register-max union semantics — the distributed-combine
     # contract — which no other row covers) ---------------------------
-    "sketch_hll_users",
+    # (sketch_hll_users demoted r9 after green rows through r8 — the
+    # sketch family keeps two window reps (hll_merge re-proves the
+    # identical register CTE by embedding it, cms_heavy_hitters covers
+    # the CMS side); slot goes to the NEW rate-decided, range-coded
+    # motion codec so the r9 arithmetic-coding rung earns its driver
+    # row in its first round, per the attestation convention)
+    "mm_decode_mcv3",
     "sketch_hll_merge",
     # (sketch_cms_terms demoted r6 after r3-r5 green rows; slot goes to
     # the new heavy-hitters report, which embeds the identical sketch
@@ -381,7 +387,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "mm_decode_image", "mm_decode_png", "mm_decode_jpeg",
                    "mm_decode_video", "mm_decode_mjpeg", "mm_decode_flac",
                    "mm_decode_flic", "mm_decode_mdct", "mm_decode_mcv",
-                   "mm_decode_mcv2", "mm_resize", "mm_frames"),
+                   "mm_decode_mcv2", "mm_decode_mcv3", "mm_resize",
+                   "mm_frames"),
     "graph": ("graph_pagerank", "graph_triangles"),
 }
 
