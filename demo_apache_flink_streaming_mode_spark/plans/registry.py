@@ -85,7 +85,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # through r12 (see the demotion notes below).
     "q9_product_profit",
     "q13_order_distribution",
-    "q21_waiting_supplier",
+    # (q21_waiting_supplier's opportunistic tail slot yielded r9 to the
+    # NEW bidirectional B-frame codec — the first-round-attestation
+    # convention outranks the optional TPC-H tail rotation (the tpch
+    # family stays fresh via q1/q9/q13/q_top3/q_customers); q21 cycles
+    # back next time tail pressure eases)
+    "mm_decode_mcv4",
     # bucketed-layout join (new family, r5): claims text_quality's slot
     # (quality scoring stays family-covered by text_token_stats +
     # text_lm_familiarity; corpus_clean/corpus_report also exercise the
@@ -393,8 +398,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "mm_decode_image", "mm_decode_png", "mm_decode_jpeg",
                    "mm_decode_video", "mm_decode_mjpeg", "mm_decode_flac",
                    "mm_decode_flic", "mm_decode_mdct", "mm_decode_mcv",
-                   "mm_decode_mcv2", "mm_decode_mcv3", "mm_decode_pac",
-                   "mm_resize", "mm_frames"),
+                   "mm_decode_mcv2", "mm_decode_mcv3", "mm_decode_mcv4",
+                   "mm_decode_pac", "mm_resize", "mm_frames"),
     "graph": ("graph_pagerank", "graph_triangles"),
 }
 
