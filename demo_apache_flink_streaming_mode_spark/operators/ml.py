@@ -1,0 +1,215 @@
+"""Distributed training of a linear quality model — the
+DataComp/fastText-style "train a cheap model to approximate an
+expensive scorer, then filter at scale" step of an LLM data pipeline,
+expressed as pure DataFrame aggregations (no MLlib).
+
+The teacher is the continuous ``operators.text.quality_score`` (a
+KNOWN linear function of bounded features), thresholded at
+``QF_THRESHOLD`` to act as a keep/drop filter. Two trainers:
+
+* ``train_quality_probe`` — CLOSED FORM: one distributed pass
+  accumulates the normal-equation sufficient statistics (the d*(d+1)/2
+  Gram entries X'X and the d moment entries X's — the classic
+  "ML on a cluster = one aggregation of sufficient statistics" shape),
+  then solves the 4x4 system on the driver by Cramer's rule. Because
+  the teacher IS linear in the features, the probe must RECOVER the
+  planted weights (0.4, 0.4, 0.2 and a zero bias) — the recovery test
+  pins that, and classifier agreement at the threshold is ~1.
+* ``train_quality_gd`` — ITERATIVE: ``QF_GD_ITERS`` full-batch
+  gradient-descent steps on the squared loss, each ONE map-side-
+  combinable aggregation of d gradient sums (the allreduce shape);
+  emits the per-iteration MSE learning curve, which must strictly
+  decrease.
+
+Everything is oracle-reproducible to the bit:
+
+* only +, -, * and one final / are used — no exp/log, whose libm
+  implementations differ between the JVM and DuckDB;
+* gradient/Gram reductions follow the repo's dual-path convention
+  (``operators.scale.deterministic_folds``): in-doc_id-order left
+  folds for bit-exact parity (buffers the corpus — the parity path)
+  or plain ``F.sum`` partial aggregation for bounded memory at 100 TB
+  (the production path, last-ulp nondeterminism only);
+* the Cramer determinant expansions are GENERATED ONCE as expression
+  strings (``cramer_weight_exprs``) that Python ``eval`` and the
+  DuckDB oracle embed VERBATIM — +,-,* parse with identical precedence
+  and left association in both languages, so the solve itself is
+  bit-identical across engines.
+
+The model (d=4 doubles) is the only thing that reaches the driver, and
+it returns to the executors as literals — the bounded-model contract of
+``similarity.kmeans_centroids``.
+
+Reference scope: the Flink demo has no ML surface; this extends the
+LLM-pipeline operator set (SURVEY.md "beyond the reference" tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from demo_apache_flink_streaming_mode_spark.operators import text
+from demo_apache_flink_streaming_mode_spark.operators.scale import (
+    deterministic_folds)
+
+QF_THRESHOLD = 0.525           # ~median quality_score at every SF
+QF_GD_ITERS = 3
+QF_GD_LR = 0.5
+QF_FEATURES = ("bias", "len_norm", "diversity", "word_len_norm")
+QF_D = len(QF_FEATURES)
+# the teacher's planted weights over (x1..x4): quality_score ==
+# 0.4*len_norm + 0.4*diversity + 0.2*word_len_norm, zero bias
+QF_PLANTED = (0.0, 0.4, 0.4, 0.2)
+
+
+def quality_filter_features(docs: DataFrame,
+                            text_col: str = "text") -> DataFrame:
+    """(doc_id, x1..x4, s): bounded features from the Gopher-gate
+    signal set and the teacher score s — s is BY CONSTRUCTION the
+    planted linear combination of x2..x4 (same value as
+    ``text.quality_score`` up to the NULL convention: zero-token
+    documents coalesce to all-zero features and s = 0 instead of
+    NULL, so they train as ordinary rows)."""
+    qr = text.quality_rules(docs, text_col)
+    x2 = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    x3 = F.lit(1.0) - F.coalesce(F.col("dup_token_frac"), F.lit(1.0))
+    x4 = F.least(F.coalesce(F.col("mean_word_len"), F.lit(0.0))
+                 / F.lit(8.0), F.lit(1.0))
+    return qr.select(
+        "doc_id", F.lit(1.0).alias("x1"), x2.alias("x2"), x3.alias("x3"),
+        x4.alias("x4"),
+        (F.lit(0.4) * x2 + F.lit(0.4) * x3 + F.lit(0.2) * x4).alias("s"))
+
+
+# --- Cramer's rule as engine-portable expression strings -------------------
+
+def _det3(m) -> str:
+    (a, b, c), (d, e, f), (g, h, i) = m
+    return (f"({a}*({e}*{i} - {f}*{h}) - {b}*({d}*{i} - {f}*{g})"
+            f" + {c}*({d}*{h} - {e}*{g}))")
+
+
+def _det4(m) -> str:
+    terms = []
+    for j in range(4):
+        sub = [[m[r][c] for c in range(4) if c != j] for r in (1, 2, 3)]
+        sign = "-" if j % 2 else "+"
+        terms.append(f"{sign} {m[0][j]}*{_det3(sub)}")
+    return "(" + " ".join(terms).lstrip("+ ") + ")"
+
+
+def _gram_name(i: int, j: int) -> str:
+    i, j = min(i, j), max(i, j)
+    return f"a{i}{j}"
+
+
+GRAM_NAMES = tuple(_gram_name(i, j)
+                   for i in range(QF_D) for j in range(i, QF_D))
+MOMENT_NAMES = tuple(f"b{i}" for i in range(QF_D))
+
+
+def cramer_weight_exprs() -> list[str]:
+    """w_j = det(A_j)/det(A) over the names a00..a33 (symmetric Gram)
+    and b0..b3 (moments), each a single +,-,* expression string valid
+    and bit-identical in BOTH Python and SQL."""
+    A = [[_gram_name(i, j) for j in range(QF_D)] for i in range(QF_D)]
+    det_a = _det4(A)
+    out = []
+    for j in range(QF_D):
+        Aj = [[(MOMENT_NAMES[i] if c == j else A[i][c])
+               for c in range(QF_D)] for i in range(QF_D)]
+        out.append(f"({_det4(Aj)} / {det_a})")
+    return out
+
+
+def _fold_sum(df: DataFrame, terms: dict[str, Column],
+              det: bool) -> dict[str, float]:
+    """Sum each term column over the frame: in-doc_id-order left folds
+    (parity path) or plain partial-aggregated sums (production path)."""
+    if det:
+        aggs = [F.aggregate(
+            F.array_sort(F.collect_list(F.struct("doc_id",
+                                                 col.alias("v")))),
+            F.lit(0.0), lambda acc, s: acc + s["v"]).alias(name)
+            for name, col in terms.items()]
+    else:
+        aggs = [F.sum(col).alias(name) for name, col in terms.items()]
+    row = df.agg(*aggs).collect()[0]
+    return {name: float(row[name]) for name in terms}
+
+
+def train_quality_probe(docs: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Closed-form least squares in ONE distributed pass + a driver-
+    side Cramer solve; reports each learned weight next to its planted
+    teacher weight and the keep/drop agreement at the threshold."""
+    feats = quality_filter_features(docs, text_col).persist()
+    n = feats.count()
+    spark = docs.sparkSession
+    schema = ("feature string, weight double, planted double, "
+              "train_acc double, n_docs bigint")
+    if n == 0:
+        feats.unpersist()
+        return spark.createDataFrame([], schema)
+    terms: dict[str, Column] = {}
+    for i in range(QF_D):
+        for j in range(i, QF_D):
+            terms[_gram_name(i, j)] = (F.col(f"x{i + 1}")
+                                       * F.col(f"x{j + 1}"))
+    for i in range(QF_D):
+        terms[f"b{i}"] = F.col(f"x{i + 1}") * F.col("s")
+    stats = _fold_sum(feats, terms, deterministic_folds(feats))
+    w = [eval(expr, {"__builtins__": {}}, stats)    # noqa: S307 — the
+         for expr in cramer_weight_exprs()]         # expr is generated
+    dot = F.lit(w[0]) * F.col("x1")
+    for j in range(1, QF_D):
+        dot = dot + F.lit(w[j]) * F.col(f"x{j + 1}")
+    acc = feats.agg(
+        (F.sum(F.when((dot >= F.lit(QF_THRESHOLD))
+                      == (F.col("s") >= F.lit(QF_THRESHOLD)),
+                      F.lit(1)).otherwise(F.lit(0))).cast("double")
+         / F.count(F.lit(1))).alias("acc")).collect()[0]["acc"]
+    feats.unpersist()
+    rows = [(QF_FEATURES[j], float(w[j]), QF_PLANTED[j], float(acc),
+             int(n)) for j in range(QF_D)]
+    return spark.createDataFrame(rows, schema)
+
+
+def train_quality_gd(docs: DataFrame, iters: int = QF_GD_ITERS,
+                     lr: float = QF_GD_LR,
+                     text_col: str = "text") -> DataFrame:
+    """Full-batch gradient descent on the squared loss — the iterative
+    allreduce shape (one d-sum aggregation per step). Emits the
+    learning curve: (iter, mse) with iter 0 the untrained model; the
+    curve must strictly decrease (pinned in tests)."""
+    feats = quality_filter_features(docs, text_col).persist()
+    n = feats.count()
+    spark = docs.sparkSession
+    schema = "iter int, mse double, n_docs bigint"
+    if n == 0:
+        feats.unpersist()
+        return spark.createDataFrame([], schema)
+    det = deterministic_folds(feats)
+    w = [0.0] * QF_D
+
+    def dot_col() -> Column:
+        d = F.lit(w[0]) * F.col("x1")
+        for j in range(1, QF_D):
+            d = d + F.lit(w[j]) * F.col(f"x{j + 1}")
+        return d
+
+    def mse() -> float:
+        r = dot_col() - F.col("s")
+        return _fold_sum(feats, {"sq": r * r}, det)["sq"] / float(n)
+
+    curve = [(0, mse(), int(n))]
+    for t in range(1, iters + 1):
+        r = dot_col() - F.col("s")
+        grads = _fold_sum(
+            feats,
+            {f"g{j}": (F.lit(2.0) * r) * F.col(f"x{j + 1}")
+             for j in range(QF_D)}, det)
+        w = [w[j] - lr * (grads[f"g{j}"] / float(n)) for j in range(QF_D)]
+        curve.append((t, mse(), int(n)))
+    feats.unpersist()
+    return spark.createDataFrame(curve, schema)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from demo_apache_flink_streaming_mode_spark.operators import (
-    dedup, multimodal, scale, similarity, text)
+    dedup, ml, multimodal, scale, similarity, text)
 from demo_apache_flink_streaming_mode_spark.plans.base import Query
 from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
 
@@ -2849,7 +2849,124 @@ ORACLES["corpus_clean"] = f"""
     LEFT JOIN clusters c ON c.doc_id = d.doc_id
     LEFT JOIN decon dc ON dc.doc_id = d.doc_id"""
 
+
+
+# --- distributed linear-model training (operators.ml) ---------------------
+
+
+def ml_quality_probe(spark, sf_dir):
+    """Closed-form distributed least squares: ONE aggregation pass
+    accumulates the normal-equation sufficient statistics (Gram +
+    moment sums, in-doc_id-order folds), a driver-side Cramer solve
+    produces the weights (operators.ml.train_quality_probe). The
+    teacher (text.quality_score thresholded at 0.525) is a KNOWN
+    linear function of the features, so the probe must RECOVER the
+    planted weights — reported side by side — and the Cramer
+    determinant expressions are shared VERBATIM between the Python
+    solve and this oracle's SQL, so the solve itself is bit-identical
+    across engines."""
+    return ml.train_quality_probe(_docs(spark, sf_dir))
+
+
+def ml_quality_gd(spark, sf_dir):
+    """Iterative distributed training: full-batch gradient descent on
+    the squared loss, one map-side-combinable d-sum aggregation per
+    step (the allreduce shape; operators.ml.train_quality_gd). Emits
+    the (iter, mse) learning curve, which must strictly decrease —
+    the oracle recomputes every step with unrolled CTEs."""
+    return ml.train_quality_gd(_docs(spark, sf_dir))
+
+
+# shared feature/teacher SQL: mirrors operators.ml.quality_filter_features
+# over the PROVEN quality_rules signal oracle (identical tokenization and
+# division order, so every double matches bit-exact)
+_QF_FEAT = f"""
+    qr AS (SELECT * FROM ({{qr_oracle}})),
+    feat AS (SELECT doc_id,
+        1.0 AS x1,
+        least(n_tokens / 100.0, 1.0) AS x2,
+        1.0 - coalesce(dup_token_frac, 1.0) AS x3,
+        least(coalesce(mean_word_len, 0.0) / 8.0, 1.0) AS x4,
+        0.4 * least(n_tokens / 100.0, 1.0)
+        + 0.4 * (1.0 - coalesce(dup_token_frac, 1.0))
+        + 0.2 * least(coalesce(mean_word_len, 0.0) / 8.0, 1.0) AS s
+     FROM qr)"""
+
+
+def _qf_fold(expr: str) -> str:
+    return f"list_aggregate(list({expr} ORDER BY f.doc_id), 'sum')"
+
+
+_QF_DOT = "(w.w0 * f.x1 + w.w1 * f.x2 + w.w2 * f.x3 + w.w3 * f.x4)"
+
+
+def _ml_probe_oracle() -> str:
+    gram = ",\n           ".join(
+        f"{_qf_fold(f'f.x{i + 1} * f.x{j + 1}')} AS a{i}{j}"
+        for i in range(ml.QF_D) for j in range(i, ml.QF_D))
+    mom = ",\n           ".join(
+        f"{_qf_fold(f'f.x{i + 1} * f.s')} AS b{i}" for i in range(ml.QF_D))
+    wexprs = ml.cramer_weight_exprs()
+    wsel = ", ".join(f"{e} AS w{j}" for j, e in enumerate(wexprs))
+    th = ml.QF_THRESHOLD
+    rows = "\n    UNION ALL ".join(
+        f"SELECT '{ml.QF_FEATURES[j]}' AS feature, w.w{j} AS weight, "
+        f"{ml.QF_PLANTED[j]} AS planted, a.acc AS train_acc, "
+        f"g.nn AS n_docs FROM w, acc a, g"
+        for j in range(ml.QF_D))
+    feat = _QF_FEAT.format(qr_oracle=ORACLES["text_quality_rules"])
+    return f"""
+    WITH {feat},
+    g AS (SELECT
+           {gram},
+           {mom},
+           CAST(count(*) AS BIGINT) AS nn
+          FROM feat f),
+    w AS (SELECT {wsel} FROM g),
+    acc AS (SELECT CAST(sum(CASE WHEN ({_QF_DOT} >= {th}) = (f.s >= {th})
+                            THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS acc
+            FROM feat f, w)
+    {rows}"""
+
+
+def _ml_gd_oracle(iters: int, lr: float) -> str:
+    feat = _QF_FEAT.format(qr_oracle=ORACLES["text_quality_rules"])
+    ctes = [feat,
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(count(*) AS BIGINT) AS nb FROM feat)",
+            "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"]
+    for t in range(1, iters + 1):
+        grads = ",\n               ".join(
+            f"{_qf_fold(f'(2.0 * ({_QF_DOT} - f.s)) * f.x{j + 1}')} AS g{j}"
+            for j in range(ml.QF_D))
+        ctes.append(f"""g{t} AS (SELECT
+               {grads}
+              FROM feat f, w{t - 1} w)""")
+        upd = ", ".join(f"w.w{j} - {lr} * (g.g{j} / n.n) AS w{j}"
+                        for j in range(ml.QF_D))
+        ctes.append(f"w{t} AS (SELECT {upd} FROM w{t - 1} w, g{t} g, nn n)")
+    for t in range(iters + 1):
+        ctes.append(
+            f"m{t} AS (SELECT {_qf_fold(f'({_QF_DOT} - f.s) * ({_QF_DOT} - f.s)')}"
+            f" AS ss FROM feat f, w{t} w)")
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS iter, m.ss / n.n AS mse, "
+        f"n.nb AS n_docs FROM m{t} m, nn n" for t in range(iters + 1))
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {rows}"
+
+
+ORACLES["ml_quality_probe"] = _ml_probe_oracle()
+ORACLES["ml_quality_gd"] = _ml_gd_oracle(ml.QF_GD_ITERS, ml.QF_GD_LR)
+
 QUERIES = [
+    Query("ml_quality_probe", ml_quality_probe,
+          ORACLES["ml_quality_probe"],
+          "closed-form distributed least squares: one sufficient-"
+          "statistics pass + shared-expression Cramer solve, planted-"
+          "weight recovery"),
+    Query("ml_quality_gd", ml_quality_gd, ORACLES["ml_quality_gd"],
+          "iterative distributed training: full-batch GD allreduce "
+          "shape, oracle-unrolled decreasing loss curve"),
     Query("dedup_quality_keeper", dedup_quality_keeper,
           ORACLES["dedup_quality_keeper"],
           "quality-aware dedup: keep the best-scoring duplicate"),

@@ -84,7 +84,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # Slots come from r8-first-row siblings whose families stay fresh
     # through r12 (see the demotion notes below).
     "q9_product_profit",
-    "q13_order_distribution",
+    # (q13_order_distribution's opportunistic tail slot yielded r9 to
+    # the NEW distributed-training family — same call as q21/mcv4: the
+    # first-round-attestation convention outranks the optional TPC-H
+    # tail rotation; q9 keeps the net-new TPC-H row this round)
+    "ml_quality_probe",
     # (q21_waiting_supplier's opportunistic tail slot yielded r9 to the
     # NEW bidirectional B-frame codec — the first-round-attestation
     # convention outranks the optional TPC-H tail rotation (the tpch
@@ -385,6 +389,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                       "text_shard_report"),
     "pii": ("text_pii_redact",),
     "curation": ("corpus_clean", "corpus_report", "corpus_topics"),
+    "ml_filter": ("ml_quality_probe", "ml_quality_gd"),
     "sketches_hll": ("sketch_hll_users", "sketch_hll_merge",
                      "sketch_hll_windowed"),
     "sketches_cms": ("sketch_cms_terms", "sketch_cms_heavy_hitters"),

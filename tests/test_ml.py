@@ -1,0 +1,110 @@
+"""Behavior tests for the distributed linear-model trainers
+(operators.ml): planted-weight recovery for the closed-form probe, a
+strictly decreasing GD learning curve, the dual-path fold contract,
+and the safety/portability of the generated Cramer expressions.
+
+(Oracle parity — Spark vs DuckDB hash equality of both queries — runs
+in test_correctness.py over the registry like every other query.)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from demo_apache_flink_streaming_mode_spark.operators import ml
+from demo_apache_flink_streaming_mode_spark.operators.scale import (
+    DETERMINISTIC_FOLDS_CONF)
+from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_probe_recovers_planted_weights(spark, docs):
+    """The teacher score IS a linear function of the features
+    (weights 0.4/0.4/0.2, zero bias), so least squares must recover it
+    to float precision — this is the planted-concept proof that the
+    distributed sufficient-statistics pass + Cramer solve genuinely
+    train, not just run."""
+    rows = {r["feature"]: r for r in ml.train_quality_probe(docs).collect()}
+    assert set(rows) == set(ml.QF_FEATURES)
+    for name, planted in zip(ml.QF_FEATURES, ml.QF_PLANTED):
+        assert rows[name]["planted"] == planted
+        assert abs(rows[name]["weight"] - planted) < 1e-6, (name, rows[name])
+    # a perfect linear fit classifies every doc exactly like the teacher
+    assert all(r["train_acc"] == 1.0 for r in rows.values())
+
+
+def test_gd_learning_curve_strictly_decreases(spark, docs):
+    curve = {r["iter"]: r["mse"] for r in ml.train_quality_gd(docs).collect()}
+    assert set(curve) == set(range(ml.QF_GD_ITERS + 1))
+    for t in range(1, ml.QF_GD_ITERS + 1):
+        assert curve[t] < curve[t - 1], curve
+    assert curve[0] > 0.0
+
+
+def test_fast_fold_path_matches_within_tolerance(spark, docs):
+    """The production aggregation path (plain F.sum partial
+    aggregation, bounded memory) must agree with the parity path's
+    in-doc_id-order folds to float tolerance, and its plan must not
+    buffer the corpus (no collect_list)."""
+    det = {r["feature"]: r["weight"]
+           for r in ml.train_quality_probe(docs).collect()}
+    feats = ml.quality_filter_features(docs)
+    spark.conf.set(DETERMINISTIC_FOLDS_CONF, "false")
+    try:
+        fast = {r["feature"]: r["weight"]
+                for r in ml.train_quality_probe(docs).collect()}
+        # the fast path's stats plan must aggregate without buffering
+        # the corpus into lists: inspect the exact aggregation
+        # _fold_sum builds under the toggled conf
+        import pyspark.sql.functions as F
+        from demo_apache_flink_streaming_mode_spark.operators.scale import (
+            deterministic_folds)
+        assert not deterministic_folds(feats)
+        agg_plan = (feats.agg(F.sum(feats["x1"] * feats["x1"]).alias("a00"))
+                    ._jdf.queryExecution().optimizedPlan().toString())
+        assert "collect_list" not in agg_plan
+    finally:
+        spark.conf.unset(DETERMINISTIC_FOLDS_CONF)
+    for k in det:
+        assert abs(det[k] - fast[k]) < 1e-9, (k, det[k], fast[k])
+
+
+def test_cramer_exprs_are_portable_and_safe():
+    """The generated determinant expressions are shared verbatim
+    between Python eval and the DuckDB oracle: only names, digits,
+    + - * / and parens may appear (identical precedence and left
+    association in both languages), and eval runs with no builtins."""
+    exprs = ml.cramer_weight_exprs()
+    assert len(exprs) == ml.QF_D
+    tok = re.compile(r"^[a-z0-9_\s()+\-*/]+$")
+    for e in exprs:
+        assert tok.match(e), e
+        assert "__" not in e
+    # solving the identity system recovers b exactly
+    stats = {n: 0.0 for n in ml.GRAM_NAMES}
+    for i in range(ml.QF_D):
+        stats[f"a{i}{i}"] = 1.0
+    for i, v in enumerate((2.0, -3.0, 0.5, 7.0)):
+        stats[f"b{i}"] = v
+    w = [eval(e, {"__builtins__": {}}, dict(stats)) for e in exprs]
+    assert w == [2.0, -3.0, 0.5, 7.0]
+
+
+def test_zero_token_docs_train_as_rejected_rows(spark):
+    """Degenerate documents (no tokens) must coalesce to all-zero
+    features and s = 0 instead of NULL, so they flow through training
+    instead of nulling every fold."""
+    docs = spark.createDataFrame(
+        [(1, "", "a"), (2, "real words here", "a")],
+        "doc_id long, text string, source string")
+    feats = ml.quality_filter_features(docs).collect()
+    empty = next(r for r in feats if r["doc_id"] == 1)
+    assert (empty["x2"], empty["x3"], empty["x4"], empty["s"]) == (0, 0, 0, 0)
+    curve = ml.train_quality_gd(docs).collect()
+    assert all(r["mse"] is not None for r in curve)
