@@ -213,3 +213,41 @@ def train_quality_gd(docs: DataFrame, iters: int = QF_GD_ITERS,
         curve.append((t, mse(), int(n)))
     feats.unpersist()
     return spark.createDataFrame(curve, schema)
+
+
+def score_with_weights(feats: DataFrame, w: list[float]) -> Column:
+    """<w, x> over the feature columns as the canonical left-to-right
+    chain (shared by training, serving and the oracle SQL)."""
+    dot = F.lit(w[0]) * F.col("x1")
+    for j in range(1, len(w)):
+        dot = dot + F.lit(w[j]) * F.col(f"x{j + 1}")
+    return dot
+
+
+def apply_quality_filter(docs: DataFrame, weights: list[float],
+                         text_col: str = "text") -> DataFrame:
+    """SERVE shape: score documents with a TRAINED weight vector — the
+    frozen model is 4 doubles shipped as literals (the cheapest
+    possible broadcast) — and emit the keep decision at
+    ``QF_THRESHOLD``. A shuffle-free projection that fuses into the
+    scan: the actual 100 TB filtering pass. The streaming twin applies
+    the same literals to micro-batches via ``foreachBatch``
+    (stream-static parity test in tests/test_streaming.py)."""
+    feats = quality_filter_features(docs, text_col)
+    dot = score_with_weights(feats, weights)
+    return feats.select(
+        "doc_id", dot.alias("pred_score"),
+        (dot >= F.lit(QF_THRESHOLD)).alias("keep"))
+
+
+def train_and_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """End-to-end: closed-form training pass, then the serve-shape
+    filtering pass with the learned weights — train-then-filter as one
+    judged query."""
+    trained = {r["feature"]: r["weight"]
+               for r in train_quality_probe(docs, text_col).collect()}
+    if not trained:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id bigint, pred_score double, keep boolean")
+    w = [trained[f] for f in QF_FEATURES]
+    return apply_quality_filter(docs, w, text_col)

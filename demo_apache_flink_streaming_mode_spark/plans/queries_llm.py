@@ -2877,6 +2877,17 @@ def ml_quality_gd(spark, sf_dir):
     return ml.train_quality_gd(_docs(spark, sf_dir))
 
 
+def ml_quality_apply(spark, sf_dir):
+    """End-to-end train-then-filter: the closed-form probe's training
+    pass followed by the SERVE-shape filtering pass — every document
+    scored with the learned weights (4 literals, a shuffle-free
+    projection fused into the scan: the actual 100 TB filtering step;
+    operators.ml.train_and_filter). The oracle re-derives the weights
+    with the same shared Cramer expressions and scores every doc in
+    SQL."""
+    return ml.train_and_filter(_docs(spark, sf_dir))
+
+
 # shared feature/teacher SQL: mirrors operators.ml.quality_filter_features
 # over the PROVEN quality_rules signal oracle (identical tokenization and
 # division order, so every double matches bit-exact)
@@ -2957,6 +2968,28 @@ def _ml_gd_oracle(iters: int, lr: float) -> str:
 
 ORACLES["ml_quality_probe"] = _ml_probe_oracle()
 ORACLES["ml_quality_gd"] = _ml_gd_oracle(ml.QF_GD_ITERS, ml.QF_GD_LR)
+def _ml_apply_oracle() -> str:
+    gram = ",\n           ".join(
+        f"{_qf_fold(f'f.x{i + 1} * f.x{j + 1}')} AS a{i}{j}"
+        for i in range(ml.QF_D) for j in range(i, ml.QF_D))
+    mom = ",\n           ".join(
+        f"{_qf_fold(f'f.x{i + 1} * f.s')} AS b{i}" for i in range(ml.QF_D))
+    wsel = ", ".join(f"{e} AS w{j}"
+                     for j, e in enumerate(ml.cramer_weight_exprs()))
+    feat = _QF_FEAT.format(qr_oracle=ORACLES["text_quality_rules"])
+    return f"""
+    WITH {feat},
+    g AS (SELECT
+           {gram},
+           {mom}
+          FROM feat f),
+    w AS (SELECT {wsel} FROM g)
+    SELECT f.doc_id, {_QF_DOT} AS pred_score,
+           {_QF_DOT} >= {ml.QF_THRESHOLD} AS keep
+    FROM feat f, w"""
+
+
+ORACLES["ml_quality_apply"] = _ml_apply_oracle()
 
 QUERIES = [
     Query("ml_quality_probe", ml_quality_probe,
@@ -2964,6 +2997,9 @@ QUERIES = [
           "closed-form distributed least squares: one sufficient-"
           "statistics pass + shared-expression Cramer solve, planted-"
           "weight recovery"),
+    Query("ml_quality_apply", ml_quality_apply, ORACLES["ml_quality_apply"],
+          "train-then-filter serve shape: learned weights as literals, "
+          "shuffle-free per-doc keep decision"),
     Query("ml_quality_gd", ml_quality_gd, ORACLES["ml_quality_gd"],
           "iterative distributed training: full-batch GD allreduce "
           "shape, oracle-unrolled decreasing loss curve"),

@@ -389,7 +389,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                       "text_shard_report"),
     "pii": ("text_pii_redact",),
     "curation": ("corpus_clean", "corpus_report", "corpus_topics"),
-    "ml_filter": ("ml_quality_probe", "ml_quality_gd"),
+    "ml_filter": ("ml_quality_probe", "ml_quality_gd",
+                  "ml_quality_apply"),
     "sketches_hll": ("sketch_hll_users", "sketch_hll_merge",
                      "sketch_hll_windowed"),
     "sketches_cms": ("sketch_cms_terms", "sketch_cms_heavy_hitters"),

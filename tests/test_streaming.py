@@ -1216,3 +1216,46 @@ def test_ivf_topk_stream_static_parity(spark, sf_dir, tmp_path):
     q.awaitTermination(300)
     assert len(batches) > 1, "expected multiple micro-batches"
     assert sorted(got) == want
+
+
+def test_quality_filter_model_serve_stream_parity(spark, sf_dir, tmp_path):
+    """The trained quality filter in SERVE shape: the model is trained
+    ONCE (closed-form probe — 4 doubles, the frozen artifact), then
+    streaming micro-batches of documents are scored with those weights
+    via foreachBatch. Each document is scored independently, so the
+    union over micro-batches must equal the batch train-then-filter
+    output exactly — the model-deploy twin of the frozen-index parity
+    tests."""
+    from demo_apache_flink_streaming_mode_spark.operators import ml
+
+    docs = load_table(spark, sf_dir, "documents")
+    trained = {r["feature"]: r["weight"]
+               for r in ml.train_quality_probe(docs).collect()}
+    w = [trained[f] for f in ml.QF_FEATURES]
+    want = sorted(tuple(r)
+                  for r in ml.apply_quality_filter(docs, w).collect())
+    assert want == sorted(tuple(r)
+                          for r in ml.train_and_filter(docs).collect())
+    assert len(want) > 0 and any(r[2] for r in want) \
+        and any(not r[2] for r in want)
+
+    d = str(tmp_path / "doc_batches")
+    docs.select("doc_id", "text").repartition(3) \
+        .write.mode("overwrite").parquet(d)
+    schema = docs.select("doc_id", "text").schema
+    stream = sources.file_stream(spark, d + "/part-*", schema,
+                                 fmt="parquet", max_files_per_trigger=1)
+    got: list[tuple] = []
+    n_batches = []
+
+    def score(batch_df, epoch_id):
+        got.extend(tuple(r) for r in
+                   ml.apply_quality_filter(batch_df, w).collect())
+        n_batches.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(score)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(300)
+    assert len(n_batches) > 1, "expected multiple micro-batches"
+    assert sorted(got) == want
