@@ -2367,13 +2367,13 @@ _MCV3_CTX_RES = (10, 21)       # by mode: 0 = intra, 1 = inter
 _MCV3_RES_DEPTH = 11
 
 
-def _mcv3_resid_bits(z_vals, probs, base: int):
+def _mcv3_resid_bits(z_vals, base: int):
     """Exp-Golomb binarization of zigzagged residuals: k context-coded
     unary '1' bits (per-depth contexts), a context-coded '0' stop, then
-    k bypass suffix bits. Returns the (ctx, bit)/direct op list so the
-    same walk serves the encoder, the decoder's mirror, and the pricer.
-
-    Yields ("bit", ctx, b) and ("dir", value, length) ops."""
+    k bypass suffix bits. Yields ("bit", ctx, b) and ("dir", value,
+    length) ops — the same walk serves the encoder's emit and the
+    pricer's simulation (context STATE stays outside, in the caller's
+    probs array / the pricer's scratch overlay)."""
     for z in z_vals:
         k = (z + 1).bit_length() - 1
         for d in range(k):
@@ -2459,7 +2459,7 @@ def _encode_mcv3(payload: bytes, w: int = MCV_W, h: int = MCV_H,
                     dc = _mcv3_intra_pred(rec, by, bx, b)
                     ops = list(_mcv3_resid_bits(
                         [_zigzag(int(v)) for v in (cur - dc).ravel()],
-                        probs, _MCV3_CTX_RES[0]))
+                        _MCV3_CTX_RES[0]))
                     _mcv3_emit(ops, enc, probs)
                     rec[by:by + b, bx:bx + b] = cur
                     continue
@@ -2490,7 +2490,7 @@ def _encode_mcv3(payload: bytes, w: int = MCV_W, h: int = MCV_H,
                              + list(_mcv3_resid_bits(
                                  [_zigzag(int(v))
                                   for v in (cur - pred).ravel()],
-                                 probs, _MCV3_CTX_RES[1])))
+                                 _MCV3_CTX_RES[1])))
                 cands.append(("P", inter_ops))
                 # candidate INTRA: current-frame DC prediction
                 dc = _mcv3_intra_pred(rec, by, bx, b)
@@ -2499,7 +2499,7 @@ def _encode_mcv3(payload: bytes, w: int = MCV_W, h: int = MCV_H,
                              + list(_mcv3_resid_bits(
                                  [_zigzag(int(v))
                                   for v in (cur - dc).ravel()],
-                                 probs, _MCV3_CTX_RES[0])))
+                                 _MCV3_CTX_RES[0])))
                 cands.append(("I", intra_ops))
                 # rate decision: strict < in SKIP < INTER < INTRA order
                 chosen = None
