@@ -108,6 +108,12 @@ GRAM_NAMES = tuple(_gram_name(i, j)
 MOMENT_NAMES = tuple(f"b{i}" for i in range(QF_D))
 
 
+def cramer_det_expr() -> str:
+    """det(A) over the Gram names — the shared denominator."""
+    return _det4([[_gram_name(i, j) for j in range(QF_D)]
+                  for i in range(QF_D)])
+
+
 def cramer_weight_exprs() -> list[str]:
     """w_j = det(A_j)/det(A) over the names a00..a33 (symmetric Gram)
     and b0..b3 (moments), each a single +,-,* expression string valid

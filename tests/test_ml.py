@@ -108,3 +108,40 @@ def test_zero_token_docs_train_as_rejected_rows(spark):
     assert (empty["x2"], empty["x3"], empty["x4"], empty["s"]) == (0, 0, 0, 0)
     curve = ml.train_quality_gd(docs).collect()
     assert all(r["mse"] is not None for r in curve)
+
+
+# --- property: the generated Cramer solve recovers planted weights ---------
+
+import hypo
+from hypothesis import assume, given, strategies as st
+
+_corpus = st.lists(
+    st.tuples(st.floats(0, 1, allow_nan=False, width=32),
+              st.floats(0, 1, allow_nan=False, width=32),
+              st.floats(0, 1, allow_nan=False, width=32)),
+    min_size=4, max_size=60)
+
+
+@hypo.budget(30)
+@given(_corpus, st.tuples(*[st.floats(-2, 2, allow_nan=False, width=32)
+                            for _ in range(4)]))
+def test_cramer_solve_recovers_any_planted_weights(rows, planted):
+    """For ANY bounded feature matrix whose Gram system is well
+    conditioned, least squares on a target that IS linear in the
+    features must hand back the planted weights — hypothesis hunts the
+    generated determinant expansions for an ordering/sign slip that a
+    single fixture corpus would never expose."""
+    X = [(1.0, a, b, c) for a, b, c in rows]
+    s = [planted[0] * x[0] + planted[1] * x[1] + planted[2] * x[2]
+         + planted[3] * x[3] for x in X]
+    stats = {}
+    for i in range(ml.QF_D):
+        for j in range(i, ml.QF_D):
+            stats[f"a{i}{j}"] = sum(x[i] * x[j] for x in X)
+        stats[f"b{i}"] = sum(x[i] * t for x, t in zip(X, s))
+    exprs = ml.cramer_weight_exprs()
+    det_a = eval(ml.cramer_det_expr(), {"__builtins__": {}}, dict(stats))
+    assume(abs(det_a) > 1e-6)
+    w = [eval(e, {"__builtins__": {}}, dict(stats)) for e in exprs]
+    for got, want in zip(w, planted):
+        assert abs(got - want) < 1e-4 * max(1.0, abs(want)), (w, planted)
