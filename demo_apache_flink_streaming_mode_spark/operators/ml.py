@@ -257,3 +257,27 @@ def train_and_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
             [], "doc_id bigint, pred_score double, keep boolean")
     w = [trained[f] for f in QF_FEATURES]
     return apply_quality_filter(docs, w, text_col)
+
+
+def save_quality_model(spark, weights: list[float], name: str) -> None:
+    """Persist the trained filter (the d=4 model artifact) through the
+    same catalog persistence the frozen indexes use
+    (``similarity.save_index``) — one tiny unbucketed table
+    ``{name}__weights`` of (j, feature, weight)."""
+    from demo_apache_flink_streaming_mode_spark.operators.similarity import (
+        save_index)
+    frame = spark.createDataFrame(
+        [(j, QF_FEATURES[j], float(weights[j])) for j in range(QF_D)],
+        "j int, feature string, weight double")
+    save_index("ml_model", (frame,), name)
+
+
+def load_quality_model(spark, name: str) -> list[float]:
+    """Reload the persisted model as the weight list the serving pass
+    (``apply_quality_filter``) takes — proven bit-identical through
+    the parquet round trip by tests/test_index_persist.py."""
+    from demo_apache_flink_streaming_mode_spark.operators.similarity import (
+        load_index)
+    (frame,) = load_index(spark, "ml_model", name)
+    rows = {r["j"]: r["weight"] for r in frame.collect()}
+    return [rows[j] for j in range(QF_D)]

@@ -666,6 +666,10 @@ _INDEX_LAYOUT: dict[str, tuple[tuple[str, str | None], ...]] = {
     "dedup_exact": (("hashes", "h"),),
     "dedup_minhash": (("bands", "band_hash"),),
     "dedup_span": (("spans", "h"),),
+    # the trained linear quality filter (operators.ml): the model is
+    # d=4 doubles — one tiny unbucketed table, the frozen artifact the
+    # serving pass reads back as literals
+    "ml_model": (("weights", None),),
 }
 
 

@@ -181,3 +181,24 @@ def test_save_index_rejects_wrong_shape(spark, sf_dir):
         similarity.save_index("pq", idx, "t_badidx")  # 2 parts, pq needs 3
     with pytest.raises(KeyError):
         similarity.save_index("nope", idx, "t_badidx")
+
+
+def test_quality_model_save_load_parity(spark, sf_dir):
+    """The trained linear filter round-trips through the catalog like
+    the frozen indexes: weights reload bit-identical (doubles survive
+    parquet exactly), and the serving pass in a FRESH session with the
+    reloaded model returns bit-identical keep decisions."""
+    from demo_apache_flink_streaming_mode_spark.operators import ml
+
+    docs = load_table(spark, sf_dir, "documents")
+    trained = {r["feature"]: r["weight"]
+               for r in ml.train_quality_probe(docs).collect()}
+    w = [trained[f] for f in ml.QF_FEATURES]
+    want = _rows(ml.apply_quality_filter(docs, w))
+    ml.save_quality_model(spark, w, "t_qmodel")
+    ns = _fresh_session(spark)
+    w2 = ml.load_quality_model(ns, "t_qmodel")
+    assert w2 == w                      # exact doubles through parquet
+    got = _rows(ml.apply_quality_filter(load_table(ns, sf_dir, "documents"),
+                                        w2))
+    assert got == want and len(got) > 0
