@@ -259,6 +259,70 @@ def train_and_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return apply_quality_filter(docs, w, text_col)
 
 
+QF_CAL_BUCKETS = 10
+
+
+def calibration_report(docs: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Reliability diagram for the trained quality filter — the step a
+    production pipeline runs before trusting a cheap learned scorer to
+    gate data at scale (the fastText-filter calibration check): bucket
+    every document by predicted score into ``QF_CAL_BUCKETS`` equal
+    bins, and per bin report the document count, the mean predicted
+    score, the mean teacher score, the keep counts on both sides of
+    the threshold, and the calibration gap |mean_pred - mean_teacher|.
+
+    Engine-portable like the trainers: the bin id is one floor of a
+    shared double (bit-identical across engines), per-bin double sums
+    follow the dual-path fold convention
+    (``operators.scale.deterministic_folds``: in-doc_id-order left
+    folds for oracle parity, plain ``F.sum`` for bounded memory at
+    100 TB), keep counts are integers. Scale shape: one projection
+    pass + one bounded groupBy (<= QF_CAL_BUCKETS groups) — the whole
+    report is a single map-side-combinable aggregation after the
+    training pass."""
+    feats = quality_filter_features(docs, text_col)
+    trained = {r["feature"]: r["weight"]
+               for r in train_quality_probe(docs, text_col).collect()}
+    spark = docs.sparkSession
+    schema = ("bucket int, n_docs bigint, mean_pred double, "
+              "mean_teacher double, n_keep_pred bigint, "
+              "n_keep_teacher bigint, cal_gap double")
+    if not trained:
+        return spark.createDataFrame([], schema)
+    w = [trained[f] for f in QF_FEATURES]
+    pred = score_with_weights(feats, w)
+    b = feats.select(
+        "doc_id", pred.alias("pred"), F.col("s"),
+        F.least(F.greatest(F.floor(pred * F.lit(float(QF_CAL_BUCKETS))),
+                           F.lit(0)),
+                F.lit(QF_CAL_BUCKETS - 1)).cast("int").alias("bucket"))
+    if deterministic_folds(feats):
+        def fold(col: str) -> Column:
+            return F.aggregate(
+                F.array_sort(F.collect_list(
+                    F.struct("doc_id", F.col(col).alias("v")))),
+                F.lit(0.0), lambda acc, s: acc + s["v"])
+    else:
+        def fold(col: str) -> Column:
+            return F.sum(col)
+    th = F.lit(QF_THRESHOLD)
+    agg = (b.groupBy("bucket")
+           .agg(F.count("*").alias("n_docs"),
+                fold("pred").alias("sum_pred"),
+                fold("s").alias("sum_s"),
+                F.sum((F.col("pred") >= th).cast("long"))
+                .alias("n_keep_pred"),
+                F.sum((F.col("s") >= th).cast("long"))
+                .alias("n_keep_teacher")))
+    mean_pred = F.col("sum_pred") / F.col("n_docs")
+    mean_teacher = F.col("sum_s") / F.col("n_docs")
+    return agg.select("bucket", "n_docs", mean_pred.alias("mean_pred"),
+                      mean_teacher.alias("mean_teacher"),
+                      "n_keep_pred", "n_keep_teacher",
+                      F.abs(mean_pred - mean_teacher).alias("cal_gap"))
+
+
 def save_quality_model(spark, weights: list[float], name: str) -> None:
     """Persist the trained filter (the d=4 model artifact) through the
     same catalog persistence the frozen indexes use

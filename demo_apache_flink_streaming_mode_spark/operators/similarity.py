@@ -614,6 +614,48 @@ def semantic_cells(vecs: DataFrame, n_cells: int, train_iters: int = 1,
     return ivf_assign(u, cents, id_col, "uv", dim)
 
 
+def prototypicality(vecs: DataFrame, n_cells: int, train_iters: int = 1,
+                    drop_topn: int = 2, dim: int | None = None,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """SSL-prototypes pruning — the diversification half of D4
+    (Tirumala et al. 2023, "D4: Improving LLM Pretraining via Document
+    De-Duplication and Diversification"; Sorscher et al. 2022 for the
+    prototypicality metric — both public): k-means cluster the
+    embeddings (the shared :func:`semantic_cells` machinery SemDeDup
+    blocks on), score each document by its cosine to its own cell
+    centroid (prototypicality), and DROP the ``drop_topn`` most
+    prototypical documents per cell — the points nearest the centroid
+    carry the least marginal information, so pruning them diversifies
+    the corpus.
+
+    Output: (id, cell, proto_sim, rank_in_cell, kept). Deterministic:
+    ties break on ascending id; a fixed per-cell drop count (not a
+    fraction) keeps the decision integer-exact across engines.
+
+    Scale shape: training/assignment are the same broadcast-centroid
+    passes as SemDeDup, the centroid re-join for the score is a
+    broadcast (<= n_cells rows), and ranking is a per-cell window —
+    cell-bounded sorts, no global window, no pair join at all (this is
+    the CHEAP leg of D4 next to the quadratic-within-cell dedup leg).
+    """
+    u = (unit_vectors(_spread(vecs), id_col, vec_col, id_col, "uv")
+         .filter(F.col("uv").getItem(0).isNotNull())
+         .transform(cut_lineage))
+    cents = kmeans_centroids(u, n_cells, train_iters, id_col, "uv", dim)
+    asg = ivf_assign(u, cents, id_col, "uv", dim)
+    scored = (asg.join(F.broadcast(cents), "cell")
+              .select(id_col, "cell",
+                      _dot("uv", "cv", dim).alias("proto_sim")))
+    win = W.partitionBy("cell").orderBy(F.desc("proto_sim"),
+                                        F.asc(id_col))
+    return (scored
+            .withColumn("rank_in_cell", F.row_number().over(win))
+            .select(id_col, F.col("cell").cast("int").alias("cell"),
+                    "proto_sim", "rank_in_cell",
+                    (F.col("rank_in_cell") > drop_topn).alias("kept")))
+
+
 def semantic_index(corpus: DataFrame, n_cells: int, train_iters: int = 1,
                    dim: int | None = None, id_col: str = "vec_id",
                    vec_col: str = "embedding"
@@ -670,6 +712,10 @@ _INDEX_LAYOUT: dict[str, tuple[tuple[str, str | None], ...]] = {
     # d=4 doubles — one tiny unbucketed table, the frozen artifact the
     # serving pass reads back as literals
     "ml_model": (("weights", None),),
+    # the DSIR importance-weight table (operators.curation): bounded by
+    # n_buckets rows by construction — one tiny unbucketed table that
+    # re-broadcasts at serve time
+    "dsir": (("weights", None),),
 }
 
 

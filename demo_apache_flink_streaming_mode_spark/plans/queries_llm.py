@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from demo_apache_flink_streaming_mode_spark.operators import (
-    dedup, ml, multimodal, scale, similarity, text)
+    curation, dedup, ml, multimodal, scale, similarity, text)
 from demo_apache_flink_streaming_mode_spark.plans.base import Query
 from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
 
@@ -46,6 +46,10 @@ DECON_MOD = 20          # benchmark set = md5('bench:'||doc_id) % MOD == 0
 DECON_THRESHOLD = 0.2   # contaminated if >= 20% gram overlap
 TFIDF_TOPN = 3          # keywords kept per document
 TOPIC_TOPN = 5          # labeling terms kept per semantic cluster
+DSIR_BUCKETS = 4096     # hashed-bigram feature buckets (DSIR featurizer)
+DSIR_TGT_MOD = 10       # target set = md5('tgt:'||doc_id) % MOD == 0
+DSIR_KEEP = 8           # docs kept per source by importance rank
+PROTO_DROP_TOPN = 2     # most-prototypical docs dropped per cell (D4)
 MM_DIM = 8              # fake-codec feature dimension
 MM_RESIZE_BYTES = 256   # resize kernel target size
 MM_FRAME_BYTES, MM_EVERY_N = 1024, 4  # frame-sample kernel params
@@ -853,6 +857,38 @@ def text_mixture_sample(spark, sf_dir):
 
 
 STRATA_QUOTA = 8
+
+
+def text_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed-bigram
+    bucket weights = add-one-smoothed target/raw count ratio in ppm
+    (the integer-exact twin of the paper's log-likelihood ratio), per-
+    doc score = mean bucket weight, selection = top DSIR_KEEP per
+    source. The weight table is bounded by DSIR_BUCKETS regardless of
+    corpus size, so scoring is one broadcast join — see
+    operators.curation for the 100 TB shape."""
+    return curation.dsir_select(_docs(spark, sf_dir), DSIR_BUCKETS,
+                                DSIR_TGT_MOD, DSIR_KEEP)
+
+
+def corpus_prototypes(spark, sf_dir):
+    """SSL-prototypes pruning, the diversification half of D4
+    (Tirumala et al. 2023): cosine-to-own-centroid prototypicality over
+    the shared SemDeDup k-means cells, dropping the PROTO_DROP_TOPN
+    most prototypical docs per cell — see
+    operators.similarity.prototypicality."""
+    return similarity.prototypicality(
+        _embs(spark, sf_dir), N_CELLS, train_iters=KMEANS_ITERS,
+        drop_topn=PROTO_DROP_TOPN, dim=DIM)
+
+
+def ml_quality_calibration(spark, sf_dir):
+    """Reliability diagram for the trained quality filter: the probe's
+    training pass, then one bounded groupBy over predicted-score bins
+    reporting mean predicted vs mean teacher score and keep counts per
+    bin — the trust-but-verify step before the learned filter gates
+    data at 100 TB (operators.ml.calibration_report)."""
+    return ml.calibration_report(_docs(spark, sf_dir))
 
 
 def text_lm_familiarity(spark, sf_dir):
@@ -2561,6 +2597,75 @@ ORACLES["dedup_incremental_semantic"] = f"""
     FROM nasg n JOIN casg c ON n.cell = c.cell
     WHERE {_cos('n.uv', 'c.uv')} >= {COS_DUP_THRESHOLD}"""
 
+# DSIR importance resampling: hashed-bigram buckets (the identical
+# tokenize/md5 chain as text_lm_familiarity's oracle, reduced mod
+# DSIR_BUCKETS), add-one-smoothed target/raw ratio in ppm by integer
+# division, per-doc mean weight, per-source rank selection — every
+# step integer arithmetic, bit-identical across engines
+ORACLES["text_dsir_select"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    g AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(tk)),
+              i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 15))::BIGINT
+                   % {DSIR_BUCKETS})) AS bucket
+          FROM toks WHERE len(tk) >= 2),
+    w AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw,
+            CAST(sum(CASE WHEN ('0x' || substr(md5('tgt:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                               % {DSIR_TGT_MOD} = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+          FROM g GROUP BY 1),
+    ww AS (SELECT bucket,
+                  (1000000 * (n_tgt + 1)) // (n_raw + 1) AS w_ppm
+           FROM w),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(sum(w_ppm) AS BIGINT) AS sum_w_ppm
+           FROM g JOIN ww USING (bucket) GROUP BY 1),
+    sc AS (SELECT d.doc_id, d.source,
+             coalesce(n_grams, 0) AS n_grams,
+             coalesce(sum_w_ppm, 0) AS sum_w_ppm,
+             CASE WHEN coalesce(n_grams, 0) = 0 THEN 0
+                  ELSE sum_w_ppm // n_grams END AS avg_w_ppm
+           FROM documents d LEFT JOIN pd USING (doc_id)),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY avg_w_ppm DESC, doc_id ASC) AS rank_in_source
+          FROM sc)
+    SELECT doc_id, source, n_grams, sum_w_ppm, avg_w_ppm,
+           CAST(rank_in_source AS INT) AS rank_in_source,
+           rank_in_source <= {DSIR_KEEP} AS selected
+    FROM r"""
+
+
+# D4/SSL-prototypes pruning: the shared k-means CTEs, the rn=1
+# assignment, then cosine-to-own-centroid (the identical in-order dot
+# fold) ranked per cell — mirrors similarity.prototypicality
+def _proto_oracle(train_iters: int) -> str:
+    km, cent = _kmeans_ctes(train_iters)
+    return f"""
+        WITH {_EMB_D},{km},
+        assigned AS (
+          SELECT vec_id, cell, uv FROM (
+            SELECT eg.vec_id, c.cell, eg.uv,
+                   ROW_NUMBER() OVER (PARTITION BY eg.vec_id
+                       ORDER BY {_DOT.format(a='eg.uv', b='c.cv')} DESC,
+                                c.cell ASC) AS rn
+            FROM eg, {cent} c) WHERE rn = 1),
+        scored AS (
+          SELECT a.vec_id, a.cell,
+                 {_DOT.format(a='a.uv', b='c.cv')} AS proto_sim
+          FROM assigned a JOIN {cent} c USING (cell)),
+        r AS (SELECT vec_id, cell, proto_sim,
+                     ROW_NUMBER() OVER (PARTITION BY cell
+                         ORDER BY proto_sim DESC, vec_id ASC)
+                       AS rank_in_cell
+              FROM scored)
+        SELECT vec_id, CAST(cell AS INT) AS cell, proto_sim,
+               CAST(rank_in_cell AS INT) AS rank_in_cell,
+               rank_in_cell > {PROTO_DROP_TOPN} AS kept
+        FROM r"""
+
+
+ORACLES["corpus_prototypes"] = _proto_oracle(KMEANS_ITERS)
+
 # cluster-topics: the SemDeDup k-means CTEs (shared machinery) feed a
 # cell->doc map; term counting is text_tfidf's dataflow aggregated per
 # cell; score = CAST(tf AS DOUBLE) * (N - df + 0.5) / (df + 0.5), the
@@ -2991,6 +3096,49 @@ def _ml_apply_oracle() -> str:
 
 ORACLES["ml_quality_apply"] = _ml_apply_oracle()
 
+
+def _ml_calibration_oracle() -> str:
+    """Reliability-diagram oracle: the apply oracle's weight CTEs, one
+    shared floor for the bin id, per-bin in-doc_id-order folds for the
+    double means (the parity path of operators.ml.calibration_report),
+    integer keep counts."""
+    gram = ",\n           ".join(
+        f"{_qf_fold(f'f.x{i + 1} * f.x{j + 1}')} AS a{i}{j}"
+        for i in range(ml.QF_D) for j in range(i, ml.QF_D))
+    mom = ",\n           ".join(
+        f"{_qf_fold(f'f.x{i + 1} * f.s')} AS b{i}" for i in range(ml.QF_D))
+    wsel = ", ".join(f"{e} AS w{j}"
+                     for j, e in enumerate(ml.cramer_weight_exprs()))
+    feat = _QF_FEAT.format(qr_oracle=ORACLES["text_quality_rules"])
+    nb, th = ml.QF_CAL_BUCKETS, ml.QF_THRESHOLD
+    mp = "list_aggregate(list(pred ORDER BY doc_id), 'sum') / count(*)"
+    mt = "list_aggregate(list(s ORDER BY doc_id), 'sum') / count(*)"
+    return f"""
+    WITH {feat},
+    g AS (SELECT
+           {gram},
+           {mom}
+          FROM feat f),
+    w AS (SELECT {wsel} FROM g),
+    scored AS (SELECT f.doc_id, {_QF_DOT} AS pred, f.s AS s
+               FROM feat f, w),
+    b AS (SELECT doc_id, pred, s,
+                 CAST(least(greatest(floor(pred * CAST({nb} AS DOUBLE)),
+                                     0), {nb - 1}) AS INT) AS bucket
+          FROM scored)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           {mp} AS mean_pred,
+           {mt} AS mean_teacher,
+           CAST(sum(CASE WHEN pred >= {th} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep_pred,
+           CAST(sum(CASE WHEN s >= {th} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep_teacher,
+           abs({mp} - {mt}) AS cal_gap
+    FROM b GROUP BY bucket"""
+
+
+ORACLES["ml_quality_calibration"] = _ml_calibration_oracle()
+
 QUERIES = [
     Query("ml_quality_probe", ml_quality_probe,
           ORACLES["ml_quality_probe"],
@@ -3148,6 +3296,14 @@ QUERIES = [
           "deterministic hash train/val/test split (leak-proof, shuffle-free)"),
     Query("text_mixture_sample", text_mixture_sample, ORACLES["text_mixture_sample"],
           "per-source mixture sampling by hash threshold"),
+    Query("text_dsir_select", text_dsir_select, ORACLES["text_dsir_select"],
+          "DSIR hashed-ngram importance resampling (integer-exact)"),
+    Query("corpus_prototypes", corpus_prototypes,
+          ORACLES["corpus_prototypes"],
+          "D4/SSL-prototypes pruning over semantic k-means cells"),
+    Query("ml_quality_calibration", ml_quality_calibration,
+          ORACLES["ml_quality_calibration"],
+          "reliability diagram for the trained quality filter"),
     Query("text_stratified_sample", text_stratified_sample,
           ORACLES["text_stratified_sample"],
           "exact-quota stratified sample per source (salted-hash rank)"),

@@ -159,7 +159,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # (sim_topk_pq demoted r6: PQ/ADC proven by the r5 driver row and
     # its ADC leg still runs in-window inside nothing — pytest + tail;
     # slot goes to the never-attested int8-quantization family)
-    "sim_topk_int8",
+    # (sim_topk_int8 demoted r9 after its r8 first row — the ann_int8
+    # family is fresh through r12; slot goes to the NEW D4/SSL-
+    # prototypes pruning family so the diversification operator earns
+    # its driver row in its first round, per the attestation
+    # convention)
+    "corpus_prototypes",
     # (sim_knn_label_vote demoted r8 after r6+r7 green rows — its vote
     # legs are embedded VERBATIM as CTEs in the in-window
     # sim_knn_agreement oracle, so the vote semantics keep driver
@@ -198,7 +203,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # (text_decontam demoted r5 for its Bloom-prefiltered variant —
     # both share ONE oracle, so the green row now proves the 128 KiB
     # bitmap probe path AND, by identity, the exact path)
-    "text_decontam_bloom",
+    # (text_decontam_bloom demoted r9 after its r8 first row — the
+    # decontam family is fresh through r12; slot goes to the NEW DSIR
+    # importance-resampling family so the data-selection operator earns
+    # its driver row in its first round, per the attestation
+    # convention)
+    "text_dsir_select",
     # (text_bm25 demoted r6: driver-green r3-r5, postings machinery
     # also exercised by text_lm_familiarity's corpus stats; slot goes
     # to the never-attested per-source percent-rank normalizer)
@@ -231,7 +241,13 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # motion codec so the r9 arithmetic-coding rung earns its driver
     # row in its first round, per the attestation convention)
     "mm_decode_mcv3",
-    "sketch_hll_merge",
+    # (sketch_hll_merge demoted r9 after green rows through r8 — the
+    # sketches_hll family is fresh through r12 and the CMS side keeps
+    # its window rep below; slot goes to the NEW calibration report so
+    # the ml_filter family's reliability-diagram leg earns its driver
+    # row in its first round, alongside ml_quality_probe's in-window
+    # first row)
+    "ml_quality_calibration",
     # (sketch_cms_terms demoted r6 after r3-r5 green rows; slot goes to
     # the new heavy-hitters report, which embeds the identical sketch
     # CTE verbatim — its green row re-proves the sketch AND the top-k)
@@ -387,10 +403,12 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "text_sampling": ("text_split_assign", "text_mixture_sample",
                       "text_stratified_sample", "text_pack_shards",
                       "text_shard_report"),
+    "data_selection": ("text_dsir_select",),
+    "prototypes": ("corpus_prototypes",),
     "pii": ("text_pii_redact",),
     "curation": ("corpus_clean", "corpus_report", "corpus_topics"),
     "ml_filter": ("ml_quality_probe", "ml_quality_gd",
-                  "ml_quality_apply"),
+                  "ml_quality_apply", "ml_quality_calibration"),
     "sketches_hll": ("sketch_hll_users", "sketch_hll_merge",
                      "sketch_hll_windowed"),
     "sketches_cms": ("sketch_cms_terms", "sketch_cms_heavy_hitters"),

@@ -183,6 +183,27 @@ def test_save_index_rejects_wrong_shape(spark, sf_dir):
         similarity.save_index("nope", idx, "t_badidx")
 
 
+def test_dsir_weights_save_load_parity(spark, sf_dir):
+    """The DSIR importance-weight table round-trips through the catalog
+    like the other frozen artifacts: integer weights reload exactly,
+    and scoring the pool in a FRESH session against the reloaded table
+    returns bit-identical per-doc scores."""
+    from demo_apache_flink_streaming_mode_spark.operators import curation
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        DSIR_BUCKETS, DSIR_TGT_MOD)
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = curation.bucket_weights(docs, DSIR_BUCKETS, DSIR_TGT_MOD)
+    want = _rows(curation.score_docs(docs, w, DSIR_BUCKETS))
+    curation.save_weights(w, "t_dsir")
+    ns = _fresh_session(spark)
+    w2 = curation.load_weights(ns, "t_dsir")
+    assert _rows(w2) == _rows(w)        # exact integers through parquet
+    got = _rows(curation.score_docs(load_table(ns, sf_dir, "documents"),
+                                    w2, DSIR_BUCKETS))
+    assert got == want and len(got) > 0
+
+
 def test_quality_model_save_load_parity(spark, sf_dir):
     """The trained linear filter round-trips through the catalog like
     the frozen indexes: weights reload bit-identical (doubles survive

@@ -110,6 +110,32 @@ def test_zero_token_docs_train_as_rejected_rows(spark):
     assert all(r["mse"] is not None for r in curve)
 
 
+def test_calibration_buckets_partition_and_align(spark, docs):
+    """The reliability diagram partitions the corpus (bucket counts sum
+    to |docs|, bucket ids within range), and because the probe recovers
+    the planted teacher EXACTLY (to fp), predicted and teacher means
+    per bin must agree to float tolerance — a perfectly calibrated
+    model is the planted-concept fixture's ground truth. Keep counts
+    must likewise agree and total the apply-pass keep count."""
+    rep = ml.calibration_report(docs).collect()
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rep) == n_docs
+    assert all(0 <= r["bucket"] < ml.QF_CAL_BUCKETS for r in rep)
+    assert len(set(r["bucket"] for r in rep)) == len(rep)
+    for r in rep:
+        assert r["cal_gap"] == abs(r["mean_pred"] - r["mean_teacher"])
+        assert r["cal_gap"] < 1e-6, r
+        assert r["n_keep_pred"] == r["n_keep_teacher"]
+    n_keep = sum(r["n_keep_pred"] for r in rep)
+    applied = ml.train_and_filter(docs)
+    assert n_keep == applied.filter("keep").count()
+
+
+def test_calibration_empty_corpus(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert ml.calibration_report(docs).count() == 0
+
+
 # --- property: the generated Cramer solve recovers planted weights ---------
 
 import hypo

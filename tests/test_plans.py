@@ -39,6 +39,11 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 # corpus-trained centroid assignment for BOTH sides of
                 # the incremental probe; the scoring is a cell equi-join
                 "dedup_incremental_semantic",
+                # the same bounded broadcast-centroid assignment pass as
+                # the IVF family; the prototypicality score re-attach is
+                # a broadcast HASH join on cell and ranking is a
+                # cell-partitioned window — no pair join at all
+                "corpus_prototypes",
                 # embed the brute-force baseline by definition (they
                 # ARE the exact references being measured against);
                 # the judged sim_knn_label_vote itself votes over the

@@ -1127,6 +1127,45 @@ def test_pq_rerank_stream_static_parity(spark, sf_dir, tmp_path):
     assert sorted(got) == want
 
 
+def test_dsir_scoring_stream_static_parity(spark, sf_dir, tmp_path):
+    """DSIR in serve shape: the importance-weight table is trained ONCE
+    on the standing pool and frozen (curation.dsir_index), then
+    streaming micro-batches of documents are scored against the
+    broadcast table via foreachBatch — each doc's score depends only
+    on the frozen weights, so the union over batches must equal the
+    batch score_docs exactly."""
+    from demo_apache_flink_streaming_mode_spark.operators import curation
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        DSIR_BUCKETS, DSIR_TGT_MOD)
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = curation.dsir_index(docs, DSIR_BUCKETS, DSIR_TGT_MOD)
+    want = sorted(tuple(r) for r in
+                  curation.score_docs(docs, idx, DSIR_BUCKETS).collect())
+    assert len(want) > 0
+
+    d = str(tmp_path / "doc_batches")
+    feed = docs.select("doc_id", "text")
+    feed.repartition(3).write.mode("overwrite").parquet(d)
+    stream = sources.file_stream(spark, d + "/part-*", feed.schema,
+                                 fmt="parquet", max_files_per_trigger=1)
+    got: list[tuple] = []
+    batches = []
+
+    def score(batch_df, epoch_id):
+        got.extend(tuple(r) for r in
+                   curation.score_docs(batch_df, idx,
+                                       DSIR_BUCKETS).collect())
+        batches.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(score)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_dsir")).start())
+    q.awaitTermination(300)
+    assert len(batches) > 1, "expected multiple micro-batches"
+    assert sorted(got) == want
+
+
 def test_semantic_dedup_stream_static_parity(spark, sf_dir, tmp_path):
     """Incremental SemDeDup in serve shape: the semantic index
     (corpus-trained centroids + corpus cell placement) is frozen once
