@@ -164,6 +164,58 @@ def dedup_ngram_jaccard(spark, sf_dir):
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD))
 
 
+def dedup_minhash_recall(spark, sf_dir):
+    """MinHash-LSH banding measuring what it accepts to miss — the
+    fourth recall self-measurement next to sim_recall_ann (LSH),
+    sim_recall_rerank (PQ) and dedup_semantic_recall (SemDeDup): the
+    exact set is every pair with TRUE n-gram Jaccard >= threshold,
+    enumerable WITHOUT an all-pairs join because Jaccard > 0 requires a
+    shared shingle (the inverted-index candidate trick: gram-blocked
+    self-join, equi-join only). The banded leg is dedup_ngram_jaccard's
+    verified LSH candidates; verified-band pairs are a subset of the
+    exact set by construction, and the join PROVES it (n_found ==
+    n_banded). n_missed counts over-threshold pairs whose signatures
+    never collide in any band — the banding-probability tail the
+    (bands, rows_per_band) choice trades away. The exact leg is the
+    labeled baseline (hot-gram quadratic, out of scale paths); the
+    three 1-row aggregates attach by broadcast."""
+    docs = _docs(spark, sf_dir)
+    grams = dedup.doc_shingles(docs, shingle_n=SHINGLE_N)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("ng"))
+    # the blocking join IS the intersection count: each matched row is
+    # one shared gram, so one groupBy replaces candidate-distinct +
+    # re-join (every join hinted shuffle_hash — exploded sides mislead
+    # broadcast estimates, same note as dedup.ngram_jaccard_pairs)
+    inter = (grams.select(F.col("doc_id").alias("doc_a"), "g")
+             .hint("shuffle_hash")
+             .join(grams.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("ni")))
+    exact = (inter
+             .join(sizes.hint("shuffle_hash")
+                   .select(F.col("doc_id").alias("doc_a"),
+                           F.col("ng").alias("na")), "doc_a")
+             .join(sizes.hint("shuffle_hash")
+                   .select(F.col("doc_id").alias("doc_b"),
+                           F.col("ng").alias("nb")), "doc_b")
+             .filter((F.col("ni")
+                      / (F.col("na") + F.col("nb") - F.col("ni")))
+                     >= JACCARD_THRESHOLD)
+             .select("doc_a", "doc_b"))
+    band = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    nb = band.agg(F.count("*").alias("n_banded"))
+    nf = (exact.join(band, ["doc_a", "doc_b"])
+          .agg(F.count("*").alias("n_found")))
+    return (ne.crossJoin(nb).crossJoin(nf)
+            .select("n_exact", "n_banded", "n_found",
+                    (F.col("n_exact") - F.col("n_found")).alias("n_missed"),
+                    F.when(F.col("n_exact") == 0,
+                           F.lit(None).cast("double"))
+                    .otherwise(F.col("n_found").cast("double")
+                               / F.col("n_exact")).alias("recall")))
+
+
 def dedup_clusters(spark, sf_dir):
     """LSH candidate pairs -> transitive duplicate clusters + keeper.
 
@@ -2597,6 +2649,39 @@ ORACLES["dedup_incremental_semantic"] = f"""
     FROM nasg n JOIN casg c ON n.cell = c.cell
     WHERE {_cos('n.uv', 'c.uv')} >= {COS_DUP_THRESHOLD}"""
 
+# MinHash banding-miss quantification: the exact leg enumerates every
+# over-threshold pair through the gram-blocked inverted index (shared
+# shingle required for Jaccard > 0 — no all-pairs join), the banded
+# leg composes the already-green dedup_ngram_jaccard oracle verbatim;
+# integer counts plus one IEEE double division, NULL-guarded
+ORACLES["dedup_minhash_recall"] = f"""
+    WITH {_MINHASH_CTES},
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS g FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY 1),
+    ainter AS (
+      SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, COUNT(*) AS ni
+      FROM grams ga JOIN grams gb
+        ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+      GROUP BY 1, 2),
+    ex AS (SELECT i.doc_a, i.doc_b
+           FROM ainter i
+           JOIN sizes sa ON sa.doc_id = i.doc_a
+           JOIN sizes sb ON sb.doc_id = i.doc_b
+           WHERE i.ni / (sa.ng + sb.ng - i.ni) >= {JACCARD_THRESHOLD}),
+    bd AS (SELECT doc_a, doc_b FROM ({ORACLES["dedup_ngram_jaccard"]})),
+    ne AS (SELECT COUNT(*) AS n_exact FROM ex),
+    nb AS (SELECT COUNT(*) AS n_banded FROM bd),
+    nf AS (SELECT COUNT(*) AS n_found
+           FROM ex JOIN bd USING (doc_a, doc_b))
+    SELECT CAST(ne.n_exact AS BIGINT) AS n_exact,
+           CAST(nb.n_banded AS BIGINT) AS n_banded,
+           CAST(nf.n_found AS BIGINT) AS n_found,
+           CAST(ne.n_exact - nf.n_found AS BIGINT) AS n_missed,
+           CASE WHEN ne.n_exact = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(nf.n_found AS DOUBLE) / ne.n_exact END AS recall
+    FROM ne, nb, nf"""
+
 # DSIR importance resampling: hashed-bigram buckets (the identical
 # tokenize/md5 chain as text_lm_familiarity's oracle, reduced mod
 # DSIR_BUCKETS), add-one-smoothed target/raw ratio in ppm by integer
@@ -3296,6 +3381,9 @@ QUERIES = [
           "deterministic hash train/val/test split (leak-proof, shuffle-free)"),
     Query("text_mixture_sample", text_mixture_sample, ORACLES["text_mixture_sample"],
           "per-source mixture sampling by hash threshold"),
+    Query("dedup_minhash_recall", dedup_minhash_recall,
+          ORACLES["dedup_minhash_recall"],
+          "banding-miss recall of MinHash-LSH vs gram-blocked exact"),
     Query("text_dsir_select", text_dsir_select, ORACLES["text_dsir_select"],
           "DSIR hashed-ngram importance resampling (integer-exact)"),
     Query("corpus_prototypes", corpus_prototypes,

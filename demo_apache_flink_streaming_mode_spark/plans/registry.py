@@ -179,7 +179,13 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # -- time-series family (j5 interp demoted r6 after its r5 green
     # row — grid+carry machinery proven; slot goes to the never-
     # attested rolling-feature extraction) ----------------------------
-    "j6_moving_features",
+    # (j6_moving_features demoted r9 after its r8 first row — the
+    # timeseries family is fresh through r12; slot goes to the NEW
+    # MinHash banding-miss recall report so the fourth recall-
+    # measurement oracle earns its driver row in its first round,
+    # matching the dedup_semantic_recall / sim_recall_rerank rotation
+    # this same window)
+    "dedup_minhash_recall",
     # -- text analysis family (bpe/tfidf demoted: tokenization proven
     # by text_token_stats, corpus-stats ranking by text_bm25) ---------
     "text_token_stats",
@@ -377,7 +383,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "text_strip_boilerplate"),
     "dedup_minhash": ("dedup_minhash_lsh", "dedup_ngram_jaccard",
                       "dedup_jaccard_report", "dedup_source_overlap",
-                      "dedup_incremental_near"),
+                      "dedup_incremental_near", "dedup_minhash_recall"),
     "dedup_clusters": ("dedup_clusters",),
     "dedup_simhash": ("dedup_simhash", "dedup_simhash_pairs"),
     "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh",

@@ -53,6 +53,9 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 # embeds the exact all-pairs baseline it measures
                 # against, plus three 1-row count attaches
                 "dedup_semantic_recall",
+                # gram-blocked exact leg is equi-join only; the BNLJ is
+                # the three 1-row count attaches
+                "dedup_minhash_recall",
                 # scalar-subquery threshold: a 1-row broadcast average
                 # attached to every customer row (TPC-H Q22 shape) /
                 # per-part value row (Q11 shape)
