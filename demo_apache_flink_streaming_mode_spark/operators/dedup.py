@@ -599,3 +599,54 @@ def bloom_prefiltered_contamination(
                     .alias("contamination"),
                     (F.col("n_overlap") / F.col("n_grams") >= threshold)
                     .alias("is_contaminated")))
+
+
+def jaccard_exact_pairs(docs: DataFrame, threshold_num: int,
+                        threshold_den: int, text_col: str = "text",
+                        shingle_n: int = 3) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard >= num/den via prefix filtering
+    (Chaudhuri et al. 2006; Xiao et al. 2008, PPJoin — public): the
+    scale path for exact set-similarity join, no LSH, no full
+    inverted-index self-join.
+
+    Prefix-filter principle: order every doc's distinct shingles by ONE
+    global total order; if J(A, B) >= t, the two docs must share a
+    shingle within their first |X| - ceil(t*|X|) + 1 shingles. So the
+    candidate join runs on PREFIXES only — and with the global order
+    chosen as ascending document frequency (rarest grams first), the
+    prefixes are the least-joinable shingles, collapsing the hot-gram
+    quadratic blowup of the naive inverted index. Survivors verify with
+    the full intersection count (``ngram_jaccard_pairs``).
+
+    ceil(t * ng) is computed in INTEGER arithmetic from the rational
+    threshold ((num*ng + den - 1) div den) — IEEE ceil((9/11) * 77)
+    gives 64 where 9*77/11 is exactly 63, shortening the prefix and
+    silently MISSING true pairs
+    (pinned in tests/test_jaccard_exact_property.py).
+
+    Scale shape: df counting and prefix ranking are vocab-/doc-bounded
+    shuffles; the candidate join moves prefix rows only; verification
+    scales with surviving-pair shingles. Every join is equi.
+    """
+    from pyspark.sql import Window as W
+
+    grams = doc_shingles(docs, text_col, shingle_n)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("ng"))
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("gdf"))
+    pref_len = (F.col("ng")
+                - F.expr(f"({threshold_num} * ng + {threshold_den} - 1) "
+                         f"div {threshold_den}") + F.lit(1))
+    w = W.partitionBy("doc_id").orderBy(F.asc("gdf"), F.asc("g"))
+    prefix = (grams.join(dfreq.hint("shuffle_hash"), "g")
+              .join(sizes.hint("shuffle_hash"), "doc_id")
+              .withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= pref_len)
+              .select("doc_id", "g"))
+    cands = (prefix.select(F.col("doc_id").alias("doc_a"), "g")
+             .hint("shuffle_hash")
+             .join(prefix.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    thr = threshold_num / threshold_den
+    return (ngram_jaccard_pairs(docs, cands, text_col, shingle_n)
+            .filter(F.col("jaccard") >= thr))

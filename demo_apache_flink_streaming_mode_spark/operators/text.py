@@ -869,3 +869,70 @@ def bpe_encode(docs: DataFrame, text_col: str = "text",
             .select("doc_id", "n_words", "n_chars", "n_bpe_tokens",
                     (F.col("n_bpe_tokens") / F.col("n_chars"))
                     .alias("bpe_ratio")))
+
+
+def source_drift_report(docs: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Per-source token-distribution drift against the corpus — the
+    data-drift monitoring step a production pipeline runs when sources
+    are ingested continuously (a crawl snapshot that silently changed
+    its mix shows up here before it poisons the trained filters).
+
+    Two metrics per source, one row each:
+
+    * ``tv_ppm`` — total-variation distance between the source's token
+      distribution and the corpus distribution, EXACT integer
+      arithmetic: TV = 1/2 * sum_t |obs_t/n_src - tf_t/n_total| is put
+      over the common denominator 2*n_src*n_total, so the numerator is
+      a sum of |obs_t*n_total - tf_t*n_src| integers and terms ABSENT
+      from the source contribute (n_total - sum_present tf_t) * n_src
+      in closed form — no source x vocabulary grid is ever built.
+      Reported as the ppm integer division. (int64 holds this up to
+      ~10^6-token corpora per the 1e6 * 2*n*N product; swap the ppm
+      step to DECIMAL(38,0) beyond that.)
+    * ``chi2`` — Pearson's statistic against the corpus-share expected
+      counts; same grid-avoidance: sum_t over present terms of
+      ((obs-e)^2/e - e) + n_src, since absent terms contribute exactly
+      e and all e sum to n_src. Doubles, so the per-source reduction
+      follows the dual-path fold convention
+      (``operators.scale.deterministic_folds``): in-term-order left
+      folds for oracle parity, plain ``F.sum`` for bounded memory.
+
+    Scale shape: one vocab-bounded shuffle for the per-source counts
+    (map-side combinable), the corpus table reuses the same counts, the
+    1-row corpus total attaches by broadcast, and the final aggregate
+    has one row per source.
+    """
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        deterministic_folds)
+    tok = docs.select("source",
+                      F.explode(word_tokens(F.col(text_col))).alias("term"))
+    stf = tok.groupBy("source", "term").agg(F.count("*").alias("obs"))
+    ctf = stf.groupBy("term").agg(F.sum("obs").alias("tf_c"))
+    ns = stf.groupBy("source").agg(F.sum("obs").alias("n_tokens"),
+                                   F.count("*").alias("n_terms"))
+    nt = stf.agg(F.sum("obs").alias("n_total"))
+    j = (stf.join(ctf, "term").join(ns, "source")
+         .crossJoin(F.broadcast(nt)))
+    e = F.col("tf_c").cast("double") * F.col("n_tokens") / F.col("n_total")
+    d = F.col("obs") - e
+    chi_term = d * d / e - e
+    if deterministic_folds(j):
+        chi_part = F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct("term", chi_term.alias("v")))),
+            F.lit(0.0), lambda acc, s: acc + s["v"])
+    else:
+        chi_part = F.sum(chi_term)
+    per = (j.groupBy("source")
+           .agg(chi_part.alias("chi_part"),
+                F.sum(F.abs(F.col("obs") * F.col("n_total")
+                            - F.col("tf_c") * F.col("n_tokens")))
+                .alias("tv_present"),
+                F.sum("tf_c").alias("tfc_present")))
+    return (per.join(ns, "source").crossJoin(F.broadcast(nt))
+            .select("source", "n_tokens", "n_terms",
+                    F.expr("(1000000 * (tv_present + (n_total - tfc_present)"
+                           " * n_tokens)) div (2 * n_tokens * n_total)")
+                    .alias("tv_ppm"),
+                    (F.col("chi_part") + F.col("n_tokens")).alias("chi2")))

@@ -24,6 +24,7 @@ SHINGLE_N = 3
 NUM_HASHES = 8
 BANDS, ROWS_PER_BAND = 4, 2
 JACCARD_THRESHOLD = 0.3
+JACCARD_NUM, JACCARD_DEN = 3, 10   # == JACCARD_THRESHOLD as a rational
 COS_DUP_THRESHOLD = 0.35
 TOPK = 10
 QUERY_MOD = 50          # query set = vec_id % QUERY_MOD == 0
@@ -164,6 +165,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD))
 
 
+def dedup_jaccard_exact(spark, sf_dir):
+    """EXACT all-pairs n-gram Jaccard >= threshold via prefix filtering
+    (PPJoin family) — the LSH-free scale path for exact set-similarity
+    join: candidates only where rarest-gram prefixes collide, then full
+    verification. The oracle is the straightforward inverted-index
+    form, so the hash match PROVES the prefix-filter theorem
+    implementation loses no pairs (see
+    operators.dedup.jaccard_exact_pairs for the integer-ceil hazard)."""
+    return dedup.jaccard_exact_pairs(_docs(spark, sf_dir), JACCARD_NUM,
+                                     JACCARD_DEN, shingle_n=SHINGLE_N)
+
+
 def dedup_minhash_recall(spark, sf_dir):
     """MinHash-LSH banding measuring what it accepts to miss — the
     fourth recall self-measurement next to sim_recall_ann (LSH),
@@ -177,30 +190,13 @@ def dedup_minhash_recall(spark, sf_dir):
     n_banded). n_missed counts over-threshold pairs whose signatures
     never collide in any band — the banding-probability tail the
     (bands, rows_per_band) choice trades away. The exact leg is the
-    labeled baseline (hot-gram quadratic, out of scale paths); the
-    three 1-row aggregates attach by broadcast."""
+    prefix-filtered exact join (dedup_jaccard_exact's path — the
+    oracle stays the inverted-index form, so its hash match doubles as
+    a losslessness proof of the prefix filter); the three 1-row
+    aggregates attach by broadcast."""
     docs = _docs(spark, sf_dir)
-    grams = dedup.doc_shingles(docs, shingle_n=SHINGLE_N)
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("ng"))
-    # the blocking join IS the intersection count: each matched row is
-    # one shared gram, so one groupBy replaces candidate-distinct +
-    # re-join (every join hinted shuffle_hash — exploded sides mislead
-    # broadcast estimates, same note as dedup.ngram_jaccard_pairs)
-    inter = (grams.select(F.col("doc_id").alias("doc_a"), "g")
-             .hint("shuffle_hash")
-             .join(grams.select(F.col("doc_id").alias("doc_b"), "g"), "g")
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("ni")))
-    exact = (inter
-             .join(sizes.hint("shuffle_hash")
-                   .select(F.col("doc_id").alias("doc_a"),
-                           F.col("ng").alias("na")), "doc_a")
-             .join(sizes.hint("shuffle_hash")
-                   .select(F.col("doc_id").alias("doc_b"),
-                           F.col("ng").alias("nb")), "doc_b")
-             .filter((F.col("ni")
-                      / (F.col("na") + F.col("nb") - F.col("ni")))
-                     >= JACCARD_THRESHOLD)
+    exact = (dedup.jaccard_exact_pairs(docs, JACCARD_NUM, JACCARD_DEN,
+                                       shingle_n=SHINGLE_N)
              .select("doc_a", "doc_b"))
     band = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     ne = exact.agg(F.count("*").alias("n_exact"))
@@ -947,6 +943,14 @@ def text_lm_familiarity(spark, sf_dir):
     """Bigram-LM familiarity score (integer-exact perplexity-filter
     skeleton) — see ``operators.text.lm_familiarity``."""
     return text.lm_familiarity(_docs(spark, sf_dir))
+
+
+def text_source_drift(spark, sf_dir):
+    """Per-source token-distribution drift vs the corpus: exact
+    integer total-variation (ppm) + Pearson chi-square, both computed
+    without a source x vocabulary grid — see
+    ``operators.text.source_drift_report``."""
+    return text.source_drift_report(_docs(spark, sf_dir))
 
 
 def text_stratified_sample(spark, sf_dir):
@@ -2649,6 +2653,63 @@ ORACLES["dedup_incremental_semantic"] = f"""
     FROM nasg n JOIN casg c ON n.cell = c.cell
     WHERE {_cos('n.uv', 'c.uv')} >= {COS_DUP_THRESHOLD}"""
 
+# source-drift report: shared vocab-bounded counts, the closed-form
+# absent-term contributions (no source x vocab grid), the EXACT
+# common-denominator total-variation numerator in integers, and the
+# chi-square in-term-order fold — the identical IEEE op chain as
+# operators.text.source_drift_report
+_DRIFT_E = "CAST(c.tf_c AS DOUBLE) * n.n_tokens / t.n_total"
+ORACLES["text_source_drift"] = f"""
+    WITH tok AS (SELECT source, unnest({_TOKENS}) AS term
+                 FROM documents),
+    stf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS obs
+            FROM tok GROUP BY 1, 2),
+    ctf AS (SELECT term, CAST(sum(obs) AS BIGINT) AS tf_c
+            FROM stf GROUP BY 1),
+    ns AS (SELECT source, CAST(sum(obs) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS n_terms
+           FROM stf GROUP BY 1),
+    nt AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM stf),
+    per AS (
+      SELECT s.source,
+             list_aggregate(list(
+               (s.obs - {_DRIFT_E}) * (s.obs - {_DRIFT_E}) / ({_DRIFT_E})
+               - {_DRIFT_E}
+               ORDER BY s.term), 'sum') AS chi_part,
+             CAST(sum(abs(s.obs * t.n_total - c.tf_c * n.n_tokens))
+                  AS BIGINT) AS tv_present,
+             CAST(sum(c.tf_c) AS BIGINT) AS tfc_present
+      FROM stf s JOIN ctf c USING (term) JOIN ns n USING (source), nt t
+      GROUP BY s.source)
+    SELECT p.source, n.n_tokens, n.n_terms,
+           (1000000 * (tv_present + (t.n_total - tfc_present) * n.n_tokens))
+             // (2 * n.n_tokens * t.n_total) AS tv_ppm,
+           p.chi_part + n.n_tokens AS chi2
+    FROM per p JOIN ns n USING (source), nt t"""
+
+# prefix-filtered exact Jaccard join: the oracle is the COMPLETE
+# inverted-index form (every pair sharing a gram, full intersection
+# count), so the hash match proves the Spark side's prefix filter
+# (rarest-gram prefixes + rational-ceil lengths) loses no pairs
+ORACLES["dedup_jaccard_exact"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(SHINGLE_N)} AS shingles
+           FROM toks),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS g FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY 1),
+    ainter AS (
+      SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, COUNT(*) AS ni
+      FROM grams ga JOIN grams gb
+        ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           i.ni / (sa.ng + sb.ng - i.ni) AS jaccard
+    FROM ainter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.ni / (sa.ng + sb.ng - i.ni) >= {JACCARD_THRESHOLD}"""
+
 # MinHash banding-miss quantification: the exact leg enumerates every
 # over-threshold pair through the gram-blocked inverted index (shared
 # shingle required for Jaccard > 0 — no all-pairs join), the banded
@@ -3381,6 +3442,12 @@ QUERIES = [
           "deterministic hash train/val/test split (leak-proof, shuffle-free)"),
     Query("text_mixture_sample", text_mixture_sample, ORACLES["text_mixture_sample"],
           "per-source mixture sampling by hash threshold"),
+    Query("text_source_drift", text_source_drift,
+          ORACLES["text_source_drift"],
+          "per-source distribution drift: exact TV (ppm) + chi-square"),
+    Query("dedup_jaccard_exact", dedup_jaccard_exact,
+          ORACLES["dedup_jaccard_exact"],
+          "prefix-filtered exact Jaccard join (PPJoin-style)"),
     Query("dedup_minhash_recall", dedup_minhash_recall,
           ORACLES["dedup_minhash_recall"],
           "banding-miss recall of MinHash-LSH vs gram-blocked exact"),

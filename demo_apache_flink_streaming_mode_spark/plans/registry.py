@@ -188,7 +188,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     "dedup_minhash_recall",
     # -- text analysis family (bpe/tfidf demoted: tokenization proven
     # by text_token_stats, corpus-stats ranking by text_bm25) ---------
-    "text_token_stats",
+    # (text_token_stats demoted r9 after green rows r1-r8 — the
+    # text_tokens family keeps text_lm_familiarity + text_bpe_train
+    # in-window; slot goes to the NEW source-drift monitoring family so
+    # the distribution-shift report earns its driver row in its first
+    # round, per the attestation convention)
+    "text_source_drift",
     # (text_term_counts demoted r4: explode+groupBy term counting is
     # proven by text_token_stats + text_bm25's corpus stats; the slot
     # goes to the new LM-familiarity scorer)
@@ -383,7 +388,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "text_strip_boilerplate"),
     "dedup_minhash": ("dedup_minhash_lsh", "dedup_ngram_jaccard",
                       "dedup_jaccard_report", "dedup_source_overlap",
-                      "dedup_incremental_near", "dedup_minhash_recall"),
+                      "dedup_incremental_near", "dedup_minhash_recall",
+                      "dedup_jaccard_exact"),
     "dedup_clusters": ("dedup_clusters",),
     "dedup_simhash": ("dedup_simhash", "dedup_simhash_pairs"),
     "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh",
@@ -410,6 +416,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                       "text_stratified_sample", "text_pack_shards",
                       "text_shard_report"),
     "data_selection": ("text_dsir_select",),
+    "drift": ("text_source_drift",),
     "prototypes": ("corpus_prototypes",),
     "pii": ("text_pii_redact",),
     "curation": ("corpus_clean", "corpus_report", "corpus_topics"),

@@ -56,6 +56,8 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 # gram-blocked exact leg is equi-join only; the BNLJ is
                 # the three 1-row count attaches
                 "dedup_minhash_recall",
+                # text_bm25-style 1-row corpus-total broadcast attach
+                "text_source_drift",
                 # scalar-subquery threshold: a 1-row broadcast average
                 # attached to every customer row (TPC-H Q22 shape) /
                 # per-part value row (Q11 shape)
