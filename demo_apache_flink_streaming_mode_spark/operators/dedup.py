@@ -650,3 +650,109 @@ def jaccard_exact_pairs(docs: DataFrame, threshold_num: int,
     thr = threshold_num / threshold_den
     return (ngram_jaccard_pairs(docs, cands, text_col, shingle_n)
             .filter(F.col("jaccard") >= thr))
+
+
+def jaccard_prefix_index(corpus_docs: DataFrame, threshold_num: int,
+                         threshold_den: int, text_col: str = "text",
+                         shingle_n: int = 3
+                         ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The STANDING exact-Jaccard store — the prefix-filter analog of
+    :func:`exact_hash_index` / :func:`minhash_band_index`: what a daily
+    pipeline persists so each increment probes EXACT set similarity
+    without ever re-scanning the corpus. Three parts, all lineage-cut:
+
+    * ``prefix`` (doc_id, g): the corpus docs' rarest-df-first prefix
+      rows under the global (df, g) order and the rational-ceil length
+      (see :func:`jaccard_exact_pairs`);
+    * ``grams`` (doc_id, g, ng): every corpus doc's distinct shingles
+      with its set size — the verification side;
+    * ``dfreq`` (g, gdf): the corpus document frequencies that DEFINE
+      the global order — increments must rank their shingles by the
+      SAME order (absent shingles coalesce to df 0, still a total
+      order), or the prefix theorem's shared-order premise breaks.
+
+    Persist/reload through ``similarity.save_index``/``load_index``
+    (kind ``dedup_jaccard``; prefix and grams bucketed on ``g``, the
+    probe/verify join key)."""
+    grams0 = doc_shingles(corpus_docs, text_col, shingle_n)
+    sizes = grams0.groupBy("doc_id").agg(F.count("*").alias("ng"))
+    dfreq = grams0.groupBy("g").agg(F.count("*").alias("gdf"))
+    grams = (grams0.join(sizes.hint("shuffle_hash"), "doc_id")
+             .transform(cut_lineage))
+    prefix = (_rarest_prefix(grams0, sizes, dfreq, threshold_num,
+                             threshold_den)
+              .transform(cut_lineage))
+    return prefix, grams, dfreq.transform(cut_lineage)
+
+
+def _rarest_prefix(grams: DataFrame, sizes: DataFrame, dfreq: DataFrame,
+                   threshold_num: int, threshold_den: int) -> DataFrame:
+    """(doc_id, g) prefix rows under the global (df asc, g asc) order;
+    shingles missing from ``dfreq`` rank first with df 0 (the increment
+    side probes a FROZEN corpus order). Prefix length uses the exact
+    rational ceil."""
+    from pyspark.sql import Window as W
+
+    pref_len = (F.col("ng")
+                - F.expr(f"({threshold_num} * ng + {threshold_den} - 1) "
+                         f"div {threshold_den}") + F.lit(1))
+    w = W.partitionBy("doc_id").orderBy(F.asc("gdf"), F.asc("g"))
+    return (grams.join(dfreq.hint("shuffle_hash"), "g", "left")
+            .withColumn("gdf", F.coalesce("gdf", F.lit(0)))
+            .join(sizes.hint("shuffle_hash"), "doc_id")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= pref_len)
+            .select("doc_id", "g"))
+
+
+def jaccard_incremental_pairs(new_docs: DataFrame,
+                              corpus_docs: DataFrame | None,
+                              threshold_num: int, threshold_den: int,
+                              text_col: str = "text", shingle_n: int = 3,
+                              index: tuple[DataFrame, DataFrame,
+                                           DataFrame] | None = None
+                              ) -> DataFrame:
+    """Increment-vs-corpus EXACT n-gram Jaccard >= num/den — the fifth
+    member of the incremental family (exact hash / MinHash near / span
+    overlap / semantic / exact Jaccard): the new batch's shingles rank
+    under the CORPUS-df global order, its prefixes equi-join the
+    standing prefix store for candidates, and only candidates verify
+    with full intersection counts. Never a corpus self-join; the probe
+    is stateless expressions + equi joins, so the same dataflow runs
+    stream-static over micro-batches (parity test in
+    tests/test_streaming.py).
+
+    ``index`` plugs in a prebuilt (possibly reloaded)
+    :func:`jaccard_prefix_index`; ``corpus_docs`` may then be None.
+    Output: (new_id, dup_of, jaccard)."""
+    if index is None:
+        index = jaccard_prefix_index(corpus_docs, threshold_num,
+                                     threshold_den, text_col, shingle_n)
+    cpref, cgrams, cdf = index
+    ngrams = doc_shingles(new_docs, text_col, shingle_n)
+    nsizes = ngrams.groupBy("doc_id").agg(F.count("*").alias("ng"))
+    npref = _rarest_prefix(ngrams, nsizes, cdf, threshold_num,
+                           threshold_den)
+    cands = (npref.select(F.col("doc_id").alias("new_id"), "g")
+             .hint("shuffle_hash")
+             .join(cpref.select(F.col("doc_id").alias("dup_of"), "g"), "g")
+             .select("new_id", "dup_of").distinct())
+    inter = (cands
+             .join(ngrams.hint("shuffle_hash")
+                   .select(F.col("doc_id").alias("new_id"), "g"),
+                   "new_id")
+             .join(cgrams.hint("shuffle_hash")
+                   .select(F.col("doc_id").alias("dup_of"), "g",
+                           F.col("ng").alias("nb")), ["dup_of", "g"])
+             .groupBy("new_id", "dup_of", "nb")
+             .agg(F.count("*").alias("ni")))
+    thr = threshold_num / threshold_den
+    return (inter
+            .join(nsizes.hint("shuffle_hash")
+                  .select(F.col("doc_id").alias("new_id"),
+                          F.col("ng").alias("na")), "new_id")
+            .select("new_id", "dup_of",
+                    (F.col("ni")
+                     / (F.col("na") + F.col("nb") - F.col("ni")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= thr))

@@ -708,6 +708,10 @@ _INDEX_LAYOUT: dict[str, tuple[tuple[str, str | None], ...]] = {
     "dedup_exact": (("hashes", "h"),),
     "dedup_minhash": (("bands", "band_hash"),),
     "dedup_span": (("spans", "h"),),
+    # the exact-Jaccard standing store (dedup.jaccard_prefix_index):
+    # prefix + grams bucket on the probe/verify join key g; dfreq is
+    # the vocab-bounded global-order table
+    "dedup_jaccard": (("prefix", "g"), ("grams", "g"), ("dfreq", "g")),
     # the trained linear quality filter (operators.ml): the model is
     # d=4 doubles — one tiny unbucketed table, the frozen artifact the
     # serving pass reads back as literals

@@ -177,6 +177,24 @@ def dedup_jaccard_exact(spark, sf_dir):
                                      JACCARD_DEN, shingle_n=SHINGLE_N)
 
 
+def dedup_incremental_jaccard(spark, sf_dir):
+    """Increment-vs-corpus EXACT n-gram Jaccard — the fifth member of
+    the incremental family (exact hash / MinHash near / span overlap /
+    semantic / exact Jaccard): the new batch's shingles rank under the
+    FROZEN corpus-df global order, prefixes equi-join the standing
+    prefix store (dedup.jaccard_prefix_index — persisted and
+    stream-probed like the other standing stores), candidates verify
+    with full intersection counts. Never a corpus self-join. The
+    oracle is the complete new x corpus inverted-index form, so the
+    hash match proves the cross-set prefix filter loses no pairs."""
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % INC_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INC_MOD != 0)
+    return dedup.jaccard_incremental_pairs(new, corpus, JACCARD_NUM,
+                                           JACCARD_DEN,
+                                           shingle_n=SHINGLE_N)
+
+
 def dedup_minhash_recall(spark, sf_dir):
     """MinHash-LSH banding measuring what it accepts to miss — the
     fourth recall self-measurement next to sim_recall_ann (LSH),
@@ -2710,6 +2728,31 @@ ORACLES["dedup_jaccard_exact"] = f"""
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE i.ni / (sa.ng + sb.ng - i.ni) >= {JACCARD_THRESHOLD}"""
 
+# incremental exact-Jaccard: the oracle is the complete new x corpus
+# inverted-index form (every cross-set pair sharing a gram, full
+# intersection count) — the hash match proves the frozen-order
+# cross-set prefix filter in dedup.jaccard_incremental_pairs is
+# lossless
+ORACLES["dedup_incremental_jaccard"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(SHINGLE_N)} AS shingles
+           FROM toks),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS g FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY 1),
+    ainter AS (
+      SELECT n.doc_id AS new_id, c.doc_id AS dup_of, COUNT(*) AS ni
+      FROM grams n JOIN grams c
+        ON n.g = c.g AND n.doc_id % {INC_MOD} = 0
+           AND c.doc_id % {INC_MOD} != 0
+      GROUP BY 1, 2)
+    SELECT i.new_id, i.dup_of,
+           i.ni / (sa.ng + sb.ng - i.ni) AS jaccard
+    FROM ainter i
+    JOIN sizes sa ON sa.doc_id = i.new_id
+    JOIN sizes sb ON sb.doc_id = i.dup_of
+    WHERE i.ni / (sa.ng + sb.ng - i.ni) >= {JACCARD_THRESHOLD}"""
+
 # MinHash banding-miss quantification: the exact leg enumerates every
 # over-threshold pair through the gram-blocked inverted index (shared
 # shingle required for Jaccard > 0 — no all-pairs join), the banded
@@ -3445,6 +3488,9 @@ QUERIES = [
     Query("text_source_drift", text_source_drift,
           ORACLES["text_source_drift"],
           "per-source distribution drift: exact TV (ppm) + chi-square"),
+    Query("dedup_incremental_jaccard", dedup_incremental_jaccard,
+          ORACLES["dedup_incremental_jaccard"],
+          "increment vs corpus exact Jaccard via frozen prefix index"),
     Query("dedup_jaccard_exact", dedup_jaccard_exact,
           ORACLES["dedup_jaccard_exact"],
           "prefix-filtered exact Jaccard join (PPJoin-style)"),

@@ -389,7 +389,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "dedup_minhash": ("dedup_minhash_lsh", "dedup_ngram_jaccard",
                       "dedup_jaccard_report", "dedup_source_overlap",
                       "dedup_incremental_near", "dedup_minhash_recall",
-                      "dedup_jaccard_exact"),
+                      "dedup_jaccard_exact", "dedup_incremental_jaccard"),
     "dedup_clusters": ("dedup_clusters",),
     "dedup_simhash": ("dedup_simhash", "dedup_simhash_pairs"),
     "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh",

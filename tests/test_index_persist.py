@@ -183,6 +183,34 @@ def test_save_index_rejects_wrong_shape(spark, sf_dir):
         similarity.save_index("nope", idx, "t_badidx")
 
 
+def test_dedup_jaccard_index_save_load_parity(spark, sf_dir):
+    """The exact-Jaccard standing store (prefix + grams + dfreq)
+    round-trips through the catalog; a FRESH session probing the
+    reloaded index returns bit-identical increment pairs."""
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        INC_MOD, JACCARD_DEN, JACCARD_NUM, SHINGLE_N)
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % INC_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INC_MOD != 0)
+    idx = dedup.jaccard_prefix_index(corpus, JACCARD_NUM, JACCARD_DEN,
+                                     shingle_n=SHINGLE_N)
+    want = _rows(dedup.jaccard_incremental_pairs(
+        new, None, JACCARD_NUM, JACCARD_DEN, shingle_n=SHINGLE_N,
+        index=idx))
+    similarity.save_index("dedup_jaccard", idx, "t_jidx")
+    ns = _fresh_session(spark)
+    idx2 = similarity.load_index(ns, "dedup_jaccard", "t_jidx")
+    assert _is_bucketed(ns, "t_jidx__prefix")
+    assert _is_bucketed(ns, "t_jidx__grams")
+    new2 = load_table(ns, sf_dir, "documents").filter(
+        F.col("doc_id") % INC_MOD == 0)
+    got = _rows(dedup.jaccard_incremental_pairs(
+        new2, None, JACCARD_NUM, JACCARD_DEN, shingle_n=SHINGLE_N,
+        index=idx2))
+    assert got == want and len(got) > 0
+
+
 def test_dsir_weights_save_load_parity(spark, sf_dir):
     """The DSIR importance-weight table round-trips through the catalog
     like the other frozen artifacts: integer weights reload exactly,

@@ -70,3 +70,52 @@ def test_prefix_filter_matches_bruteforce(spark, token_docs, thr):
                  for r in jaccard_exact_pairs(docs, num, den,
                                               shingle_n=1).collect())
     assert got == _ref(token_docs, num, den)
+
+
+def _ref_incremental(token_docs, num, den, inc_mod):
+    sets = {i: _shingle_set(t) for i, t in enumerate(token_docs)}
+    out = []
+    for a in range(len(token_docs)):
+        if a % inc_mod != 0:
+            continue
+        for b in range(len(token_docs)):
+            if b % inc_mod == 0:
+                continue
+            ni = len(sets[a] & sets[b])
+            if ni == 0:
+                continue
+            na, nb = len(sets[a]), len(sets[b])
+            j = ni / (na + nb - ni)
+            if j >= num / den:
+                out.append((a, b, j))
+    return sorted(out)
+
+
+@hypo.budget(15)
+@given(_corpus, st.sampled_from([(3, 10), (1, 2), (2, 3)]))
+def test_incremental_prefix_filter_matches_bruteforce(spark, token_docs,
+                                                      thr):
+    """Cross-set prefix filtering under the FROZEN corpus-df order
+    (increment shingles absent from the corpus rank with df 0) finds
+    exactly the brute-force new x corpus pairs — and the index= form
+    equals the train-inline form."""
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        jaccard_incremental_pairs, jaccard_prefix_index)
+
+    num, den = thr
+    inc_mod = 3
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_docs)],
+        "doc_id long, text string")
+    new = docs.filter(f"doc_id % {inc_mod} = 0")
+    corpus = docs.filter(f"doc_id % {inc_mod} != 0")
+    got = sorted((r["new_id"], r["dup_of"], r["jaccard"])
+                 for r in jaccard_incremental_pairs(
+                     new, corpus, num, den, shingle_n=1).collect())
+    assert got == _ref_incremental(token_docs, num, den, inc_mod)
+    idx = jaccard_prefix_index(corpus, num, den, shingle_n=1)
+    via_index = sorted((r["new_id"], r["dup_of"], r["jaccard"])
+                       for r in jaccard_incremental_pairs(
+                           new, None, num, den, shingle_n=1,
+                           index=idx).collect())
+    assert via_index == got

@@ -1127,6 +1127,51 @@ def test_pq_rerank_stream_static_parity(spark, sf_dir, tmp_path):
     assert sorted(got) == want
 
 
+def test_jaccard_incremental_stream_static_parity(spark, sf_dir, tmp_path):
+    """Incremental exact-Jaccard in serve shape: the prefix index
+    (corpus prefixes + grams + df order) is frozen once
+    (dedup.jaccard_prefix_index), then micro-batches of NEW documents
+    probe it via foreachBatch — each new doc is independent, so the
+    union over batches must equal the batch jaccard_incremental_pairs
+    exactly."""
+    from demo_apache_flink_streaming_mode_spark.operators import dedup
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        INC_MOD, JACCARD_DEN, JACCARD_NUM, SHINGLE_N)
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % INC_MOD == 0).select("doc_id",
+                                                             "text")
+    corpus = docs.filter(F.col("doc_id") % INC_MOD != 0)
+    idx = dedup.jaccard_prefix_index(corpus, JACCARD_NUM, JACCARD_DEN,
+                                     shingle_n=SHINGLE_N)
+
+    def probe_df(n):
+        return dedup.jaccard_incremental_pairs(
+            n, None, JACCARD_NUM, JACCARD_DEN, shingle_n=SHINGLE_N,
+            index=idx)
+
+    want = sorted(tuple(r) for r in probe_df(new).collect())
+    assert len(want) > 0
+
+    d = str(tmp_path / "new_docs_jac")
+    new.repartition(3).write.mode("overwrite").parquet(d)
+    stream = sources.file_stream(spark, d + "/part-*", new.schema,
+                                 fmt="parquet", max_files_per_trigger=1)
+    got: list[tuple] = []
+    batches = []
+
+    def probe(batch_df, epoch_id):
+        got.extend(tuple(r) for r in probe_df(batch_df).collect())
+        batches.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(probe)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_jac")).start())
+    q.awaitTermination(300)
+    assert len(batches) > 1, "expected multiple micro-batches"
+    assert sorted(got) == want
+
+
 def test_dsir_scoring_stream_static_parity(spark, sf_dir, tmp_path):
     """DSIR in serve shape: the importance-weight table is trained ONCE
     on the standing pool and frozen (curation.dsir_index), then
