@@ -47,6 +47,7 @@ DECON_MOD = 20          # benchmark set = md5('bench:'||doc_id) % MOD == 0
 DECON_THRESHOLD = 0.2   # contaminated if >= 20% gram overlap
 TFIDF_TOPN = 3          # keywords kept per document
 TOPIC_TOPN = 5          # labeling terms kept per semantic cluster
+CELL_QUOTA = 8          # docs kept per semantic cell (cluster-balanced)
 DSIR_BUCKETS = 4096     # hashed-bigram feature buckets (DSIR featurizer)
 DSIR_TGT_MOD = 10       # target set = md5('tgt:'||doc_id) % MOD == 0
 DSIR_KEEP = 8           # docs kept per source by importance rank
@@ -946,6 +947,31 @@ def corpus_prototypes(spark, sf_dir):
     return similarity.prototypicality(
         _embs(spark, sf_dir), N_CELLS, train_iters=KMEANS_ITERS,
         drop_topn=PROTO_DROP_TOPN, dim=DIM)
+
+
+def text_cluster_sample(spark, sf_dir):
+    """Cluster-balanced sampling — the reweight-by-semantic-region step
+    corpus_topics motivates (and the D4 paper's diversified-selection
+    endgame): strata are the SHARED semantic k-means cells instead of
+    the source column, and each cell keeps its CELL_QUOTA docs with the
+    smallest salted hash — deterministic, exactly N per semantic
+    region, so no region dominates the mix regardless of raw counts.
+    Same scale shape as text_stratified_sample: broadcast-centroid
+    assignment, then one cell-partitioned rank window (cell-bounded
+    sorts, no global window)."""
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+    from pyspark.sql import Window as W
+    cells = similarity.semantic_cells(_embs(spark, sf_dir), N_CELLS,
+                                      train_iters=KMEANS_ITERS, dim=DIM)
+    h = hex_to_long(F.md5(F.concat(F.lit("cell:"),
+                                   F.col("vec_id").cast("string"))))
+    w = W.partitionBy("cell").orderBy(h.asc(), F.col("vec_id").asc())
+    return (cells
+            .withColumn("rank_in_cell", F.row_number().over(w))
+            .filter(F.col("rank_in_cell") <= CELL_QUOTA)
+            .select(F.col("vec_id").alias("doc_id"),
+                    F.col("cell").cast("int").alias("cell"),
+                    "rank_in_cell"))
 
 
 def ml_quality_calibration(spark, sf_dir):
@@ -2855,6 +2881,27 @@ def _proto_oracle(train_iters: int) -> str:
 
 ORACLES["corpus_prototypes"] = _proto_oracle(KMEANS_ITERS)
 
+# cluster-balanced sampling: the shared k-means CTEs + assignment feed
+# a per-cell salted-hash rank window — text_stratified_sample's quota
+# machinery with semantic cells as the strata
+ORACLES["text_cluster_sample"] = f"""
+    WITH {_EMB_D},{_kmeans_ctes(KMEANS_ITERS)[0]},
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT eg.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY eg.vec_id
+                   ORDER BY {_DOT.format(a='eg.uv', b='c.cv')} DESC,
+                            c.cell ASC) AS rn
+        FROM eg, {_kmeans_ctes(KMEANS_ITERS)[1]} c) WHERE rn = 1),
+    r AS (SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                     ORDER BY ('0x' || substr(md5('cell:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                              vec_id) AS rank_in_cell
+          FROM assigned)
+    SELECT vec_id AS doc_id, CAST(cell AS INT) AS cell,
+           CAST(rank_in_cell AS INT) AS rank_in_cell
+    FROM r WHERE rank_in_cell <= {CELL_QUOTA}"""
+
 # cluster-topics: the SemDeDup k-means CTEs (shared machinery) feed a
 # cell->doc map; term counting is text_tfidf's dataflow aggregated per
 # cell; score = CAST(tf AS DOUBLE) * (N - df + 0.5) / (df + 0.5), the
@@ -3497,6 +3544,9 @@ QUERIES = [
     Query("dedup_minhash_recall", dedup_minhash_recall,
           ORACLES["dedup_minhash_recall"],
           "banding-miss recall of MinHash-LSH vs gram-blocked exact"),
+    Query("text_cluster_sample", text_cluster_sample,
+          ORACLES["text_cluster_sample"],
+          "cluster-balanced sampling: per-semantic-cell hash quota"),
     Query("text_dsir_select", text_dsir_select, ORACLES["text_dsir_select"],
           "DSIR hashed-ngram importance resampling (integer-exact)"),
     Query("corpus_prototypes", corpus_prototypes,

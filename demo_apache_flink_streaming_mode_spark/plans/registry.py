@@ -417,7 +417,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                       "text_shard_report"),
     "data_selection": ("text_dsir_select",),
     "drift": ("text_source_drift",),
-    "prototypes": ("corpus_prototypes",),
+    "prototypes": ("corpus_prototypes", "text_cluster_sample"),
     "pii": ("text_pii_redact",),
     "curation": ("corpus_clean", "corpus_report", "corpus_topics"),
     "ml_filter": ("ml_quality_probe", "ml_quality_gd",

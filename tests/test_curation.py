@@ -184,3 +184,26 @@ def test_prototypes_share_semantic_cell_assignment(embs):
                                      train_iters=KMEANS_ITERS,
                                      dim=DIM).collect()}
     assert proto == cells and len(proto) > 0
+
+
+def test_cluster_sample_quota_and_strata(spark, sf_dir):
+    """Cluster-balanced sampling keeps exactly min(CELL_QUOTA, n_cell)
+    docs per semantic cell, with contiguous ranks, and its strata are
+    the IDENTICAL semantic_cells assignment."""
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        CELL_QUOTA, text_cluster_sample)
+
+    rows = text_cluster_sample(spark, sf_dir).collect()
+    assert len(rows) > 0
+    embs2 = load_table(spark, sf_dir, "embeddings")
+    cells = {}
+    for r in semantic_cells(embs2, N_CELLS, train_iters=KMEANS_ITERS,
+                            dim=DIM).collect():
+        cells.setdefault(r["cell"], set()).add(r["vec_id"])
+    per_cell: dict[int, list] = {}
+    for r in rows:
+        assert r["doc_id"] in cells[r["cell"]]
+        per_cell.setdefault(r["cell"], []).append(r["rank_in_cell"])
+    for cell, ranks in per_cell.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) == min(CELL_QUOTA, len(cells[cell]))

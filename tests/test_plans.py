@@ -44,6 +44,9 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 # a broadcast HASH join on cell and ranking is a
                 # cell-partitioned window — no pair join at all
                 "corpus_prototypes",
+                # the same bounded broadcast-centroid assignment pass;
+                # sampling is a cell-partitioned hash-rank window
+                "text_cluster_sample",
                 # embed the brute-force baseline by definition (they
                 # ARE the exact references being measured against);
                 # the judged sim_knn_label_vote itself votes over the
