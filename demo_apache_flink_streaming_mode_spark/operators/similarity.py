@@ -700,6 +700,11 @@ _INDEX_LAYOUT: dict[str, tuple[tuple[str, str | None], ...]] = {
            ("unit", "__first__")),
     "ivf": (("centroids", None), ("assigned", "cell"),
             ("unit", "__first__")),
+    # IVF-PQ: codes (the compressed corpus) bucket on cell — the probe
+    # equi-joins the inverted lists; unit vectors bucket on id for the
+    # optional exact re-rank join
+    "ivfpq": (("centroids", None), ("codebooks", None),
+              ("codes", "cell"), ("unit", "__first__")),
     "semantic": (("centroids", None), ("assigned", "cell")),
     # the dedup standing stores (the incremental quartet's persisted
     # side): each probes through one equi-join on its bucket key —
@@ -897,6 +902,131 @@ def topk_pq_rerank(queries: DataFrame, corpus: DataFrame, k: int,
               .select("query_id", "neighbor_id",
                       _dot("qv", "cv", dim).alias("cos_sim")))
     return _rank_topk(scored, k)
+
+
+def ivfpq_index(corpus: DataFrame, n_cells: int, m_sub: int, sub_dim: int,
+                n_codes: int, coarse_iters: int = 1, pq_iters: int = 1,
+                dim: int | None = None, id_col: str = "vec_id",
+                vec_col: str = "embedding"
+                ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Frozen IVF-PQ index — the full FAISS ``IndexIVFPQ`` shape: a
+    coarse k-means quantizer partitions the corpus into ``n_cells``
+    inverted lists, and ONE product-quantization codebook (shared
+    across cells, FAISS's default) is trained on the cell RESIDUALS
+    ``uv - centroid`` rather than the raw vectors. Residual encoding
+    is why IVF-PQ beats flat PQ at equal code budget: within a cell
+    the residuals are centered near zero, so the same ``n_codes``
+    spend their resolution on a much smaller ball.
+
+    Returns the serve tuple (centroids, codebooks, codes, unit):
+
+    - ``centroids`` — (cell, cv), <= n_cells rows, broadcast side;
+    - ``codebooks`` — (m, code, cv), <= m_sub*n_codes rows, broadcast;
+    - ``codes`` — (neighbor_id, cell, m, code): the compressed corpus,
+      m_sub code ids per vector, co-keyed by its inverted list;
+    - ``unit`` — corpus unit vectors, for an exact re-rank stage.
+
+    Every part is lineage-cut: train/place/encode run once, then any
+    number of query batches (or streaming micro-batches via
+    ``foreachBatch``) probe the frozen tables. Determinism contract as
+    everywhere: k-means seeds are lowest-id vectors, means are
+    in-id-order folds, ties break to the smallest cell/code, zero-norm
+    vectors are excluded up front.
+
+    Scale shape: training touches the corpus ``coarse_iters +
+    pq_iters + 2`` linear passes (broadcast joins + one shuffle per
+    Lloyd's update); the stored index is m_sub bytes + one cell id per
+    vector — at 100 TB the float corpus never has to be resident at
+    serve time except for the optional re-rank column.
+    """
+    u = (unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
+         .filter(F.col("uv").getItem(0).isNotNull())
+         .transform(cut_lineage))
+    centroids = (kmeans_centroids(u, n_cells, coarse_iters, id_col, "uv",
+                                  dim=dim)
+                 if coarse_iters
+                 else seed_centroids(u, n_cells, id_col, "uv"))
+    placed = ivf_assign(u, centroids, id_col, "uv", dim=dim)
+    # residual = unit vector minus its cell centroid (exact-rounded
+    # IEEE subtract — bit-identical on both engines); materialized
+    # once because the PQ trainer iterates over it
+    resid = (placed.join(F.broadcast(centroids), "cell")
+             .select(id_col, "cell",
+                     F.zip_with("uv", "cv", lambda x, c: x - c).alias("rv"))
+             .transform(cut_lineage))
+    cb = pq_train_codebooks(resid, m_sub, sub_dim, n_codes, pq_iters,
+                            id_col, "rv")
+    codes = (pq_assign(pq_subvectors(resid, m_sub, sub_dim, id_col, "rv"),
+                       cb, id_col)
+             .select(id_col, "m", "code")
+             .join(resid.select(id_col, "cell"), id_col)
+             .select(F.col(id_col).alias("neighbor_id"), "cell", "m",
+                     "code")
+             .transform(cut_lineage))
+    return centroids, cb, codes, u
+
+
+def topk_ivfpq(queries: DataFrame, corpus: DataFrame, k: int, n_cells: int,
+               m_sub: int, sub_dim: int, n_codes: int,
+               coarse_iters: int = 1, pq_iters: int = 1, nprobe: int = 1,
+               dim: int | None = None, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               index: tuple[DataFrame, DataFrame, DataFrame, DataFrame]
+               | None = None) -> DataFrame:
+    """IVF-PQ ANN top-k — coarse probe + residual-ADC scan, the
+    composition production vector search actually deploys (FAISS
+    ``IndexIVFPQ``): per query, probe the ``nprobe`` nearest coarse
+    cells, form the QUERY residual against each probed centroid, build
+    the ADC lookup table on that residual, and score only the code
+    rows of the probed inverted lists — a (cell, m, code) equi-join,
+    never a corpus scan and never per-pair float math.
+
+    Each corpus vector lives in exactly one cell, so a (query,
+    neighbor) pair matches at most one probed cell and the ADC sum has
+    exactly ``m_sub`` terms, folded in subspace order (bit-identical
+    to the oracle's ``list(d ORDER BY m)`` fold). Smaller adc_dist =
+    nearer; ties break to the smaller neighbor id.
+
+    Scale shape: the per-query work is nprobe ADC tables (m_sub *
+    n_codes lookups each, broadcast) + the probed lists' code rows —
+    the classic IVF fan-in trade, on a corpus stored at m_sub bytes
+    per vector. ``index`` plugs in a prebuilt :func:`ivfpq_index` so
+    repeated probes (query loops, streaming micro-batches) skip
+    training, placement, and encoding entirely.
+    """
+    if index is None:
+        index = ivfpq_index(corpus, n_cells, m_sub, sub_dim, n_codes,
+                            coarse_iters, pq_iters, dim, id_col, vec_col)
+    centroids, cb, codes, _u = index
+    qu = (unit_vectors(queries, id_col, vec_col, "query_id", "uv")
+          .filter(F.col("uv").getItem(0).isNotNull()))
+    qprobe = ivf_assign(qu, centroids, "query_id", "uv", dim=dim,
+                        n_probe=nprobe)
+    qres = (qprobe.join(F.broadcast(centroids), "cell")
+            .select("query_id", "cell",
+                    F.zip_with("uv", "cv", lambda x, c: x - c).alias("rv")))
+    qsub = (qres.select(
+                "query_id", "cell",
+                F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+                "rv")
+            .select("query_id", "cell", "m",
+                    F.slice("rv", F.col("m") * sub_dim + 1, sub_dim)
+                    .alias("sv")))
+    dtab = (qsub.join(F.broadcast(cb), "m")
+            .select("query_id", "cell", "m", "code",
+                    _l2sq(F.col("sv"), F.col("cv")).alias("d")))
+    scored = (codes.join(F.broadcast(dtab), ["cell", "m", "code"])
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list(F.struct("m", "d"))),
+                  F.lit(0.0), lambda acc, s: acc + s["d"])
+                  .alias("adc_dist")))
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "adc_dist"))
 
 
 def int8_scale_codes(vec_col: str) -> tuple[Column, Column]:

@@ -637,6 +637,28 @@ def sim_topk_pq_rerank(spark, sf_dir):
                                      dim=DIM)
 
 
+IVFPQ_NPROBE = 2        # coarse cells probed per query
+
+
+def sim_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN top-k — the full FAISS IndexIVFPQ composition the
+    two standalone tiers build toward: a trained coarse quantizer
+    partitions the corpus into inverted lists, ONE shared PQ codebook
+    is trained on the cell RESIDUALS (uv - centroid), and each query
+    probes its IVFPQ_NPROBE nearest cells with an ADC table built on
+    its own per-cell residual (operators.similarity.topk_ivfpq).
+    Residual encoding is the production win: the same PQ_CODES spend
+    their resolution on the small within-cell ball instead of the
+    whole sphere, and the serve-time corpus is PQ_M code bytes + a
+    cell id per vector."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.topk_ivfpq(
+        queries, embs, TOPK, n_cells=N_CELLS, m_sub=PQ_M,
+        sub_dim=PQ_SUB_DIM, n_codes=PQ_CODES, coarse_iters=KMEANS_ITERS,
+        pq_iters=PQ_ITERS, nprobe=IVFPQ_NPROBE, dim=DIM)
+
+
 def dedup_quality_keeper(spark, sf_dir):
     """Quality-aware dedup keeper: within each exact-duplicate group,
     keep the HIGHEST-quality copy (tie -> smallest doc_id) — the
@@ -1452,6 +1474,108 @@ def _pq_oracle(iters: int, k: int = TOPK) -> str:
           SELECT q.query_id, n.neighbor_id,
                  list_aggregate(list(q.d ORDER BY q.m), 'sum') AS adc_dist
           FROM dtab q JOIN codes n ON q.m = n.m AND q.code = n.code
+          WHERE q.query_id <> n.neighbor_id
+          GROUP BY q.query_id, n.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, adc_dist
+        FROM ranked WHERE rn <= {k}"""
+
+
+def _ivfpq_oracle(coarse_iters: int, pq_iters: int, nprobe: int,
+                  k: int = TOPK) -> str:
+    """IVF-PQ oracle: the coarse Lloyd's CTEs (shared via
+    ``_kmeans_ctes``), corpus placement, RESIDUALS against the placed
+    centroid, per-subspace Lloyd's codebooks trained on those
+    residuals (seeds = lowest-id residual subvectors, in-id-order mean
+    folds), then the probe: per query residual per probed cell, ADC
+    table, and a (cell, m, code) join against the inverted lists —
+    mirrors ``similarity.topk_ivfpq`` bit-for-bit.
+    """
+    km, cent = _kmeans_ctes(coarse_iters)
+    ctes = [f"""
+        placed AS (
+          SELECT vec_id, cell, uv FROM (
+            SELECT eg.vec_id, c.cell, eg.uv,
+                   ROW_NUMBER() OVER (PARTITION BY eg.vec_id
+                       ORDER BY {_DOT.format(a='eg.uv', b='c.cv')} DESC,
+                                c.cell ASC) AS rn
+            FROM eg, {cent} c) WHERE rn = 1),
+        resid AS (
+          SELECT p.vec_id, p.cell,
+                 list_transform(range(1, {DIM} + 1),
+                                i -> p.uv[i] - c.cv[i]) AS rv
+          FROM placed p JOIN {cent} c ON p.cell = c.cell),
+        rsub AS (
+          SELECT vec_id, cell, m,
+                 list_transform(range(1, {PQ_SUB_DIM} + 1),
+                                i -> rv[m * {PQ_SUB_DIM} + i]) AS sv
+          FROM resid, range(0, {PQ_M}) t(m)),
+        cb0 AS (
+          SELECT m, code, sv AS cv FROM (
+            SELECT m, sv,
+                   ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) AS code
+            FROM rsub) WHERE code <= {PQ_CODES})"""]
+    cb = "cb0"
+    for it in range(1, pq_iters + 1):
+        ctes.append(f"""
+        pasg{it} AS (
+          SELECT vec_id, m, code, sv FROM (
+            SELECT s.vec_id, s.m, c.code, s.sv,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {_L2SQ.format(a='s.sv', b='c.cv')} ASC,
+                                c.code ASC) AS rn
+            FROM rsub s JOIN {cb} c ON s.m = c.m) WHERE rn = 1),
+        pdims{it} AS (
+          SELECT m, code, pos,
+                 list_aggregate(list(val ORDER BY vec_id), 'sum')
+                   / COUNT(*) AS mu
+          FROM (SELECT vec_id, m, code, i AS pos, sv[i] AS val
+                FROM pasg{it}, range(1, {PQ_SUB_DIM} + 1) t(i))
+          GROUP BY m, code, pos),
+        cb{it} AS (
+          SELECT m, code, list(mu ORDER BY pos) AS cv
+          FROM pdims{it} GROUP BY m, code)""")
+        cb = f"cb{it}"
+    return f"""
+        WITH {_EMB_D},{km},{','.join(ctes)},
+        codes AS (
+          SELECT vec_id AS neighbor_id, cell, m, code FROM (
+            SELECT s.vec_id, s.cell, s.m, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {_L2SQ.format(a='s.sv', b='c.cv')} ASC,
+                                c.code ASC) AS rn
+            FROM rsub s JOIN {cb} c ON s.m = c.m) WHERE rn = 1),
+        qprobe AS (
+          SELECT vec_id, cell, uv FROM (
+            SELECT eg.vec_id, c.cell, eg.uv,
+                   ROW_NUMBER() OVER (PARTITION BY eg.vec_id
+                       ORDER BY {_DOT.format(a='eg.uv', b='c.cv')} DESC,
+                                c.cell ASC) AS rn
+            FROM eg, {cent} c
+            WHERE eg.vec_id % {QUERY_MOD} = 0) WHERE rn <= {nprobe}),
+        qres AS (
+          SELECT q.vec_id AS query_id, q.cell,
+                 list_transform(range(1, {DIM} + 1),
+                                i -> q.uv[i] - c.cv[i]) AS rv
+          FROM qprobe q JOIN {cent} c ON q.cell = c.cell),
+        qsub AS (
+          SELECT query_id, cell, m,
+                 list_transform(range(1, {PQ_SUB_DIM} + 1),
+                                i -> rv[m * {PQ_SUB_DIM} + i]) AS sv
+          FROM qres, range(0, {PQ_M}) t(m)),
+        dtab AS (
+          SELECT s.query_id, s.cell, s.m, c.code,
+                 {_L2SQ.format(a='s.sv', b='c.cv')} AS d
+          FROM qsub s JOIN {cb} c ON s.m = c.m),
+        scored AS (
+          SELECT q.query_id, n.neighbor_id,
+                 list_aggregate(list(q.d ORDER BY q.m), 'sum') AS adc_dist
+          FROM dtab q JOIN codes n
+            ON q.cell = n.cell AND q.m = n.m AND q.code = n.code
           WHERE q.query_id <> n.neighbor_id
           GROUP BY q.query_id, n.neighbor_id),
         ranked AS (
@@ -2615,6 +2739,8 @@ ORACLES["sim_knn_agreement"] = f"""
 ORACLES["sim_topk_ivf_probe2"] = _ivf_trained_oracle(KMEANS_ITERS,
                                                      nprobe=IVF_NPROBE)
 ORACLES["sim_topk_pq"] = _pq_oracle(PQ_ITERS)
+ORACLES["sim_topk_ivfpq"] = _ivfpq_oracle(KMEANS_ITERS, PQ_ITERS,
+                                          nprobe=IVFPQ_NPROBE)
 
 # rerank: the PQ oracle at shortlist depth feeds an exact-cosine
 # re-scoring over the same unit vectors (the _DOT fold order matches
@@ -3463,6 +3589,10 @@ QUERIES = [
           ORACLES["sim_topk_pq_rerank"],
           "two-stage ANN: PQ/ADC shortlist + exact cosine re-rank on "
           "the shortlist only (FAISS refine shape)"),
+    Query("sim_topk_ivfpq", sim_topk_ivfpq, ORACLES["sim_topk_ivfpq"],
+          "IVF-PQ ANN: coarse k-means inverted lists + shared PQ "
+          "codebook on cell residuals, per-cell residual ADC probe "
+          "(FAISS IndexIVFPQ shape)"),
     Query("sim_recall_rerank", sim_recall_rerank,
           ORACLES["sim_recall_rerank"],
           "recall report: exact top-k hits of raw PQ vs "

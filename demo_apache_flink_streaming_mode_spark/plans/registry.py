@@ -398,8 +398,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "decontam": ("text_decontam", "text_decontam_bloom"),
     "ann_topk": ("sim_topk_bruteforce", "sim_ann_lsh", "sim_topk_ivf",
                  "sim_topk_ivf_trained", "sim_topk_ivf_probe2",
-                 "sim_topk_pq", "sim_topk_pq_rerank", "sim_recall_rerank",
-                 "sim_recall_ann",
+                 "sim_topk_pq", "sim_topk_pq_rerank", "sim_topk_ivfpq",
+                 "sim_recall_rerank", "sim_recall_ann",
                  "sim_eval_retrieval"),
     "ann_int8": ("sim_topk_int8", "sim_quantize_int8"),
     "knn_label": ("sim_knn_label_vote", "sim_knn_label_vote_exact",

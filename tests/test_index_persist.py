@@ -95,6 +95,37 @@ def test_ivf_index_save_load_parity(spark, sf_dir):
     assert _is_bucketed(ns, "t_ivfidx__assigned")
 
 
+def test_ivfpq_index_save_load_parity(spark, sf_dir):
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        IVFPQ_NPROBE)
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    idx = similarity.ivfpq_index(embs, N_CELLS, PQ_M, PQ_SUB_DIM, PQ_CODES,
+                                 coarse_iters=KMEANS_ITERS,
+                                 pq_iters=PQ_ITERS, dim=DIM)
+
+    def topk(s, q, index):
+        corpus = load_table(s, sf_dir, "embeddings")
+        return similarity.topk_ivfpq(
+            q, corpus, TOPK, n_cells=N_CELLS, m_sub=PQ_M,
+            sub_dim=PQ_SUB_DIM, n_codes=PQ_CODES,
+            coarse_iters=KMEANS_ITERS, pq_iters=PQ_ITERS,
+            nprobe=IVFPQ_NPROBE, dim=DIM, index=index)
+
+    want = _rows(topk(spark, queries, idx))
+    similarity.save_index("ivfpq", idx, "t_ivfpqidx")
+
+    ns = _fresh_session(spark)
+    loaded = similarity.load_index(ns, "ivfpq", "t_ivfpqidx")
+    q2 = load_table(ns, sf_dir, "embeddings").filter(
+        F.col("vec_id") % QUERY_MOD == 0)
+    got = _rows(topk(ns, q2, loaded))
+    assert got == want and len(got) > 0
+    # the inverted lists bucket on cell (the probe's equi-join key)
+    assert _is_bucketed(ns, "t_ivfpqidx__codes")
+    assert not _is_bucketed(ns, "t_ivfpqidx__centroids")
+
+
 def test_semantic_index_save_load_parity(spark, sf_dir):
     embs = load_table(spark, sf_dir, "embeddings")
     new = embs.filter(F.col("vec_id") % INC_MOD == 0)

@@ -47,6 +47,10 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 # the same bounded broadcast-centroid assignment pass;
                 # sampling is a cell-partitioned hash-rank window
                 "text_cluster_sample",
+                # IVF-PQ: the bounded centroid-assignment pass (corpus
+                # placement + query probe, <= N_CELLS rows broadcast);
+                # the ADC scoring itself is a (cell, m, code) equi-join
+                "sim_topk_ivfpq",
                 # embed the brute-force baseline by definition (they
                 # ARE the exact references being measured against);
                 # the judged sim_knn_label_vote itself votes over the

@@ -1127,6 +1127,57 @@ def test_pq_rerank_stream_static_parity(spark, sf_dir, tmp_path):
     assert sorted(got) == want
 
 
+def test_ivfpq_stream_static_parity(spark, sf_dir, tmp_path):
+    """IVF-PQ in serve shape: the frozen index (coarse centroids,
+    shared residual codebook, inverted-list codes, unit vectors) is
+    built ONCE (similarity.ivfpq_index), then streaming micro-batches
+    of queries probe it via foreachBatch stream-static dataflow. Each
+    query lands in exactly one micro-batch and ranking is per-query,
+    so the union over batches must equal the batch top-k exactly — and
+    the index-backed batch form must equal the train-inline form (the
+    plumbing changes no values)."""
+    from demo_apache_flink_streaming_mode_spark.operators import similarity
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        DIM, IVFPQ_NPROBE, KMEANS_ITERS, N_CELLS, PQ_CODES, PQ_ITERS, PQ_M,
+        PQ_SUB_DIM, QUERY_MOD, TOPK)
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    idx = similarity.ivfpq_index(embs, N_CELLS, PQ_M, PQ_SUB_DIM, PQ_CODES,
+                                 coarse_iters=KMEANS_ITERS,
+                                 pq_iters=PQ_ITERS, dim=DIM)
+
+    def topk(q, index=None):
+        return similarity.topk_ivfpq(
+            q, embs, TOPK, n_cells=N_CELLS, m_sub=PQ_M,
+            sub_dim=PQ_SUB_DIM, n_codes=PQ_CODES,
+            coarse_iters=KMEANS_ITERS, pq_iters=PQ_ITERS,
+            nprobe=IVFPQ_NPROBE, dim=DIM, index=index)
+
+    want = sorted(tuple(r) for r in topk(queries, index=idx).collect())
+    scratch = sorted(tuple(r) for r in topk(queries).collect())
+    assert want == scratch and len(want) > 0
+
+    d = str(tmp_path / "query_batches")
+    queries.repartition(3).write.mode("overwrite").parquet(d)
+    stream = sources.file_stream(spark, d + "/part-*", queries.schema,
+                                 fmt="parquet", max_files_per_trigger=1)
+    got: list[tuple] = []
+    n_batches = []
+
+    def probe(batch_df, epoch_id):
+        got.extend(tuple(r) for r in topk(batch_df, index=idx).collect())
+        n_batches.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(probe)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(300)
+    assert len(n_batches) > 1, "expected multiple micro-batches"
+    assert sorted(got) == want
+
+
 def test_jaccard_incremental_stream_static_parity(spark, sf_dir, tmp_path):
     """Incremental exact-Jaccard in serve shape: the prefix index
     (corpus prefixes + grams + df order) is frozen once
