@@ -3067,3 +3067,104 @@ def mcv4_decode_frames(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, schema=schema)
+
+
+# --- perceptual-hash (dHash) image fingerprinting ------------------------
+#
+# Image near-duplicate detection over the binary media column: the key
+# frame (the first PHASH_W x PHASH_H gray plane of the payload,
+# zero-padded — the identical frame model every codec above shares) is
+# box-downsampled to a PHASH_GRID x PHASH_GRID grid of block sums, and
+# the hash bit (r, c) is 1 iff blocksum(r, c) > blocksum(r, (c+1) mod
+# GRID) — a ring-difference dHash. Uniform brightness shifts and any
+# per-pixel noise that preserves block-sum ORDER leave the hash
+# unchanged, which is the whole point of a perceptual hash vs a
+# cryptographic digest.
+#
+# The 64 bits are emitted as PHASH_BANDS 16-bit band values (two grid
+# rows per band) rather than one packed int64: bit 63 would overflow a
+# signed BIGINT differently per engine, and the band layout is exactly
+# what the downstream pigeonhole join keys on anyway. All math is
+# integer -> bit-identical on any engine, so the DuckDB oracle
+# recomputes the hash from raw byte values.
+
+PHASH_W, PHASH_H = 16, 16     # key-frame dims (fs = 256 bytes)
+PHASH_GRID = 8                # block-sum grid (2x2-pixel blocks)
+PHASH_BANDS = 4               # 16-bit bands (2 grid rows each)
+PHASH_MAX_HAMMING = 3         # pigeonhole-complete for <= BANDS - 1
+PHASH_SCHEMA = "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+
+
+def media_dhash(media: DataFrame) -> DataFrame:
+    """Per-doc perceptual hash of the key frame, as PHASH_BANDS 16-bit
+    band ints (Arrow-batched kernel; integer math only)."""
+    import numpy as np
+
+    fs = PHASH_W * PHASH_H
+    blk = PHASH_W // PHASH_GRID
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "b0", "b1", "b2", "b3")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(payload)[:fs]
+                px = np.zeros(fs, dtype=np.int64)
+                px[:len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                g = px.reshape(PHASH_H, PHASH_W)
+                bs = (g.reshape(PHASH_GRID, blk, PHASH_GRID, blk)
+                      .sum(axis=(1, 3)))
+                bits = bs > np.roll(bs, -1, axis=1)
+                rows["doc_id"].append(doc_id)
+                for k in range(PHASH_BANDS):
+                    v = 0
+                    for dr in range(2):
+                        for c in range(PHASH_GRID):
+                            if bits[2 * k + dr, c]:
+                                v |= 1 << (dr * PHASH_GRID + c)
+                    rows[f"b{k}"].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=PHASH_SCHEMA)
+
+
+def phash_near_pairs(media: DataFrame,
+                     max_hamming: int = PHASH_MAX_HAMMING) -> DataFrame:
+    """Perceptual near-duplicate image pairs WITHOUT an all-pairs scan:
+    Hamming(hash_a, hash_b) <= max_hamming, found by the pigeonhole
+    band join (any pair differing in <= PHASH_BANDS - 1 bits shares at
+    least one 16-bit band verbatim — the same block-then-verify shape
+    as ``dedup.simhash_near_pairs``, shuffling only (band, value) ints,
+    never pixels). Exact Hamming verifies as the sum of per-band
+    bit_count(xor) terms. Output: (doc_a, doc_b, hamming).
+
+    Scale shape: the hash pass is one linear kernel scan; candidates
+    shuffle on (band, value) — at 100 TB widen the hash (larger GRID)
+    and band count so per-bucket sizes stay small, same plan.
+    """
+    if max_hamming > PHASH_BANDS - 1:
+        raise ValueError("pigeonhole completeness needs "
+                         "max_hamming <= PHASH_BANDS - 1")
+    sig = media_dhash(media)
+    bcols = [f"b{k}" for k in range(PHASH_BANDS)]
+    banded = sig.select(
+        "doc_id", *bcols,
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("bv"))
+            for k in range(PHASH_BANDS)])).alias("bb")
+    ).select("doc_id", *bcols, F.col("bb.band"), F.col("bb.bv"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bv",
+                      *[F.col(b).alias(f"{b}_a") for b in bcols])
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bv",
+                      *[F.col(b).alias(f"{b}_b") for b in bcols])
+    cand = (a.join(b, ["band", "bv"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    *[c for k in range(PHASH_BANDS)
+                      for c in (f"b{k}_a", f"b{k}_b")])
+            .distinct())
+    hamming = sum(
+        [F.bit_count(F.col(f"b{k}_a").bitwiseXOR(F.col(f"b{k}_b")))
+         for k in range(PHASH_BANDS)], F.lit(0))
+    return (cand.withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -1271,6 +1271,22 @@ def mm_frames(spark, sf_dir):
                      F.hex("frame").alias("frame_hex"), "n_frames")
 
 
+def dedup_phash_media(spark, sf_dir):
+    """IMAGE near-duplicate detection via a perceptual hash — the
+    multimodal member of the dedup suite: each document's key frame
+    (the shared gray-plane frame model of the codec tier) is
+    box-downsampled to an 8x8 block-sum grid and fingerprinted by the
+    ring-difference dHash (bit = blocksum > its right neighbor,
+    invariant to uniform brightness and order-preserving noise); pairs
+    within Hamming PHASH_MAX_HAMMING are found by the pigeonhole
+    16-bit-band equi-join, never an all-pairs scan
+    (operators.multimodal.phash_near_pairs). Python only in the
+    Arrow-batched hash kernel; all integer math, so the oracle
+    recomputes the hash from raw byte values."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return multimodal.phash_near_pairs(media)
+
+
 # --- oracle SQL ----------------------------------------------------------
 
 _TOKENS = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -2577,6 +2593,66 @@ ORACLES["mm_decode_mcv"] = f"""
                                    'sum'), 0)::DOUBLE / sz AS mean_px
     FROM (SELECT doc_id, bytes, nf, unnest(range(0, nf)) AS i FROM f), fs"""
 
+# perceptual-hash dedup: the dHash is pure integer math over the key
+# frame's byte values (zero-padded to PHASH_W*PHASH_H), so the oracle
+# rebuilds the 8x8 block-sum grid, the ring-difference bits, the four
+# 16-bit bands, the pigeonhole band self-join, and the per-band
+# bit_count(xor) Hamming verify — mirroring multimodal.phash_near_pairs
+# exactly
+ORACLES["dedup_phash_media"] = f"""
+    WITH raw AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             list_transform(range(0, {multimodal.PHASH_W * multimodal.PHASH_H}),
+                 i -> CASE WHEN i < octet_length(encode(text))
+                      THEN ('0x' || substr(hex(encode(text)),
+                                           2*i + 1, 2))::BIGINT
+                      ELSE 0 END) AS px
+      FROM documents),
+    grid AS (
+      SELECT doc_id, r, c,
+             px[r*2*{multimodal.PHASH_W} + c*2 + 1]
+           + px[r*2*{multimodal.PHASH_W} + c*2 + 2]
+           + px[(r*2+1)*{multimodal.PHASH_W} + c*2 + 1]
+           + px[(r*2+1)*{multimodal.PHASH_W} + c*2 + 2] AS s
+      FROM raw, range(0, {multimodal.PHASH_GRID}) t1(r),
+                range(0, {multimodal.PHASH_GRID}) t2(c)),
+    bits AS (
+      SELECT g.doc_id, g.r, g.c,
+             CASE WHEN g.s > h.s THEN 1 ELSE 0 END AS bit
+      FROM grid g JOIN grid h
+        ON g.doc_id = h.doc_id AND g.r = h.r
+       AND h.c = (g.c + 1) % {multimodal.PHASH_GRID}),
+    bands AS (
+      SELECT doc_id, CAST(r // 2 AS INT) AS band,
+             CAST(SUM(bit * (1 << ((r % 2) * {multimodal.PHASH_GRID} + c)))
+                  AS INT) AS bv
+      FROM bits GROUP BY doc_id, r // 2),
+    sig AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+             MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+             MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+             MAX(CASE WHEN band = 3 THEN bv END) AS b3
+      FROM bands GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           CAST(bit_count(xor(sa.b0::BIGINT, sb.b0::BIGINT))
+              + bit_count(xor(sa.b1::BIGINT, sb.b1::BIGINT))
+              + bit_count(xor(sa.b2::BIGINT, sb.b2::BIGINT))
+              + bit_count(xor(sa.b3::BIGINT, sb.b3::BIGINT)) AS INT)
+             AS hamming
+    FROM cand p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    WHERE bit_count(xor(sa.b0::BIGINT, sb.b0::BIGINT))
+        + bit_count(xor(sa.b1::BIGINT, sb.b1::BIGINT))
+        + bit_count(xor(sa.b2::BIGINT, sb.b2::BIGINT))
+        + bit_count(xor(sa.b3::BIGINT, sb.b3::BIGINT))
+        <= {multimodal.PHASH_MAX_HAMMING}"""
+
 # the lossless proof one motion rung up: MCV2's half-pel interpolate ->
 # search -> compensate -> Rice path must reconstruct the same bytes, so
 # the oracle is the identical exact-byte-math contract as mm_decode_mcv
@@ -3698,6 +3774,10 @@ QUERIES = [
           "Arrow-batched media decode via mapInPandas (deterministic fake codec)"),
     Query("mm_resize", mm_resize, ORACLES["mm_resize"],
           "media resize kernel, 1->1 mapInPandas shape (deterministic fake codec)"),
+    Query("dedup_phash_media", dedup_phash_media,
+          ORACLES["dedup_phash_media"],
+          "image near-dup via ring-difference dHash over the key "
+          "frame + pigeonhole band join (multimodal dedup)"),
     Query("mm_frames", mm_frames, ORACLES["mm_frames"],
           "frame sampling kernel, 1->N mapInPandas shape (deterministic fake codec)"),
     Query("mm_decode_wav", mm_decode_wav, ORACLES["mm_decode_wav"],

@@ -392,6 +392,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                       "dedup_jaccard_exact", "dedup_incremental_jaccard"),
     "dedup_clusters": ("dedup_clusters",),
     "dedup_simhash": ("dedup_simhash", "dedup_simhash_pairs"),
+    "dedup_media": ("dedup_phash_media",),
     "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh",
                         "dedup_semantic", "dedup_semantic_recall",
                         "dedup_incremental_semantic"),

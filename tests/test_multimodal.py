@@ -367,3 +367,80 @@ def test_flac_kernel_stats_match_payload(spark, media):
         assert r["n_samples"] == len(b)
         assert r["max_amp"] == (max(b) if b else 0)
         assert abs(r["mean_amp"] - sum(b) / len(b)) < 1e-12
+
+
+# --- perceptual hash (dHash) ---------------------------------------------
+
+
+def _doc_media(spark, payloads):
+    # build media directly from binary so payload bytes are exact
+    # (UTF-8 text round-trips can't express arbitrary byte values)
+    return spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, media binary")
+
+
+def test_dhash_brightness_invariance(spark):
+    """dHash compares block-sum ORDER, so a uniform brightness shift
+    (every byte +delta, no clipping) must leave every band unchanged."""
+    import random
+    rng = random.Random(7)
+    base = bytes(rng.randrange(0, 200) for _ in range(256))
+    brighter = bytes(v + 40 for v in base)
+    out = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+           for r in multimodal.media_dhash(
+               _doc_media(spark, [base, brighter])).collect()}
+    assert out[0] == out[1]
+    pairs = multimodal.phash_near_pairs(
+        _doc_media(spark, [base, brighter])).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [(0, 1, 0)]
+
+
+def test_dhash_localized_edit_small_hamming(spark):
+    """Flipping ONE 2x2 block's brightness perturbs only the bits whose
+    comparisons touch that block (<= 2 of 64), while a full reshuffle
+    of the frame moves many bits — the locality property that makes a
+    perceptual hash a near-dup signal rather than a checksum."""
+    import random
+    rng = random.Random(11)
+    base = bytes(rng.randrange(0, 150) for _ in range(256))
+    edited = bytearray(base)
+    for dr in range(2):
+        for dc in range(2):
+            edited[(4 + dr) * 16 + 6 + dc] = 255  # one block maxed
+    shuffled = list(base)
+    rng.shuffle(shuffled)
+    sig = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+           for r in multimodal.media_dhash(_doc_media(
+               spark, [base, bytes(edited), bytes(shuffled)])).collect()}
+
+    def hamming(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    assert 0 < hamming(sig[0], sig[1]) <= 2
+    assert hamming(sig[0], sig[2]) > 2
+
+
+def test_phash_banding_complete_vs_bruteforce(spark, sf_dir):
+    """Pigeonhole completeness on real data: the banded join finds
+    EXACTLY the pairs an all-pairs Hamming scan finds at the same
+    threshold."""
+    media = multimodal.to_media(
+        load_table(spark, sf_dir, "documents").limit(120))
+    got = sorted((r["doc_a"], r["doc_b"], r["hamming"])
+                 for r in multimodal.phash_near_pairs(media).collect())
+    sig = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+           for r in multimodal.media_dhash(media).collect()}
+    ids = sorted(sig)
+    want = sorted(
+        (a, b, h) for i, a in enumerate(ids) for b in ids[i + 1:]
+        if (h := sum(bin(x ^ y).count("1")
+                     for x, y in zip(sig[a], sig[b])))
+        <= multimodal.PHASH_MAX_HAMMING)
+    assert got == want and len(sig) == 120
+
+
+def test_phash_rejects_incomplete_banding(spark):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        multimodal.phash_near_pairs(
+            _doc_media(spark, [b"x" * 256]), max_hamming=4)
