@@ -601,6 +601,73 @@ def bloom_prefiltered_contamination(
                     .alias("is_contaminated")))
 
 
+def fuzzy_contamination(docs: DataFrame, bench_filter: Column,
+                        threshold_num: int, threshold_den: int,
+                        shingle_n: int = 3, num_hashes: int = 8,
+                        bands: int = 4, rows_per_band: int = 2,
+                        text_col: str = "text") -> DataFrame:
+    """FUZZY benchmark decontamination: flag candidate documents that
+    NEAR-DUPLICATE any benchmark document — paraphrased or lightly
+    edited eval items that exact gram-overlap decontamination
+    (``benchmark_contamination``) under-counts.
+
+    Two-phase, the standard LSH shape pointed across the corpus/bench
+    split instead of at a self-join: MinHash signatures for both
+    sides, candidate (candidate doc, benchmark doc) pairs via the
+    band equi-join (``lsh_candidates_against`` — the benchmark band
+    table is the tiny side), then EXACT distinct-n-gram Jaccard
+    verification on candidates only, thresholded RATIONALLY
+    (n_inter * den >= n_union * num — integer math, no float
+    boundary). Emits one row per contaminated candidate with its
+    worst (highest-Jaccard) benchmark match, ties to the smaller
+    benchmark id.
+
+    Scale shape: the corpus is never self-joined and never shuffled
+    against the whole benchmark text — signatures are narrow per-row
+    expressions, the band join shuffles (band_hash, doc_id) ints, and
+    the exact verify touches candidate pairs' grams only.
+    """
+    from pyspark.sql import Window as W
+    base = spread(docs, "doc_id").select(
+        "doc_id", text_col, bench_filter.alias("_isb"))
+    bench = base.filter(F.col("_isb")).select("doc_id", text_col)
+    cand = base.filter(~F.col("_isb")).select("doc_id", text_col)
+    pairs = (lsh_candidates_against(
+                 minhash_signature(cand, text_col, shingle_n, num_hashes),
+                 minhash_signature(bench, text_col, shingle_n, num_hashes),
+                 bands, rows_per_band)
+             .select(F.col("doc_id").alias("doc_a"),
+                     F.col("corpus_doc_id").alias("doc_b")))
+    grams = doc_shingles(docs, text_col, shingle_n)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (pairs.hint("shuffle_hash")
+             .join(ga, "doc_a")
+             .join(gb.hint("shuffle_hash"), ["doc_b", "g"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
+    scored = (inter
+              .join(sizes.hint("shuffle_hash")
+                    .select(F.col("doc_id").alias("doc_a"),
+                            F.col("n_grams").alias("na")), "doc_a")
+              .join(sizes.hint("shuffle_hash")
+                    .select(F.col("doc_id").alias("doc_b"),
+                            F.col("n_grams").alias("nb")), "doc_b")
+              .select("doc_a", "doc_b", "n_inter",
+                      (F.col("na") + F.col("nb") - F.col("n_inter"))
+                      .alias("n_union")))
+    hits = scored.filter(F.col("n_inter") * F.lit(threshold_den)
+                         >= F.col("n_union") * F.lit(threshold_num))
+    w = W.partitionBy("doc_a").orderBy(
+        F.desc(F.col("n_inter") / F.col("n_union")), F.asc("doc_b"))
+    return (hits.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("matched_bench"),
+                    "n_inter", "n_union",
+                    (F.col("n_inter") / F.col("n_union")).alias("jaccard")))
+
+
 def jaccard_exact_pairs(docs: DataFrame, threshold_num: int,
                         threshold_den: int, text_col: str = "text",
                         shingle_n: int = 3) -> DataFrame:

@@ -221,6 +221,89 @@ def train_quality_gd(docs: DataFrame, iters: int = QF_GD_ITERS,
     return spark.createDataFrame(curve, schema)
 
 
+# lr swept over {0.5, 1, 2, 3} at all three SFs: 1.0 is the largest
+# rate whose loss curve decreases STRICTLY through iter 5 everywhere
+# (2.0+ oscillates the decision accuracy, 3.0 diverges the loss)
+QF_LOGIT_ITERS = 5
+QF_LOGIT_LR = 1.0
+
+
+def _alg_sigmoid(z: Column) -> Column:
+    """The ALGEBRAIC sigmoid 0.5*(1 + z/(1+|z|)) — the rational
+    softsign link. Chosen over 1/(1+exp(-z)) deliberately: exp's libm
+    implementations differ in the last ulp between the JVM and DuckDB,
+    while abs/+/*// are IEEE exactly-rounded everywhere, so the whole
+    training trajectory stays bit-identical across engines. Same
+    sigmoidal shape (monotone, p(0)=0.5, saturating to 0/1)."""
+    return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+
+
+def train_quality_logit(docs: DataFrame, iters: int = QF_LOGIT_ITERS,
+                        lr: float = QF_LOGIT_LR,
+                        text_col: str = "text") -> DataFrame:
+    """CLASSIFICATION twin of ``train_quality_gd``: full-batch gradient
+    descent on the squared error of a sigmoidal CLASSIFIER against the
+    teacher's binary keep/drop label y = (s >= QF_THRESHOLD) — the
+    fastText-style "train a cheap classifier on a teacher's decisions"
+    step, where the regression twins learn the teacher's SCORE.
+
+    Model: p = sigmoid(<w, x>) with the algebraic (rational) sigmoid;
+    loss L = mean((p - y)^2); gradient dL/dw_j =
+    mean(2*(p - y) * p'(z) * x_j) with p'(z) = 0.5/(1+|z|)^2 — all
+    +,-,*,abs and exactly-rounded division, so every step is
+    bit-reproducible on any engine (no exp/log anywhere, see
+    ``_alg_sigmoid``). One map-side-combinable d-sum aggregation per
+    step (the allreduce shape), model returns as literals.
+
+    Emits the learning curve (iter, sq_loss, train_acc, n_docs): iter
+    0 is the untrained model (w = 0, p = 0.5 everywhere); sq_loss must
+    strictly decrease and the decision rule is sign(z) — train_acc is
+    the integer-exact agreement of (z >= 0) with y.
+    """
+    feats = quality_filter_features(docs, text_col).persist()
+    n = feats.count()
+    spark = docs.sparkSession
+    schema = "iter int, sq_loss double, train_acc double, n_docs bigint"
+    if n == 0:
+        feats.unpersist()
+        return spark.createDataFrame([], schema)
+    det = deterministic_folds(feats)
+    th = F.lit(QF_THRESHOLD)
+    y = F.when(F.col("s") >= th, F.lit(1.0)).otherwise(F.lit(0.0))
+    w = [0.0] * QF_D
+
+    def z_col() -> Column:
+        z = F.lit(w[0]) * F.col("x1")
+        for j in range(1, QF_D):
+            z = z + F.lit(w[j]) * F.col(f"x{j + 1}")
+        return z
+
+    def point() -> tuple[float, float]:
+        z = z_col()
+        p = _alg_sigmoid(z)
+        loss = _fold_sum(feats, {"sq": (p - y) * (p - y)}, det)["sq"] / float(n)
+        acc = feats.agg(
+            (F.sum(F.when((z >= F.lit(0.0)) == (F.col("s") >= th),
+                          F.lit(1)).otherwise(F.lit(0))).cast("double")
+             / F.count(F.lit(1))).alias("acc")).collect()[0]["acc"]
+        return loss, float(acc)
+
+    curve = [(0, *point(), int(n))]
+    for t in range(1, iters + 1):
+        z = z_col()
+        p = _alg_sigmoid(z)
+        dp = F.lit(0.5) / ((F.lit(1.0) + F.abs(z))
+                           * (F.lit(1.0) + F.abs(z)))
+        grads = _fold_sum(
+            feats,
+            {f"g{j}": (F.lit(2.0) * (p - y)) * dp * F.col(f"x{j + 1}")
+             for j in range(QF_D)}, det)
+        w = [w[j] - lr * (grads[f"g{j}"] / float(n)) for j in range(QF_D)]
+        curve.append((t, *point(), int(n)))
+    feats.unpersist()
+    return spark.createDataFrame(curve, schema)
+
+
 def score_with_weights(feats: DataFrame, w: list[float]) -> Column:
     """<w, x> over the feature columns as the canonical left-to-right
     chain (shared by training, serving and the oracle SQL)."""

@@ -893,6 +893,25 @@ def text_decontam_bloom(spark, sf_dir):
         threshold=DECON_THRESHOLD)
 
 
+def text_decontam_fuzzy(spark, sf_dir):
+    """FUZZY decontamination: candidates NEAR-DUPLICATING any benchmark
+    document (paraphrased/edited eval leaks the exact gram-overlap pass
+    under-counts) — MinHash band join of the candidate side against the
+    tiny benchmark band table, exact distinct-3-gram Jaccard verify on
+    candidates only, RATIONAL threshold (n_inter*den >= n_union*num),
+    worst benchmark match per contaminated doc
+    (operators.dedup.fuzzy_contamination). Same benchmark subset as
+    text_decontam."""
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import hex_to_long
+    bench = (hex_to_long(F.md5(F.concat(F.lit("bench:"),
+                                        F.col("doc_id").cast("string"))))
+             % DECON_MOD == 0)
+    return dedup.fuzzy_contamination(
+        _docs(spark, sf_dir), bench, JACCARD_NUM, JACCARD_DEN,
+        shingle_n=SHINGLE_N, num_hashes=NUM_HASHES, bands=BANDS,
+        rows_per_band=ROWS_PER_BAND)
+
+
 def sim_quantize_int8(spark, sf_dir):
     return similarity.quantize_int8_report(_embs(spark, sf_dir))
 
@@ -3285,6 +3304,52 @@ for _i, _lang in enumerate(_langs[:-1]):
 # operator's oracle on purpose.
 ORACLES["text_decontam_bloom"] = ORACLES["text_decontam"]
 
+# fuzzy decontamination: the MinHash band join pointed across the
+# candidate/benchmark split (same sig/band CTE vocabulary as
+# _MINHASH_CTES), exact distinct-gram Jaccard on candidates, rational
+# threshold, worst-match argmax — mirrors dedup.fuzzy_contamination
+ORACLES["text_decontam_fuzzy"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(SHINGLE_N)} AS shingles FROM toks),
+    fl AS (SELECT doc_id,
+                  ('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)),
+                                  1, 15))::BIGINT % {DECON_MOD} = 0 AS isb
+           FROM toks),
+    sig AS (SELECT doc_id, [{_SIG_ITEMS}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, sig, b, {_BAND_HASH} AS band_hash
+      FROM sig, (VALUES {_BAND_VALUES}) AS t(b)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN fl fa ON a.doc_id = fa.doc_id AND NOT fa.isb
+      JOIN banded b ON a.b = b.b AND a.band_hash = b.band_hash
+      JOIN fl fb ON b.doc_id = fb.doc_id AND fb.isb),
+    g AS (SELECT doc_id, unnest(list_distinct(shingles)) AS g FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN g ga ON ga.doc_id = p.doc_a
+      JOIN g gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+      GROUP BY p.doc_a, p.doc_b),
+    sc AS (
+      SELECT i.doc_a, i.doc_b, i.n_inter,
+             sa.n + sb.n - i.n_inter AS n_union
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b),
+    hits AS (SELECT * FROM sc
+             WHERE n_inter * {JACCARD_DEN} >= n_union * {JACCARD_NUM}),
+    ranked AS (
+      SELECT doc_a, doc_b, n_inter, n_union,
+             ROW_NUMBER() OVER (PARTITION BY doc_a
+                 ORDER BY n_inter / n_union DESC, doc_b ASC) AS rn
+      FROM hits)
+    SELECT doc_a AS doc_id, doc_b AS matched_bench, n_inter, n_union,
+           n_inter / n_union AS jaccard
+    FROM ranked WHERE rn = 1"""
+
 # mirrors similarity.quantize_int8_report: round-half-up via
 # floor(x+0.5), in-index-order IEEE folds for sse, exact integer
 # position-weighted checksum, nullif guard for all-zero vectors
@@ -3420,6 +3485,17 @@ def ml_quality_gd(spark, sf_dir):
     return ml.train_quality_gd(_docs(spark, sf_dir))
 
 
+def ml_quality_logit(spark, sf_dir):
+    """Distributed CLASSIFIER training: full-batch gradient descent on
+    a sigmoidal model of the teacher's binary keep/drop decision
+    (operators.ml.train_quality_logit) — the fastText-filter shape,
+    next to the regression twins. The sigmoid is the ALGEBRAIC
+    softsign 0.5*(1+z/(1+|z|)) so the whole trajectory (loss curve,
+    decision accuracy) is bit-identical across engines — no exp/log;
+    the oracle recomputes every step with unrolled CTEs."""
+    return ml.train_quality_logit(_docs(spark, sf_dir))
+
+
 def ml_quality_apply(spark, sf_dir):
     """End-to-end train-then-filter: the closed-form probe's training
     pass followed by the SERVE-shape filtering pass — every document
@@ -3509,7 +3585,47 @@ def _ml_gd_oracle(iters: int, lr: float) -> str:
     return "WITH " + ",\n    ".join(ctes) + f"\n    {rows}"
 
 
+def _ml_logit_oracle(iters: int, lr: float) -> str:
+    """Unrolled-CTE twin of ``ml.train_quality_logit``: the algebraic
+    sigmoid, its rational derivative, the binary teacher label, and
+    the integer-exact decision accuracy, recomputed per step."""
+    feat = _QF_FEAT.format(qr_oracle=ORACLES["text_quality_rules"])
+    th = ml.QF_THRESHOLD
+    p = f"(0.5 * (1.0 + {_QF_DOT} / (1.0 + abs({_QF_DOT}))))"
+    dp = f"(0.5 / ((1.0 + abs({_QF_DOT})) * (1.0 + abs({_QF_DOT}))))"
+    y = f"(CASE WHEN f.s >= {th} THEN 1.0 ELSE 0.0 END)"
+    ctes = [feat,
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(count(*) AS BIGINT) AS nb FROM feat)",
+            "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"]
+    for t in range(1, iters + 1):
+        grads = ",\n               ".join(
+            f"{_qf_fold(f'(2.0 * ({p} - {y})) * {dp} * f.x{j + 1}')} AS g{j}"
+            for j in range(ml.QF_D))
+        ctes.append(f"""g{t} AS (SELECT
+               {grads}
+              FROM feat f, w{t - 1} w)""")
+        upd = ", ".join(f"w.w{j} - {lr} * (g.g{j} / n.n) AS w{j}"
+                        for j in range(ml.QF_D))
+        ctes.append(f"w{t} AS (SELECT {upd} FROM w{t - 1} w, g{t} g, nn n)")
+    for t in range(iters + 1):
+        ctes.append(
+            f"m{t} AS (SELECT {_qf_fold(f'({p} - {y}) * ({p} - {y})')}"
+            f" AS ss FROM feat f, w{t} w)")
+        ctes.append(
+            f"acc{t} AS (SELECT CAST(sum(CASE WHEN ({_QF_DOT} >= 0.0)"
+            f" = (f.s >= {th}) THEN 1 ELSE 0 END) AS DOUBLE) / count(*)"
+            f" AS acc FROM feat f, w{t} w)")
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS iter, m.ss / n.n AS sq_loss, "
+        f"a.acc AS train_acc, n.nb AS n_docs FROM m{t} m, acc{t} a, nn n"
+        for t in range(iters + 1))
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {rows}"
+
+
 ORACLES["ml_quality_probe"] = _ml_probe_oracle()
+ORACLES["ml_quality_logit"] = _ml_logit_oracle(ml.QF_LOGIT_ITERS,
+                                               ml.QF_LOGIT_LR)
 ORACLES["ml_quality_gd"] = _ml_gd_oracle(ml.QF_GD_ITERS, ml.QF_GD_LR)
 def _ml_apply_oracle() -> str:
     gram = ",\n           ".join(
@@ -3589,6 +3705,10 @@ QUERIES = [
     Query("ml_quality_gd", ml_quality_gd, ORACLES["ml_quality_gd"],
           "iterative distributed training: full-batch GD allreduce "
           "shape, oracle-unrolled decreasing loss curve"),
+    Query("ml_quality_logit", ml_quality_logit,
+          ORACLES["ml_quality_logit"],
+          "sigmoidal classifier GD on the teacher's keep/drop label "
+          "(algebraic softsign — engine-exact, no exp)"),
     Query("dedup_quality_keeper", dedup_quality_keeper,
           ORACLES["dedup_quality_keeper"],
           "quality-aware dedup: keep the best-scoring duplicate"),
@@ -3836,6 +3956,10 @@ QUERIES = [
     Query("text_decontam_bloom", text_decontam_bloom,
           ORACLES["text_decontam_bloom"],
           "Bloom-bitmap prefiltered decontamination (oracle = exact op)"),
+    Query("text_decontam_fuzzy", text_decontam_fuzzy,
+          ORACLES["text_decontam_fuzzy"],
+          "fuzzy decontamination: MinHash band join vs the benchmark "
+          "set + exact Jaccard verify, rational threshold"),
     Query("sim_quantize_int8", sim_quantize_int8,
           ORACLES["sim_quantize_int8"],
           "per-vector symmetric int8 quantization + reconstruction report"),

@@ -396,7 +396,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh",
                         "dedup_semantic", "dedup_semantic_recall",
                         "dedup_incremental_semantic"),
-    "decontam": ("text_decontam", "text_decontam_bloom"),
+    "decontam": ("text_decontam", "text_decontam_bloom",
+                 "text_decontam_fuzzy"),
     "ann_topk": ("sim_topk_bruteforce", "sim_ann_lsh", "sim_topk_ivf",
                  "sim_topk_ivf_trained", "sim_topk_ivf_probe2",
                  "sim_topk_pq", "sim_topk_pq_rerank", "sim_topk_ivfpq",
@@ -421,7 +422,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "prototypes": ("corpus_prototypes", "text_cluster_sample"),
     "pii": ("text_pii_redact",),
     "curation": ("corpus_clean", "corpus_report", "corpus_topics"),
-    "ml_filter": ("ml_quality_probe", "ml_quality_gd",
+    "ml_filter": ("ml_quality_probe", "ml_quality_gd", "ml_quality_logit",
                   "ml_quality_apply", "ml_quality_calibration"),
     "sketches_hll": ("sketch_hll_users", "sketch_hll_merge",
                      "sketch_hll_windowed"),

@@ -47,6 +47,52 @@ def test_gd_learning_curve_strictly_decreases(spark, docs):
     assert curve[0] > 0.0
 
 
+def test_logit_curve_decreases_and_classifier_learns(spark, docs):
+    """The sigmoidal classifier's squared loss must strictly decrease
+    (lr is swept to the largest strictly-stable rate, see QF_LOGIT_LR)
+    and the decision accuracy must end meaningfully above the
+    untrained model's (w = 0 predicts keep for everything)."""
+    rows = {r["iter"]: (r["sq_loss"], r["train_acc"])
+            for r in ml.train_quality_logit(docs).collect()}
+    assert set(rows) == set(range(ml.QF_LOGIT_ITERS + 1))
+    assert rows[0][0] == 0.25  # w=0 -> p=0.5 everywhere, y binary
+    for t in range(1, ml.QF_LOGIT_ITERS + 1):
+        assert rows[t][0] < rows[t - 1][0], rows
+    assert rows[ml.QF_LOGIT_ITERS][1] > rows[0][1] + 0.2
+
+
+def test_logit_fast_fold_path_matches_within_tolerance(spark, docs):
+    """The classifier's production aggregation path (plain F.sum) must
+    agree with the parity path's in-id-order folds to float
+    tolerance on the whole learning curve."""
+    det = {r["iter"]: (r["sq_loss"], r["train_acc"])
+           for r in ml.train_quality_logit(docs).collect()}
+    spark.conf.set(DETERMINISTIC_FOLDS_CONF, "false")
+    try:
+        fast = {r["iter"]: (r["sq_loss"], r["train_acc"])
+                for r in ml.train_quality_logit(docs).collect()}
+    finally:
+        spark.conf.unset(DETERMINISTIC_FOLDS_CONF)
+    assert set(det) == set(fast)
+    for t in det:
+        assert abs(det[t][0] - fast[t][0]) < 1e-9
+        assert det[t][1] == fast[t][1]  # integer-exact decisions
+
+
+def test_alg_sigmoid_shape(spark):
+    """p(0)=0.5, monotone, symmetric, saturating — the properties that
+    make the rational softsign a drop-in sigmoid."""
+    import pyspark.sql.functions as F
+    df = spark.range(1).select(
+        *[ml._alg_sigmoid(F.lit(z)).alias(f"p{i}")
+          for i, z in enumerate([-1e9, -2.0, -0.5, 0.0, 0.5, 2.0, 1e9])])
+    p = list(df.collect()[0])
+    assert p[3] == 0.5
+    assert all(p[i] < p[i + 1] for i in range(len(p) - 1))
+    assert p[0] > 0.0 and p[-1] < 1.0  # saturates but never reaches
+    assert abs((1 - p[1]) - p[5]) < 1e-15  # symmetry around 0.5
+
+
 def test_fast_fold_path_matches_within_tolerance(spark, docs):
     """The production aggregation path (plain F.sum partial
     aggregation, bounded memory) must agree with the parity path's

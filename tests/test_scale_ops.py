@@ -576,6 +576,62 @@ def test_contamination_counts_distinct_grams_once(spark):
     assert [(r["n_grams"], r["n_overlap"]) for r in out] == [(3, 1)]
 
 
+def test_fuzzy_contamination_flags_paraphrase_and_picks_worst(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        fuzzy_contamination)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"),        # benchmark
+         (2, "a b c d e f g h"),        # exact copy -> jaccard 1.0
+         (3, "a b c d e f g zz"),       # light edit -> high jaccard
+         (4, "q r s t u v w x"),        # disjoint   -> not flagged
+         (5, "a b c d e f g h")],       # second benchmark (copy of 1)
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fuzzy_contamination(
+        docs, F.col("doc_id").isin(1, 5), 3, 10, shingle_n=3).collect()}
+    assert set(out) == {2, 3}
+    # exact copy ties bench 1 and 5 at jaccard 1.0 -> smaller id wins
+    assert out[2]["matched_bench"] == 1 and out[2]["jaccard"] == 1.0
+    # 6-gram docs share 5 of their 3-gram shingles: 5/(6+6-5)
+    assert out[3]["n_inter"] == 5 and out[3]["n_union"] == 7
+    assert out[3]["jaccard"] == 5 / 7
+
+
+def test_fuzzy_contamination_rational_threshold_boundary(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        fuzzy_contamination)
+    # candidate shares exactly 4 of 6 union grams (a pair verified to
+    # band-collide under the fixed md5 minhashes, so the verify stage
+    # actually sees it): threshold == 4/6 keeps it (>=), any rational
+    # just above (41/60) drops it — integer cross-multiplication
+    # decides the boundary, no float fuzz
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"),          # 5 distinct 3-grams
+         (2, "a b c d e f zz")],        # 5 distinct; shares 4 -> union 6
+        "doc_id long, text string")
+    keep = fuzzy_contamination(docs, F.col("doc_id") == 1, 4, 6,
+                               shingle_n=3).collect()
+    assert [(r["doc_id"], r["n_inter"], r["n_union"]) for r in keep] \
+        == [(2, 4, 6)]
+    drop = fuzzy_contamination(docs, F.col("doc_id") == 1, 41, 60,
+                               shingle_n=3).collect()
+    assert drop == []
+
+
+def test_fuzzy_contamination_banding_is_the_candidate_gate(spark):
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        fuzzy_contamination)
+    # a 3/7-Jaccard pair whose fixed md5 minhashes do NOT band-collide:
+    # the verify stage never sees it, so even a 0-threshold returns
+    # nothing — pinning that fuzzy decontam is LSH-gated (recall is
+    # banding's, by design), not a silent all-pairs scan
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e x y")],
+        "doc_id long, text string")
+    out = fuzzy_contamination(docs, F.col("doc_id") == 1, 0, 1,
+                              shingle_n=3).collect()
+    assert out == []
+
+
 # --- tf-idf keywords -----------------------------------------------------
 
 def test_tfidf_ranks_rare_terms_above_common(spark):
