@@ -143,7 +143,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # which embeds it; slot goes to that never-attested composed
     # recall report so every recall-measurement oracle has a row)
     "sim_recall_rerank",
-    "dedup_cdc_chunks",
+    # (dedup_cdc_chunks demoted r9 after green rows through r8 — the
+    # cdc_chunking family is fresh through r12; slot goes to the NEW
+    # sigmoidal-classifier trainer so the ml_filter family's
+    # classification twin earns its driver row in its first round, per
+    # the attestation convention)
+    "ml_quality_logit",
     # -- operational diagnostics (promoted r5) -------------------------
     # (events_zorder_stats demoted r8 after its r7 first row — the
     # events_ops family is fresh through r11; slot goes to the reworked
@@ -155,7 +160,13 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # -- similarity / ANN family (ivf_probe2 demoted r4: probe widening
     # proven by sim_topk_ivf_trained + the recall report's ivf2 leg) ---
     "sim_ann_lsh",
-    "sim_topk_ivf_trained",
+    # (sim_topk_ivf_trained demoted r9 after green rows through r8 —
+    # the trained coarse quantizer stays in-window VERBATIM inside the
+    # new IVF-PQ row, whose oracle embeds the identical Lloyd's CTEs
+    # (_kmeans_ctes) before the residual-PQ stage, so the green row
+    # re-proves the trained IVF machinery AND attests the new
+    # composition in its first round, per the attestation convention)
+    "sim_topk_ivfpq",
     # (sim_topk_pq demoted r6: PQ/ADC proven by the r5 driver row and
     # its ADC leg still runs in-window inside nothing — pytest + tail;
     # slot goes to the never-attested int8-quantization family)
@@ -210,7 +221,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # text_signals proven r6+r7 with two distinct reps; slot goes to
     # the never-attested FLIC inter-frame video codec so the temporal-
     # prediction tier gets its driver row)
-    "mm_decode_flic",
+    # (mm_decode_flic demoted r9 after its r8 first row — multimodal
+    # keeps five window reps (mcv2/mcv3/mcv4/pac/mdct); slot goes to
+    # the NEW perceptual-hash image dedup so the dedup_media family —
+    # the multimodal member of the dedup suite — earns its driver row
+    # in its first round, per the new-family window rule)
+    "dedup_phash_media",
     # (text_decontam demoted r5 for its Bloom-prefiltered variant —
     # both share ONE oracle, so the green row now proves the 128 KiB
     # bitmap probe path AND, by identity, the exact path)
@@ -262,7 +278,13 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # (sketch_cms_terms demoted r6 after r3-r5 green rows; slot goes to
     # the new heavy-hitters report, which embeds the identical sketch
     # CTE verbatim — its green row re-proves the sketch AND the top-k)
-    "sketch_cms_heavy_hitters",
+    # (sketch_cms_heavy_hitters demoted r9 after green rows through r8
+    # — the sketches_cms family is fresh through r12 and the heavy-
+    # hitters row embeds the sketch CTE it proved; slot goes to the NEW
+    # fuzzy decontamination so the decontam family's near-duplicate
+    # variant earns its driver row in its first round, per the
+    # attestation convention)
+    "text_decontam_fuzzy",
     # -- quantiles -----------------------------------------------------
     "events_value_quantiles",
     # -- changelog / upsert-stream semantics (cl_latest_state rotated
