@@ -202,6 +202,42 @@ def pack_shards(df: DataFrame, id_col: str, weight_col: str, budget: int,
             .select(id_col, weight_col, "global_offset", "shard_id"))
 
 
+def pack_sequences(df: DataFrame, id_col: str, weight_col: str, ctx: int,
+                   num_buckets: int = 64,
+                   salt: str = "shard:") -> DataFrame:
+    """Concat-and-chunk SEQUENCE packing — the GPT-style pretraining
+    layout: the corpus is laid end-to-end in the same deterministic
+    md5-shuffled order as :func:`pack_shards` and sliced into
+    fixed-``ctx``-token training sequences; documents straddle cuts
+    (no padding). Emits one row per (sequence, document) overlap:
+    (id, seq_id, start_in_doc, n_in_seq) — exactly which token slice
+    of which document each training sequence reads, i.e. the manifest
+    a tokenized-dataset writer materializes.
+
+    Built ON the two-phase distributed prefix sum (never a global
+    single-partition window): a row at global offset ``off`` with
+    ``n`` tokens overlaps sequences ``off DIV ctx`` through
+    ``(off+n-1) DIV ctx`` — a bounded explode (~n/ctx + 1 rows per
+    doc, linear in total tokens). Zero-token rows occupy an empty
+    range and emit nothing. All integer math (DIV, never floor of a
+    double quotient), exact at any corpus size.
+    """
+    packed = pack_shards(df, id_col, weight_col, ctx, num_buckets, salt)
+    off, n = F.col("global_offset"), F.col(weight_col)
+    first = F.expr(f"global_offset DIV {ctx}")
+    last = F.expr(f"(global_offset + {weight_col} - 1) DIV {ctx}")
+    seq = F.col("seq_id")
+    return (packed.filter(n > 0)
+            .select(id_col, weight_col, "global_offset",
+                    F.explode(F.sequence(first, last)).alias("seq_id"))
+            .select(id_col, "seq_id",
+                    F.greatest(seq * ctx - off, F.lit(0)).cast("long")
+                    .alias("start_in_doc"),
+                    (F.least((seq + 1) * ctx, off + n)
+                     - F.greatest(seq * ctx, off)).cast("long")
+                    .alias("n_in_seq")))
+
+
 def assert_single_file_buckets(spark, name: str, buckets: int) -> None:
     """Assert the bucketed table holds exactly one data file per bucket
     — the invariant that makes trusting the bucket spec's sort order

@@ -252,6 +252,33 @@ def dedup_clusters(spark, sf_dir):
                     (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper")))
 
 
+def dedup_cluster_keeper(spark, sf_dir):
+    """Quality-aware NEAR-dup keeper — the curation-grade final stage:
+    LSH candidate pairs become transitive clusters (connected
+    components, as in dedup_clusters) and within each cluster the
+    HIGHEST-quality member is kept (tie -> smallest doc_id), the
+    near-dup analog of dedup_quality_keeper's rule (dedup_clusters'
+    min-id keeper is arbitrary; real pipelines keep the best copy).
+    One window over (cluster, quality, id) primitives after the
+    quality join; engine-portable because the quality chain is
+    bit-identical on both sides."""
+    from pyspark.sql import Window as W
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signature(docs, shingle_n=SHINGLE_N,
+                                   num_hashes=NUM_HASHES)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, bands=BANDS, rows_per_band=ROWS_PER_BAND,
+        num_hashes=NUM_HASHES).select("doc_a", "doc_b")
+    cc = dedup.connected_components(pairs)
+    q = text.quality_score(docs).select("doc_id", "quality")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("quality"),
+                                            F.asc("doc_id"))
+    return (cc.join(q, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .select("doc_id", "cluster_id", "quality",
+                    (F.col("rn") == 1).alias("is_keeper")))
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(_embs(spark, sf_dir), COS_DUP_THRESHOLD,
                                             dim=DIM)
@@ -753,6 +780,24 @@ def text_pack_shards(spark, sf_dir):
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
     return scale.pack_shards(toks, "doc_id", "n_tokens", SHARD_BUDGET,
                              num_buckets=SHARD_BUCKETS)
+
+
+SEQ_CTX = 128           # training-sequence context length (tokens)
+
+
+def text_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk SEQUENCE packing — the GPT-style pretraining
+    layout one granularity below shard packing: the same md5-shuffled
+    corpus order is sliced into fixed SEQ_CTX-token training
+    sequences, documents straddling cuts, and the emitted manifest is
+    one row per (sequence, document) overlap with the exact token
+    slice (operators.scale.pack_sequences). Two-phase distributed
+    prefix sum + a bounded ~n/ctx explode; every sequence but the last
+    is exactly full (pinned in tests)."""
+    toks = text.token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+    return scale.pack_sequences(toks, "doc_id", "n_tokens", SEQ_CTX,
+                                num_buckets=SHARD_BUCKETS)
 
 
 def text_shard_report(spark, sf_dir):
@@ -1900,6 +1945,37 @@ ORACLES = {
         SELECT doc_id, n_tokens, global_offset,
                global_offset // {SHARD_BUDGET} AS shard_id
         FROM o""",
+    # sequence packing: same order/offset CTEs as text_pack_shards,
+    # then each doc's token range [off, off+n) sliced into the SEQ_CTX
+    # windows it overlaps — integer DIV and range arithmetic only
+    "text_pack_sequences": f"""
+        WITH toks AS (SELECT doc_id, len({_TOKENS}) AS n_tokens
+                      FROM documents),
+        h AS (SELECT doc_id, n_tokens,
+                     ('0x' || substr(md5('shard:' || doc_id::VARCHAR),
+                                     1, 15))::BIGINT AS hh
+              FROM toks),
+        o AS (SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                         ORDER BY hh % {SHARD_BUCKETS}, hh, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS global_offset
+              FROM h),
+        s AS (SELECT doc_id, n_tokens, global_offset FROM o
+              WHERE n_tokens > 0),
+        x AS (SELECT doc_id, n_tokens, global_offset,
+                     unnest(range(global_offset // {SEQ_CTX},
+                                  (global_offset + n_tokens - 1)
+                                    // {SEQ_CTX} + 1)) AS seq_id
+              FROM s)
+        SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(greatest(seq_id * {SEQ_CTX} - global_offset, 0)
+                    AS BIGINT) AS start_in_doc,
+               CAST(least((seq_id + 1) * {SEQ_CTX},
+                          global_offset + n_tokens)
+                    - greatest(seq_id * {SEQ_CTX}, global_offset)
+                    AS BIGINT) AS n_in_seq
+        FROM x""",
     # distinct-n diversity: one leg per n; gram construction mirrors
     # word_shingles (positions 1..greatest(len-n+1, 1), slices
     # truncated at the array end), hashes mirror hex_to_long
@@ -3231,6 +3307,25 @@ ORACLES["sim_topk_int8"] = f"""
     SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
     FROM ranked WHERE rn <= {TOPK}"""
 
+# near-dup cluster quality keeper: dedup_clusters' recursive
+# min-reachable-id components + the quality argmax window, composed
+# from the same CTEs so definitions cannot drift
+ORACLES["dedup_cluster_keeper"] = f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM e),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r),
+    comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    q AS ({ORACLES['text_quality']})
+    SELECT c.doc_id, c.cluster_id, q.quality,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+               ORDER BY q.quality DESC, c.doc_id ASC) = 1 AS is_keeper
+    FROM comp c JOIN q ON q.doc_id = c.doc_id"""
+
 ORACLES["dedup_quality_keeper"] = f"""
     WITH q AS ({ORACLES['text_quality']}),
     g AS (SELECT md5(text) AS text_hash, d.doc_id, q.quality
@@ -3738,6 +3833,10 @@ QUERIES = [
           "exact n-gram Jaccard verification of LSH candidates"),
     Query("dedup_clusters", dedup_clusters, ORACLES["dedup_clusters"],
           "transitive duplicate clusters via distributed connected components"),
+    Query("dedup_cluster_keeper", dedup_cluster_keeper,
+          ORACLES["dedup_cluster_keeper"],
+          "quality-aware near-dup keeper: best-quality member per "
+          "connected-components cluster"),
     Query("dedup_embedding_cosine", dedup_embedding_cosine,
           ORACLES["dedup_embedding_cosine"],
           "embedding-cosine near-dup pairs (threshold)"),
@@ -3815,6 +3914,10 @@ QUERIES = [
     Query("text_pack_shards", text_pack_shards, ORACLES["text_pack_shards"],
           "fixed-token-budget training-shard assignment (distributed "
           "two-phase prefix sum)"),
+    Query("text_pack_sequences", text_pack_sequences,
+          ORACLES["text_pack_sequences"],
+          "concat-and-chunk sequence packing: (sequence, doc) token "
+          "slices at fixed context length (GPT pretraining layout)"),
     Query("text_token_stats", text_token_stats, ORACLES["text_token_stats"],
           "token counting (total/distinct/chars)"),
     Query("text_ngram_diversity", text_ngram_diversity,

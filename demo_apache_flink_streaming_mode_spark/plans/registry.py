@@ -256,7 +256,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # -- graph analytics (pagerank demoted r6 after r4+r5 green rows;
     # slot goes to the degree-oriented triangle rewrite, which has
     # never had a driver row since the r5 Suri-Vassilvitskii rework) --
-    "graph_triangles",
+    # (graph_triangles demoted r9 after its r8 first row — the graph
+    # family is fresh through r12; slot goes to the NEW quality-aware
+    # near-dup cluster keeper so the curation-grade keeper rule over
+    # connected components earns its driver row in its first round,
+    # per the attestation convention)
+    "dedup_cluster_keeper",
     # -- sketches (hll_windowed demoted r5: windowed registers proven
     # by sketch_hll_users + the streaming parity test; the merge row
     # proves register-max union semantics — the distributed-combine
@@ -286,7 +291,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # attestation convention)
     "text_decontam_fuzzy",
     # -- quantiles -----------------------------------------------------
-    "events_value_quantiles",
+    # (events_value_quantiles demoted r9 after green rows through r8 —
+    # the quantiles family is fresh through r12; slot goes to the NEW
+    # concat-and-chunk sequence packing so the pretraining-layout
+    # manifest earns its driver row in its first round, per the
+    # attestation convention)
+    "text_pack_sequences",
     # -- changelog / upsert-stream semantics (cl_latest_state rotated
     # out r5 for cl_state_summary, which BUILDS ON latest_state — its
     # green row covers the materialization AND the retract-aware
@@ -412,7 +422,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                       "dedup_jaccard_report", "dedup_source_overlap",
                       "dedup_incremental_near", "dedup_minhash_recall",
                       "dedup_jaccard_exact", "dedup_incremental_jaccard"),
-    "dedup_clusters": ("dedup_clusters",),
+    "dedup_clusters": ("dedup_clusters", "dedup_cluster_keeper"),
     "dedup_simhash": ("dedup_simhash", "dedup_simhash_pairs"),
     "dedup_media": ("dedup_phash_media",),
     "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh",
@@ -438,7 +448,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                          "dedup_winnow_pairs"),
     "text_sampling": ("text_split_assign", "text_mixture_sample",
                       "text_stratified_sample", "text_pack_shards",
-                      "text_shard_report"),
+                      "text_pack_sequences", "text_shard_report"),
     "data_selection": ("text_dsir_select",),
     "drift": ("text_source_drift",),
     "prototypes": ("corpus_prototypes", "text_cluster_sample"),

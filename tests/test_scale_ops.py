@@ -825,6 +825,46 @@ def test_pack_shards_input_partitioning_invariant(spark):
     assert a == b and len(a) == 60
 
 
+def test_pack_sequences_partitions_every_token_exactly_once(spark):
+    """The sequence manifest is a PARTITION of the token stream: per
+    doc the slices are contiguous from 0 and sum to n_tokens; per
+    sequence the contributions sum to exactly ctx (the last sequence
+    excepted); boundaries agree with the doc's global offset."""
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        pack_sequences, pack_shards)
+    rows = [(i, (i * 7) % 29) for i in range(1, 81)]  # some zero-token
+    df = spark.createDataFrame(rows, "id long, w long")
+    ctx = 16
+    out = pack_sequences(df, "id", "w", ctx, num_buckets=8).collect()
+    offs = {r.id: r.global_offset
+            for r in pack_shards(df, "id", "w", ctx, num_buckets=8)
+            .collect()}
+    total = sum(w for _, w in rows)
+    by_doc: dict[int, list] = {}
+    by_seq: dict[int, int] = {}
+    for r in out:
+        assert 1 <= r.n_in_seq <= ctx
+        by_doc.setdefault(r.id, []).append(r)
+        by_seq[r.seq_id] = by_seq.get(r.seq_id, 0) + r.n_in_seq
+    weights = dict(rows)
+    assert set(by_doc) == {i for i, w in rows if w > 0}  # zero-w emit none
+    for i, slices in by_doc.items():
+        slices.sort(key=lambda r: r.seq_id)
+        # contiguous coverage of [0, w): starts chain, total == w
+        assert slices[0].start_in_doc == 0
+        for a, b in zip(slices, slices[1:]):
+            assert b.start_in_doc == a.start_in_doc + a.n_in_seq
+            assert b.seq_id == a.seq_id + 1
+        assert sum(r.n_in_seq for r in slices) == weights[i]
+        # the first slice starts at the doc's global offset's sequence
+        assert slices[0].seq_id == offs[i] // ctx
+    # every sequence is exactly full except the last
+    last = max(by_seq)
+    assert set(by_seq) == set(range(last + 1))  # no gaps
+    assert all(v == ctx for s, v in by_seq.items() if s != last)
+    assert by_seq[last] == total - last * ctx
+
+
 def test_aqe_skew_join_split_fires(spark):
     """operators/scale.py's docstring claims AQE's runtime skew-join
     splitting is the first line of defense before salted_join — prove
