@@ -48,3 +48,34 @@ def test_pack_shards_matches_sequential_reference(spark, rows, budget,
            for r in pack_shards(df, "id", "w", budget,
                                 num_buckets=num_buckets).collect()}
     assert got == _ref_layout(rows, budget, num_buckets)
+
+
+def _ref_sequences(rows, ctx, num_buckets):
+    """(id, weight) -> {(id, seq_id): (start_in_doc, n_in_seq)} by
+    walking the sequential layout and slicing each row's token range
+    into the ctx windows it overlaps."""
+    layout = _ref_layout(rows, ctx, num_buckets)
+    out = {}
+    for i, w in rows:
+        if w == 0:
+            continue
+        off = layout[i][0]
+        for seq in range(off // ctx, (off + w - 1) // ctx + 1):
+            start = max(seq * ctx - off, 0)
+            end = min((seq + 1) * ctx, off + w) - off
+            out[(i, seq)] = (start, end - start)
+    return out
+
+
+@hypo.budget(20)
+@given(rows=rows_strategy, ctx=st.integers(min_value=1, max_value=40),
+       num_buckets=st.sampled_from([1, 3, 8]))
+def test_pack_sequences_matches_sequential_reference(spark, rows, ctx,
+                                                     num_buckets):
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        pack_sequences)
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = {(r.id, r.seq_id): (r.start_in_doc, r.n_in_seq)
+           for r in pack_sequences(df, "id", "w", ctx,
+                                   num_buckets=num_buckets).collect()}
+    assert got == _ref_sequences(rows, ctx, num_buckets)

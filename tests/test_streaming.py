@@ -1127,6 +1127,58 @@ def test_pq_rerank_stream_static_parity(spark, sf_dir, tmp_path):
     assert sorted(got) == want
 
 
+def test_fuzzy_decontam_stream_static_parity(spark, sf_dir, tmp_path):
+    """Fuzzy decontamination in serve shape: the benchmark side is
+    STATIC and each micro-batch of candidate documents probes it —
+    contamination is decided per (candidate, benchmark) pair and the
+    worst-match argmax is per candidate, so running the operator over
+    (benchmark + one candidate micro-batch) per batch must union to
+    exactly the whole-corpus batch answer."""
+    from demo_apache_flink_streaming_mode_spark.functions.scalars import (
+        hex_to_long)
+    from demo_apache_flink_streaming_mode_spark.operators import dedup
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        BANDS, DECON_MOD, JACCARD_DEN, JACCARD_NUM, NUM_HASHES,
+        ROWS_PER_BAND, SHINGLE_N)
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+    is_bench = (hex_to_long(F.md5(F.concat(F.lit("bench:"),
+                                           F.col("doc_id").cast("string"))))
+                % DECON_MOD == 0)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def fuzzy(frame):
+        return dedup.fuzzy_contamination(
+            frame, is_bench, JACCARD_NUM, JACCARD_DEN, shingle_n=SHINGLE_N,
+            num_hashes=NUM_HASHES, bands=BANDS,
+            rows_per_band=ROWS_PER_BAND)
+
+    want = sorted(tuple(r) for r in fuzzy(docs).collect())
+    assert len(want) > 0
+
+    bench_docs = docs.filter(is_bench).persist()
+    cands = docs.filter(~is_bench)
+    d = str(tmp_path / "cand_batches")
+    cands.repartition(3).write.mode("overwrite").parquet(d)
+    stream = sources.file_stream(spark, d + "/part-*", cands.schema,
+                                 fmt="parquet", max_files_per_trigger=1)
+    got: list[tuple] = []
+    n_batches = []
+
+    def probe(batch_df, epoch_id):
+        got.extend(tuple(r)
+                   for r in fuzzy(bench_docs.unionByName(batch_df)).collect())
+        n_batches.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(probe)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(300)
+    bench_docs.unpersist()
+    assert len(n_batches) > 1, "expected multiple micro-batches"
+    assert sorted(got) == want
+
+
 def test_ivfpq_stream_static_parity(spark, sf_dir, tmp_path):
     """IVF-PQ in serve shape: the frozen index (coarse centroids,
     shared residual codebook, inverted-list codes, unit vectors) is
