@@ -667,6 +667,26 @@ def sim_topk_pq_rerank(spark, sf_dir):
 IVFPQ_NPROBE = 2        # coarse cells probed per query
 
 
+def sim_topk_ivfpq_rerank(spark, sf_dir):
+    """IVF-PQ + refine — the literal FAISS deploy default: the IVF-PQ
+    probe proposes TOPK * PQ_RERANK_MULT candidates per query from the
+    compressed inverted lists (residual ADC lookups, never float
+    corpus math), then EXACT cosine re-ranks the shortlist only
+    (similarity.topk_pq_rerank's refine stage fed by
+    similarity.topk_ivfpq's shortlist). Exact math touches
+    |queries| * k * mult rows total."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    short = similarity.topk_ivfpq(
+        queries, embs, TOPK * PQ_RERANK_MULT, n_cells=N_CELLS, m_sub=PQ_M,
+        sub_dim=PQ_SUB_DIM, n_codes=PQ_CODES, coarse_iters=KMEANS_ITERS,
+        pq_iters=PQ_ITERS, nprobe=IVFPQ_NPROBE, dim=DIM)
+    return similarity.topk_pq_rerank(
+        queries, embs, TOPK, m_sub=PQ_M, sub_dim=PQ_SUB_DIM,
+        n_codes=PQ_CODES, iters=PQ_ITERS, mult=PQ_RERANK_MULT, dim=DIM,
+        shortlist=short)
+
+
 def sim_topk_ivfpq(spark, sf_dir):
     """IVF-PQ ANN top-k — the full FAISS IndexIVFPQ composition the
     two standalone tiers build toward: a trained coarse quantizer
@@ -2939,6 +2959,32 @@ ORACLES["sim_topk_pq_rerank"] = f"""
     SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
     FROM ranked WHERE rn <= {TOPK}"""
 
+# IVF-PQ + refine: the IVF-PQ oracle at shortlist depth feeds the same
+# exact-cosine re-scoring as the flat-PQ rerank — the literal FAISS
+# deploy default (IndexIVFPQ + refine)
+ORACLES["sim_topk_ivfpq_rerank"] = f"""
+    WITH {_EMB_D},
+    short AS (
+      SELECT query_id, neighbor_id
+      FROM ({_ivfpq_oracle(KMEANS_ITERS, PQ_ITERS, IVFPQ_NPROBE,
+                           TOPK * PQ_RERANK_MULT)})),
+    q AS (SELECT vec_id AS query_id, uv AS qv FROM e
+          WHERE vec_id % {QUERY_MOD} = 0 AND uv[1] IS NOT NULL),
+    c AS (SELECT vec_id AS neighbor_id, uv AS cv FROM e),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_DOT.format(a='q.qv', b='c.cv')} AS cos_sim
+      FROM short s
+      JOIN q USING (query_id)
+      JOIN c USING (neighbor_id)),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM scored)
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
+    FROM ranked WHERE rn <= {TOPK}"""
+
 # SemDeDup oracle: the shared k-means CTEs, a fresh rn=1 assignment
 # over the non-degenerate vectors, then within-cell pair scoring —
 # mirrors similarity.cosine_near_dup_clustered bit-for-bit
@@ -3888,6 +3934,10 @@ QUERIES = [
           "IVF-PQ ANN: coarse k-means inverted lists + shared PQ "
           "codebook on cell residuals, per-cell residual ADC probe "
           "(FAISS IndexIVFPQ shape)"),
+    Query("sim_topk_ivfpq_rerank", sim_topk_ivfpq_rerank,
+          ORACLES["sim_topk_ivfpq_rerank"],
+          "IVF-PQ shortlist + exact cosine re-rank (FAISS "
+          "IndexIVFPQ+refine, the production deploy default)"),
     Query("sim_recall_rerank", sim_recall_rerank,
           ORACLES["sim_recall_rerank"],
           "recall report: exact top-k hits of raw PQ vs "

@@ -433,6 +433,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "ann_topk": ("sim_topk_bruteforce", "sim_ann_lsh", "sim_topk_ivf",
                  "sim_topk_ivf_trained", "sim_topk_ivf_probe2",
                  "sim_topk_pq", "sim_topk_pq_rerank", "sim_topk_ivfpq",
+                 "sim_topk_ivfpq_rerank",
                  "sim_recall_rerank", "sim_recall_ann",
                  "sim_eval_retrieval"),
     "ann_int8": ("sim_topk_int8", "sim_quantize_int8"),
