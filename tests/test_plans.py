@@ -50,7 +50,9 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 # IVF-PQ: the bounded centroid-assignment pass (corpus
                 # placement + query probe, <= N_CELLS rows broadcast);
                 # the ADC scoring itself is a (cell, m, code) equi-join
-                "sim_topk_ivfpq",
+                # (the rerank form embeds the same probe; its refine
+                # stage is a broadcast HASH join on the shortlist)
+                "sim_topk_ivfpq", "sim_topk_ivfpq_rerank",
                 # embed the brute-force baseline by definition (they
                 # ARE the exact references being measured against);
                 # the judged sim_knn_label_vote itself votes over the
