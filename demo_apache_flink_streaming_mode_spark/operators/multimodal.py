@@ -3144,14 +3144,8 @@ def phash_near_pairs(media: DataFrame,
     if max_hamming > PHASH_BANDS - 1:
         raise ValueError("pigeonhole completeness needs "
                          "max_hamming <= PHASH_BANDS - 1")
-    sig = media_dhash(media)
+    banded = _phash_banded(media_dhash(media))
     bcols = [f"b{k}" for k in range(PHASH_BANDS)]
-    banded = sig.select(
-        "doc_id", *bcols,
-        F.explode(F.array(*[
-            F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("bv"))
-            for k in range(PHASH_BANDS)])).alias("bb")
-    ).select("doc_id", *bcols, F.col("bb.band"), F.col("bb.bv"))
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bv",
                       *[F.col(b).alias(f"{b}_a") for b in bcols])
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bv",
@@ -3162,9 +3156,81 @@ def phash_near_pairs(media: DataFrame,
                     *[c for k in range(PHASH_BANDS)
                       for c in (f"b{k}_a", f"b{k}_b")])
             .distinct())
-    hamming = sum(
-        [F.bit_count(F.col(f"b{k}_a").bitwiseXOR(F.col(f"b{k}_b")))
-         for k in range(PHASH_BANDS)], F.lit(0))
-    return (cand.withColumn("hamming", hamming.cast("int"))
+    return (cand.withColumn("hamming", _phash_hamming())
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def _phash_banded(sig: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3, band, bv): one row per (doc, band) — the
+    pigeonhole-join shape, with the full signature riding along for
+    the exact-Hamming verify."""
+    bcols = [f"b{k}" for k in range(PHASH_BANDS)]
+    return sig.select(
+        "doc_id", *bcols,
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("bv"))
+            for k in range(PHASH_BANDS)])).alias("bb")
+    ).select("doc_id", *bcols, F.col("bb.band"), F.col("bb.bv"))
+
+
+def _phash_hamming() -> Column:
+    """Exact Hamming as the sum of per-band bit_count(xor) terms over
+    the `b{k}_a` / `b{k}_b` column pairs."""
+    return sum(
+        [F.bit_count(F.col(f"b{k}_a").bitwiseXOR(F.col(f"b{k}_b")))
+         for k in range(PHASH_BANDS)], F.lit(0)).cast("int")
+
+
+def phash_band_index(corpus_media: DataFrame) -> DataFrame:
+    """The STANDING perceptual-hash store: the corpus's banded hash
+    table (doc_id, b0..b3, band, bv) — what a daily image pipeline
+    persists and band-equi-joins each increment against, the
+    multimodal sibling of ``dedup.minhash_band_index``. Lineage-cut
+    (the hash kernel never re-runs per probe); persist/reload through
+    ``similarity.save_index``/``load_index`` (kind ``dedup_phash``,
+    bucketed on ``bv``)."""
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        cut_lineage)
+    return _phash_banded(media_dhash(corpus_media)).transform(cut_lineage)
+
+
+def phash_incremental_pairs(new_media: DataFrame,
+                            corpus_media: DataFrame | None,
+                            max_hamming: int = PHASH_MAX_HAMMING,
+                            index: DataFrame | None = None) -> DataFrame:
+    """Increment-vs-corpus perceptual near-dup: a NEW batch of images
+    probed against the standing corpus hash index — the sixth member
+    of the incremental dedup family (exact hash / MinHash near / span
+    overlap / semantic / exact Jaccard / perceptual). At 100 TB the
+    corpus band table is the persisted index; each day ships one band
+    equi-join of the increment against it (never a corpus self-join),
+    and the same stateless dataflow runs stream-static over
+    micro-batches via ``foreachBatch``.
+
+    Output: (doc_id, corpus_doc_id, hamming) for exact Hamming <=
+    ``max_hamming``, pigeonhole-complete for ``max_hamming <=
+    PHASH_BANDS - 1``. ``index`` plugs in a prebuilt (possibly
+    reloaded-from-storage) :func:`phash_band_index`; ``corpus_media``
+    may then be None.
+    """
+    if max_hamming > PHASH_BANDS - 1:
+        raise ValueError("pigeonhole completeness needs "
+                         "max_hamming <= PHASH_BANDS - 1")
+    bcols = [f"b{k}" for k in range(PHASH_BANDS)]
+    a = (_phash_banded(media_dhash(new_media))
+         .select(F.col("doc_id"), "band", "bv",
+                 *[F.col(b).alias(f"{b}_a") for b in bcols]))
+    b = ((index if index is not None else
+          _phash_banded(media_dhash(corpus_media)))
+         .select(F.col("doc_id").alias("corpus_doc_id"), "band", "bv",
+                 *[F.col(c).alias(f"{c}_b") for c in bcols]))
+    cand = (a.join(b, ["band", "bv"])
+            .filter(F.col("doc_id") != F.col("corpus_doc_id"))
+            .select("doc_id", "corpus_doc_id",
+                    *[c for k in range(PHASH_BANDS)
+                      for c in (f"b{k}_a", f"b{k}_b")])
+            .distinct())
+    return (cand.withColumn("hamming", _phash_hamming())
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_id", "corpus_doc_id", "hamming"))

@@ -713,6 +713,9 @@ _INDEX_LAYOUT: dict[str, tuple[tuple[str, str | None], ...]] = {
     "dedup_exact": (("hashes", "h"),),
     "dedup_minhash": (("bands", "band_hash"),),
     "dedup_span": (("spans", "h"),),
+    # the perceptual-hash standing store (multimodal.phash_band_index):
+    # increments band-equi-join it on (band, bv) — bucket on bv
+    "dedup_phash": (("bands", "bv"),),
     # the exact-Jaccard standing store (dedup.jaccard_prefix_index):
     # prefix + grams bucket on the probe/verify join key g; dfreq is
     # the vocab-bounded global-order table

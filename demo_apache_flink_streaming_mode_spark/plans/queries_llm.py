@@ -1371,6 +1371,22 @@ def dedup_phash_media(spark, sf_dir):
     return multimodal.phash_near_pairs(media)
 
 
+def dedup_incremental_phash(spark, sf_dir):
+    """Increment-vs-corpus perceptual near-dup — the SIXTH member of
+    the incremental dedup family (exact hash / MinHash near / span
+    overlap / semantic / exact Jaccard / perceptual): a NEW batch of
+    images band-probes the standing corpus hash index
+    (operators.multimodal.phash_incremental_pairs), never a corpus
+    self-join; the standing index persists through the index catalog
+    (kind dedup_phash) and serves streaming micro-batches via
+    foreachBatch."""
+    docs = _docs(spark, sf_dir)
+    new = multimodal.to_media(docs.filter(F.col("doc_id") % INC_MOD == 0))
+    corpus = multimodal.to_media(
+        docs.filter(F.col("doc_id") % INC_MOD != 0))
+    return multimodal.phash_incremental_pairs(new, corpus)
+
+
 # --- oracle SQL ----------------------------------------------------------
 
 _TOKENS = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
@@ -2714,8 +2730,11 @@ ORACLES["mm_decode_mcv"] = f"""
 # 16-bit bands, the pigeonhole band self-join, and the per-band
 # bit_count(xor) Hamming verify — mirroring multimodal.phash_near_pairs
 # exactly
-ORACLES["dedup_phash_media"] = f"""
-    WITH raw AS (
+# shared dHash CTE block (raw bytes -> block-sum grid -> ring bits ->
+# four 16-bit bands -> per-doc signature) — used by the batch pair
+# query and the incremental probe
+_PHASH_CTES = f"""
+    raw AS (
       SELECT doc_id, octet_length(encode(text)) AS n,
              list_transform(range(0, {multimodal.PHASH_W * multimodal.PHASH_H}),
                  i -> CASE WHEN i < octet_length(encode(text))
@@ -2748,7 +2767,14 @@ ORACLES["dedup_phash_media"] = f"""
              MAX(CASE WHEN band = 1 THEN bv END) AS b1,
              MAX(CASE WHEN band = 2 THEN bv END) AS b2,
              MAX(CASE WHEN band = 3 THEN bv END) AS b3
-      FROM bands GROUP BY doc_id),
+      FROM bands GROUP BY doc_id)"""
+
+_PHASH_HAMMING_SQL = " + ".join(
+    f"bit_count(xor(sa.b{k}::BIGINT, sb.b{k}::BIGINT))"
+    for k in range(multimodal.PHASH_BANDS))
+
+ORACLES["dedup_phash_media"] = f"""
+    WITH {_PHASH_CTES},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -2767,6 +2793,23 @@ ORACLES["dedup_phash_media"] = f"""
         + bit_count(xor(sa.b2::BIGINT, sb.b2::BIGINT))
         + bit_count(xor(sa.b3::BIGINT, sb.b3::BIGINT))
         <= {multimodal.PHASH_MAX_HAMMING}"""
+
+# incremental probe: the same dHash CTEs, but candidates come from the
+# new-batch x standing-corpus band join instead of the self-join —
+# mirrors multimodal.phash_incremental_pairs
+ORACLES["dedup_incremental_phash"] = f"""
+    WITH {_PHASH_CTES},
+    cand AS (
+      SELECT DISTINCT a.doc_id, b.doc_id AS corpus_doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv
+      WHERE a.doc_id % {INC_MOD} = 0 AND b.doc_id % {INC_MOD} != 0)
+    SELECT p.doc_id, p.corpus_doc_id,
+           CAST({_PHASH_HAMMING_SQL} AS INT) AS hamming
+    FROM cand p
+    JOIN sig sa ON sa.doc_id = p.doc_id
+    JOIN sig sb ON sb.doc_id = p.corpus_doc_id
+    WHERE {_PHASH_HAMMING_SQL} <= {multimodal.PHASH_MAX_HAMMING}"""
 
 # the lossless proof one motion rung up: MCV2's half-pel interpolate ->
 # search -> compensate -> Rice path must reconstruct the same bytes, so
@@ -4051,6 +4094,10 @@ QUERIES = [
           ORACLES["dedup_phash_media"],
           "image near-dup via ring-difference dHash over the key "
           "frame + pigeonhole band join (multimodal dedup)"),
+    Query("dedup_incremental_phash", dedup_incremental_phash,
+          ORACLES["dedup_incremental_phash"],
+          "incremental perceptual dedup: new images band-probe the "
+          "standing corpus hash index"),
     Query("mm_frames", mm_frames, ORACLES["mm_frames"],
           "frame sampling kernel, 1->N mapInPandas shape (deterministic fake codec)"),
     Query("mm_decode_wav", mm_decode_wav, ORACLES["mm_decode_wav"],

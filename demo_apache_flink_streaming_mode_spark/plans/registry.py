@@ -208,7 +208,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # (text_term_counts demoted r4: explode+groupBy term counting is
     # proven by text_token_stats + text_bm25's corpus stats; the slot
     # goes to the new LM-familiarity scorer)
-    "text_lm_familiarity",
+    # (text_lm_familiarity demoted r9 after green rows through r8 —
+    # the text_tokens family keeps text_bpe_train in-window; slot goes
+    # to the NEW incremental perceptual-hash probe so the sixth
+    # incremental-dedup member earns its driver row in its first
+    # round, per the attestation convention)
+    "dedup_incremental_phash",
     # (text_langid + text_quality demoted r5: both are shuffle-free
     # scalar-expression projections whose family is proven by
     # text_token_stats / text_lm_familiarity and exercised end-to-end
@@ -424,7 +429,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                       "dedup_jaccard_exact", "dedup_incremental_jaccard"),
     "dedup_clusters": ("dedup_clusters", "dedup_cluster_keeper"),
     "dedup_simhash": ("dedup_simhash", "dedup_simhash_pairs"),
-    "dedup_media": ("dedup_phash_media",),
+    "dedup_media": ("dedup_phash_media", "dedup_incremental_phash"),
     "dedup_embedding": ("dedup_embedding_cosine", "dedup_cosine_lsh",
                         "dedup_semantic", "dedup_semantic_recall",
                         "dedup_incremental_semantic"),

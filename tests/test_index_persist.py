@@ -205,6 +205,27 @@ def test_dedup_span_index_save_load_parity(spark, sf_dir):
     assert _is_bucketed(ns, "t_spidx__spans")
 
 
+def test_dedup_phash_index_save_load_parity(spark, sf_dir):
+    from demo_apache_flink_streaming_mode_spark.operators import multimodal
+    docs = load_table(spark, sf_dir, "documents")
+    new = multimodal.to_media(docs.filter(F.col("doc_id") % INC_MOD == 0))
+    corpus = multimodal.to_media(
+        docs.filter(F.col("doc_id") % INC_MOD != 0))
+    idx = multimodal.phash_band_index(corpus)
+    want = _rows(multimodal.phash_incremental_pairs(new, corpus))
+    similarity.save_index("dedup_phash", (idx,), "t_phidx")
+
+    ns = _fresh_session(spark)
+    (loaded,) = similarity.load_index(ns, "dedup_phash", "t_phidx")
+    new2 = multimodal.to_media(
+        load_table(ns, sf_dir, "documents")
+        .filter(F.col("doc_id") % INC_MOD == 0))
+    got = _rows(multimodal.phash_incremental_pairs(new2, None,
+                                                   index=loaded))
+    assert got == want and len(got) > 0
+    assert _is_bucketed(ns, "t_phidx__bands")
+
+
 def test_save_index_rejects_wrong_shape(spark, sf_dir):
     embs = load_table(spark, sf_dir, "embeddings")
     idx = similarity.semantic_index(embs, N_CELLS, train_iters=0, dim=DIM)

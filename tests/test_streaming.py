@@ -1127,6 +1127,46 @@ def test_pq_rerank_stream_static_parity(spark, sf_dir, tmp_path):
     assert sorted(got) == want
 
 
+def test_phash_incremental_stream_static_parity(spark, sf_dir, tmp_path):
+    """Incremental perceptual dedup in serve shape: the corpus hash
+    index is frozen once (multimodal.phash_band_index), then
+    micro-batches of NEW documents probe it via foreachBatch — each
+    new doc is independent, so the union over batches must equal the
+    batch phash_incremental_pairs exactly."""
+    from demo_apache_flink_streaming_mode_spark.operators import multimodal
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        INC_MOD)
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % INC_MOD == 0)
+    corpus = multimodal.to_media(
+        docs.filter(F.col("doc_id") % INC_MOD != 0))
+    idx = multimodal.phash_band_index(corpus)
+    want = sorted(tuple(r) for r in multimodal.phash_incremental_pairs(
+        multimodal.to_media(new), None, index=idx).collect())
+    assert len(want) > 0
+
+    d = str(tmp_path / "new_batches")
+    new.repartition(3).write.mode("overwrite").parquet(d)
+    stream = sources.file_stream(spark, d + "/part-*", new.schema,
+                                 fmt="parquet", max_files_per_trigger=1)
+    got: list[tuple] = []
+    n_batches = []
+
+    def probe(batch_df, epoch_id):
+        got.extend(tuple(r) for r in multimodal.phash_incremental_pairs(
+            multimodal.to_media(batch_df), None, index=idx).collect())
+        n_batches.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(probe)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(300)
+    assert len(n_batches) > 1, "expected multiple micro-batches"
+    assert sorted(got) == want
+
+
 def test_fuzzy_decontam_stream_static_parity(spark, sf_dir, tmp_path):
     """Fuzzy decontamination in serve shape: the benchmark side is
     STATIC and each micro-batch of candidate documents probes it —
