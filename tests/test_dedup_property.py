@@ -106,3 +106,49 @@ def test_connected_components_matches_union_find(spark, pairs):
     got = {r.doc_id: r.cluster_id
            for r in D.connected_components(df).collect()}
     assert got == want
+
+
+@SLOW
+@given(rows=st.lists(
+    st.lists(word, min_size=1, max_size=8).map(" ".join),
+    min_size=2, max_size=8,
+).map(lambda ds: [(i + 1, d) for i, d in enumerate(ds)]),
+    num=st.integers(min_value=0, max_value=4),
+    den=st.integers(min_value=4, max_value=10))
+def test_fuzzy_contamination_matches_reference(spark, rows, num, den):
+    """fuzzy_contamination == the sequential pipeline: MinHash band
+    join across the candidate/benchmark split, exact distinct-shingle
+    Jaccard on band-colliding pairs only, integer rational threshold,
+    worst-match argmax (jaccard desc, bench id asc). Benchmark set =
+    odd doc ids, so both splits vary with the corpus."""
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["matched_bench"], r["n_inter"], r["n_union"],
+                         r["jaccard"])
+           for r in D.fuzzy_contamination(
+               df, F.col("doc_id") % 2 == 1, num, den,
+               shingle_n=SHINGLE_N, num_hashes=NUM_HASHES, bands=BANDS,
+               rows_per_band=ROWS_PER_BAND).collect()}
+
+    sh = {i: _shingles(t) for i, t in rows}
+    bands = {i: _bands(_sig(t)) for i, t in rows}
+    want: dict[int, tuple] = {}
+    for c, _ in rows:
+        if c % 2 == 1:
+            continue
+        best = None
+        for b, _ in rows:
+            if b % 2 == 0 or not any(
+                    x == y for x, y in zip(bands[c], bands[b])):
+                continue
+            ni = len(sh[c] & sh[b])
+            nu = len(sh[c] | sh[b])
+            if ni * den < nu * num:
+                continue
+            j = ni / nu
+            if best is None or j > best[3] or (j == best[3]
+                                               and b < best[0]):
+                best = (b, ni, nu, j)
+        if best is not None:
+            want[c] = best
+    assert got == want

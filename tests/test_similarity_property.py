@@ -94,3 +94,48 @@ def test_sql_string_expressions_match_column_path(spark, rows):
         assert r.d_str == r.d_col
         assert r.l_str == r.l_col
         assert r.b_str == r.b_col
+
+
+def test_residual_pq_beats_flat_pq_quantization_error(spark, sf_dir):
+    """The design claim behind IVF-PQ: at EQUAL code budget, a PQ
+    codebook trained on cell residuals (uv - centroid) quantizes with
+    LOWER total squared error than one trained on the raw unit
+    vectors, because residuals concentrate near zero. Measured as the
+    summed nearest-code L2^2 over the whole corpus under each scheme's
+    own trained codebook — the textbook IndexIVFPQ justification,
+    proven on the real embeddings rather than asserted."""
+    from pyspark.sql import functions as F
+    from demo_apache_flink_streaming_mode_spark.operators import similarity
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        DIM, KMEANS_ITERS, N_CELLS, PQ_CODES, PQ_ITERS, PQ_M, PQ_SUB_DIM)
+    from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+
+    def total_sq_err(vec_frame, vec_col):
+        cb = similarity.pq_train_codebooks(
+            vec_frame, PQ_M, PQ_SUB_DIM, PQ_CODES, PQ_ITERS,
+            "vec_id", vec_col)
+        sub = similarity.pq_subvectors(vec_frame, PQ_M, PQ_SUB_DIM,
+                                       "vec_id", vec_col)
+        asg = similarity.pq_assign(sub, cb, "vec_id")
+        d = (asg.join(F.broadcast(cb), ["m", "code"])
+             .agg(F.sum(similarity._l2sq(F.col("sv"), F.col("cv"))))
+             .collect()[0][0])
+        return float(d)
+
+    u = (similarity.unit_vectors(embs, "vec_id", "embedding", "vec_id",
+                                 "uv")
+         .filter(F.col("uv").getItem(0).isNotNull()))
+    flat_err = total_sq_err(u, "uv")
+
+    cent = similarity.kmeans_centroids(u, N_CELLS, KMEANS_ITERS,
+                                       "vec_id", "uv", dim=DIM)
+    resid = (similarity.ivf_assign(u, cent, "vec_id", "uv", dim=DIM)
+             .join(F.broadcast(cent), "cell")
+             .select("vec_id",
+                     F.zip_with("uv", "cv", lambda x, c: x - c)
+                     .alias("rv")))
+    resid_err = total_sq_err(resid, "rv")
+
+    assert 0 < resid_err < flat_err, (resid_err, flat_err)
