@@ -805,6 +805,42 @@ def text_pack_shards(spark, sf_dir):
 SEQ_CTX = 128           # training-sequence context length (tokens)
 
 
+MIX_EPOCH_TOKENS = 1_000_000   # epoch budget the plan allocates
+
+
+def text_mixture_plan(spark, sf_dir):
+    """Temperature-scaled source mixture plan (alpha = 1/2): each
+    source's sampling weight is n_tokens^alpha, normalized — the
+    standard rebalancing exponent for multilingual / multi-source
+    pretraining mixes (raw-proportion sampling starves small sources;
+    uniform over-trains them; alpha in (0,1) interpolates). Emits per
+    source the doc/token counts, the sqrt weight, its share, and the
+    epoch token allocation at MIX_EPOCH_TOKENS.
+
+    Engine-exact: token counts are integers, sqrt is IEEE
+    correctly-rounded on both engines, and the normalizer is an
+    in-source-order fold (sources are bounded, so the fold is over a
+    handful of rows); one map-side-combinable groupBy + a 1-row
+    broadcast total — shuffle-free at any corpus size beyond the
+    per-source aggregation."""
+    docs = _docs(spark, sf_dir)
+    toks = F.size(dedup.word_tokens(F.col("text")))
+    agg = (dedup.spread(docs, "doc_id")
+           .groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(toks).cast("long").alias("n_tokens")))
+    stats = agg.withColumn("w", F.sqrt(F.col("n_tokens").cast("double")))
+    total = (stats.agg(F.aggregate(
+        F.array_sort(F.collect_list(F.struct("source", "w"))),
+        F.lit(0.0), lambda acc, s: acc + s["w"]).alias("tw")))
+    share = F.col("w") / F.col("tw")
+    return (stats.crossJoin(F.broadcast(total))
+            .select("source", "n_docs", "n_tokens",
+                    F.col("w").alias("weight"), share.alias("share"),
+                    (share * F.lit(float(MIX_EPOCH_TOKENS)))
+                    .alias("epoch_tokens")))
+
+
 def text_pack_sequences(spark, sf_dir):
     """Concat-and-chunk SEQUENCE packing — the GPT-style pretraining
     layout one granularity below shard packing: the same md5-shuffled
@@ -2156,6 +2192,22 @@ ORACLES = {
         FROM documents
         WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
               < 100 + 45 * (TRY_CAST(substr(source, 4, 10) AS INT) % 20)""",
+    # temperature mixture: integer token sums, IEEE-correctly-rounded
+    # sqrt on both engines, in-source-order normalizer fold
+    "text_mixture_plan": f"""
+        WITH t AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len({_TOKENS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        w AS (SELECT source, n_docs, n_tokens,
+                     sqrt(CAST(n_tokens AS DOUBLE)) AS w
+              FROM t),
+        tot AS (SELECT list_aggregate(list(w ORDER BY source), 'sum')
+                  AS tw FROM w)
+        SELECT source, n_docs, n_tokens, w AS weight,
+               w / tw AS share,
+               (w / tw) * {float(MIX_EPOCH_TOKENS)} AS epoch_tokens
+        FROM w, tot""",
     "text_stratified_sample": f"""
         WITH ranked AS (
           SELECT doc_id, source, lang,
@@ -4054,6 +4106,10 @@ QUERIES = [
           "deterministic hash train/val/test split (leak-proof, shuffle-free)"),
     Query("text_mixture_sample", text_mixture_sample, ORACLES["text_mixture_sample"],
           "per-source mixture sampling by hash threshold"),
+    Query("text_mixture_plan", text_mixture_plan,
+          ORACLES["text_mixture_plan"],
+          "temperature-scaled (alpha=1/2) source mixture weights and "
+          "epoch token allocation"),
     Query("text_source_drift", text_source_drift,
           ORACLES["text_source_drift"],
           "per-source distribution drift: exact TV (ppm) + chi-square"),

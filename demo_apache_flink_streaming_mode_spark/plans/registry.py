@@ -453,6 +453,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "text_fingerprint": ("text_fingerprint", "text_winnow",
                          "dedup_winnow_pairs"),
     "text_sampling": ("text_split_assign", "text_mixture_sample",
+                      "text_mixture_plan",
                       "text_stratified_sample", "text_pack_shards",
                       "text_pack_sequences", "text_shard_report"),
     "data_selection": ("text_dsir_select",),
