@@ -62,6 +62,10 @@ BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
                 # embeds the exact all-pairs baseline it measures
                 # against, plus three 1-row count attaches
                 "dedup_semantic_recall",
+                # one 1-row broadcast total (the normalizer) attached
+                # to a bounded per-source aggregate — same shape as the
+                # count attaches above
+                "text_mixture_plan",
                 # gram-blocked exact leg is equi-join only; the BNLJ is
                 # the three 1-row count attaches
                 "dedup_minhash_recall",
