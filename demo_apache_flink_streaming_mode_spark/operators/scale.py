@@ -224,8 +224,11 @@ def pack_sequences(df: DataFrame, id_col: str, weight_col: str, ctx: int,
     """
     packed = pack_shards(df, id_col, weight_col, ctx, num_buckets, salt)
     off, n = F.col("global_offset"), F.col(weight_col)
-    first = F.expr(f"global_offset DIV {ctx}")
-    last = F.expr(f"(global_offset + {weight_col} - 1) DIV {ctx}")
+    # backtick-quote the caller's weight column inside the SQL fragment
+    # (it is interpolated, unlike every other column here) so
+    # non-identifier names survive; ctx is a validated int
+    first = F.expr(f"global_offset DIV {int(ctx)}")
+    last = F.expr(f"(global_offset + `{weight_col}` - 1) DIV {int(ctx)}")
     seq = F.col("seq_id")
     return (packed.filter(n > 0)
             .select(id_col, weight_col, "global_offset",

@@ -993,9 +993,15 @@ def topk_ivfpq(queries: DataFrame, corpus: DataFrame, k: int, n_cells: int,
     Scale shape: the per-query work is nprobe ADC tables (m_sub *
     n_codes lookups each, broadcast) + the probed lists' code rows —
     the classic IVF fan-in trade, on a corpus stored at m_sub bytes
-    per vector. ``index`` plugs in a prebuilt :func:`ivfpq_index` so
-    repeated probes (query loops, streaming micro-batches) skip
-    training, placement, and encoding entirely.
+    per vector. The broadcast ADC table is |query batch| * nprobe *
+    m_sub * n_codes rows, so "bounded" means bounded PER QUERY BATCH:
+    the serve shape is small micro-batches of queries against a large
+    frozen corpus (the registry plans, which derive queries as a
+    corpus fraction, are a test-convenience exception — for a
+    corpus-sized query set drop the hint and let AQE pick the join).
+    ``index`` plugs in a prebuilt :func:`ivfpq_index` so repeated
+    probes (query loops, streaming micro-batches) skip training,
+    placement, and encoding entirely.
     """
     if index is None:
         index = ivfpq_index(corpus, n_cells, m_sub, sub_dim, n_codes,

@@ -2785,6 +2785,19 @@ ORACLES["mm_decode_mcv"] = f"""
 # shared dHash CTE block (raw bytes -> block-sum grid -> ring bits ->
 # four 16-bit bands -> per-doc signature) — used by the batch pair
 # query and the incremental probe
+# The CTE text below hardcodes the geometry the constants currently
+# imply: 2x2-pixel block sums (the px[r*2*W + ...] offsets), two grid
+# rows packed per 16-bit band (r // 2, r % 2), and exactly four band
+# columns b0..b3. Pin those assumptions HERE so changing
+# PHASH_W/PHASH_H/PHASH_GRID/PHASH_BANDS fails at import instead of
+# silently desyncing operator and oracle until the driver gate trips.
+assert (multimodal.PHASH_W // multimodal.PHASH_GRID == 2
+        and multimodal.PHASH_H // multimodal.PHASH_GRID == 2
+        and multimodal.PHASH_GRID // multimodal.PHASH_BANDS == 2
+        and multimodal.PHASH_BANDS == 4), (
+    "_PHASH_CTES hardcodes 2x2 blocks, 2-rows-per-band packing and "
+    "b0..b3 — rederive the SQL if the phash geometry changes")
+
 _PHASH_CTES = f"""
     raw AS (
       SELECT doc_id, octet_length(encode(text)) AS n,
@@ -3578,9 +3591,13 @@ ORACLES["text_decontam_fuzzy"] = f"""
     hits AS (SELECT * FROM sc
              WHERE n_inter * {JACCARD_DEN} >= n_union * {JACCARD_NUM}),
     ranked AS (
+      -- exact rational argmax: (i * 2^40) // u separates distinct
+      -- Jaccards exactly for union sizes <= 2^20 (see
+      -- dedup.fuzzy_contamination) — never a float-quotient collision
       SELECT doc_a, doc_b, n_inter, n_union,
              ROW_NUMBER() OVER (PARTITION BY doc_a
-                 ORDER BY n_inter / n_union DESC, doc_b ASC) AS rn
+                 ORDER BY (n_inter * 1099511627776) // n_union DESC,
+                          doc_b ASC) AS rn
       FROM hits)
     SELECT doc_a AS doc_id, doc_b AS matched_bench, n_inter, n_union,
            n_inter / n_union AS jaccard
