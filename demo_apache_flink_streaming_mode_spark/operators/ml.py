@@ -144,19 +144,20 @@ def _fold_sum(df: DataFrame, terms: dict[str, Column],
     return {name: float(row[name]) for name in terms}
 
 
-def train_quality_probe(docs: DataFrame,
-                        text_col: str = "text") -> DataFrame:
-    """Closed-form least squares in ONE distributed pass + a driver-
-    side Cramer solve; reports each learned weight next to its planted
-    teacher weight and the keep/drop agreement at the threshold."""
-    feats = quality_filter_features(docs, text_col).persist()
+def fit_quality_weights(feats: DataFrame) -> tuple[list[float], int]:
+    """THE closed-form training pass, single-sourced: one distributed
+    sufficient-statistics aggregation (the d*(d+1)/2 Gram entries and
+    d moments, dual-path folds) + the driver-side Cramer solve over
+    the shared expression strings. Returns ``(weights, n_docs)`` —
+    ``([], 0)`` for an empty corpus. Every ml_filter surface that
+    needs trained weights (probe report, serve filter, calibration,
+    the composed pipeline) calls THIS once over a prebuilt —
+    persist-it-first-if-reused — feature frame, so a composed query
+    runs exactly one training aggregation (pinned by
+    tests/test_ml.py)."""
     n = feats.count()
-    spark = docs.sparkSession
-    schema = ("feature string, weight double, planted double, "
-              "train_acc double, n_docs bigint")
     if n == 0:
-        feats.unpersist()
-        return spark.createDataFrame([], schema)
+        return [], 0
     terms: dict[str, Column] = {}
     for i in range(QF_D):
         for j in range(i, QF_D):
@@ -167,6 +168,22 @@ def train_quality_probe(docs: DataFrame,
     stats = _fold_sum(feats, terms, deterministic_folds(feats))
     w = [eval(expr, {"__builtins__": {}}, stats)    # noqa: S307 — the
          for expr in cramer_weight_exprs()]         # expr is generated
+    return [float(v) for v in w], int(n)
+
+
+def train_quality_probe(docs: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Closed-form least squares in ONE distributed pass + a driver-
+    side Cramer solve; reports each learned weight next to its planted
+    teacher weight and the keep/drop agreement at the threshold."""
+    feats = quality_filter_features(docs, text_col).persist()
+    spark = docs.sparkSession
+    schema = ("feature string, weight double, planted double, "
+              "train_acc double, n_docs bigint")
+    w, n = fit_quality_weights(feats)
+    if n == 0:
+        feats.unpersist()
+        return spark.createDataFrame([], schema)
     dot = F.lit(w[0]) * F.col("x1")
     for j in range(1, QF_D):
         dot = dot + F.lit(w[j]) * F.col(f"x{j + 1}")
@@ -329,24 +346,28 @@ def apply_quality_filter(docs: DataFrame, weights: list[float],
         (dot >= F.lit(QF_THRESHOLD)).alias("keep"))
 
 
-def train_and_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def train_and_filter(docs: DataFrame, text_col: str = "text",
+                     weights: list[float] | None = None) -> DataFrame:
     """End-to-end: closed-form training pass, then the serve-shape
     filtering pass with the learned weights — train-then-filter as one
-    judged query."""
-    trained = {r["feature"]: r["weight"]
-               for r in train_quality_probe(docs, text_col).collect()}
-    if not trained:
-        return docs.sparkSession.createDataFrame(
-            [], "doc_id bigint, pred_score double, keep boolean")
-    w = [trained[f] for f in QF_FEATURES]
-    return apply_quality_filter(docs, w, text_col)
+    judged query. Pass ``weights=`` (the ``index=`` convention of the
+    ANN family) to reuse an already-fitted model and skip the training
+    aggregation entirely."""
+    if weights is None:
+        feats = quality_filter_features(docs, text_col).persist()
+        weights, n = fit_quality_weights(feats)
+        feats.unpersist()
+        if n == 0:
+            return docs.sparkSession.createDataFrame(
+                [], "doc_id bigint, pred_score double, keep boolean")
+    return apply_quality_filter(docs, weights, text_col)
 
 
 QF_CAL_BUCKETS = 10
 
 
-def calibration_report(docs: DataFrame,
-                       text_col: str = "text") -> DataFrame:
+def calibration_report(docs: DataFrame, text_col: str = "text",
+                       weights: list[float] | None = None) -> DataFrame:
     """Reliability diagram for the trained quality filter — the step a
     production pipeline runs before trusting a cheap learned scorer to
     gate data at scale (the fastText-filter calibration check): bucket
@@ -363,24 +384,38 @@ def calibration_report(docs: DataFrame,
     100 TB), keep counts are integers. Scale shape: one projection
     pass + one bounded groupBy (<= QF_CAL_BUCKETS groups) — the whole
     report is a single map-side-combinable aggregation after the
-    training pass."""
+    training pass. Pass ``weights=`` to reuse an already-fitted model
+    and skip the training aggregation."""
     feats = quality_filter_features(docs, text_col)
-    trained = {r["feature"]: r["weight"]
-               for r in train_quality_probe(docs, text_col).collect()}
     spark = docs.sparkSession
     schema = ("bucket int, n_docs bigint, mean_pred double, "
               "mean_teacher double, n_keep_pred bigint, "
               "n_keep_teacher bigint, cal_gap double")
-    if not trained:
-        return spark.createDataFrame([], schema)
-    w = [trained[f] for f in QF_FEATURES]
+    if weights is None:
+        tf = feats.persist()
+        weights, n = fit_quality_weights(tf)
+        tf.unpersist()
+        if n == 0:
+            return spark.createDataFrame([], schema)
+    return _calibration_agg(_bucketize(feats, weights),
+                            deterministic_folds(feats))
+
+
+def _bucketize(feats: DataFrame, w: list[float]) -> DataFrame:
+    """(doc_id, pred, s, bucket): the scored frame every calibration
+    surface shares — one shared floor for the bin id."""
     pred = score_with_weights(feats, w)
-    b = feats.select(
+    return feats.select(
         "doc_id", pred.alias("pred"), F.col("s"),
         F.least(F.greatest(F.floor(pred * F.lit(float(QF_CAL_BUCKETS))),
                            F.lit(0)),
                 F.lit(QF_CAL_BUCKETS - 1)).cast("int").alias("bucket"))
-    if deterministic_folds(feats):
+
+
+def _calibration_agg(b: DataFrame, det: bool) -> DataFrame:
+    """The <= QF_CAL_BUCKETS-group reliability aggregate over a
+    ``_bucketize`` frame (dual-path double folds, integer keeps)."""
+    if det:
         def fold(col: str) -> Column:
             return F.aggregate(
                 F.array_sort(F.collect_list(
@@ -404,6 +439,44 @@ def calibration_report(docs: DataFrame,
                       mean_teacher.alias("mean_teacher"),
                       "n_keep_pred", "n_keep_teacher",
                       F.abs(mean_pred - mean_teacher).alias("cal_gap"))
+
+
+def train_apply_calibrate(docs: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """The COMPOSED ml_filter pipeline — train once, serve every
+    document, annotate each decision with its calibration bucket's
+    reliability — with exactly ONE training aggregation in the whole
+    run (``fit_quality_weights`` is called once; pinned by
+    tests/test_ml.py). Standalone, ``ml_quality_apply`` and
+    ``ml_quality_calibration`` each pay their own training pass; a
+    production pipeline runs THIS shape instead.
+
+    Output, one row per document: (doc_id, pred_score, keep, bucket,
+    bucket_n_docs, bucket_cal_gap) — the serve decision plus how well
+    calibrated the model is in that document's score region (the
+    trust-the-filter signal a curation pipeline gates on).
+
+    Scale shape: the training pass is one sufficient-statistics
+    aggregation; scoring is a shuffle-free projection with the d=4
+    model as literals; calibration is one bounded (<= QF_CAL_BUCKETS
+    groups) aggregate whose result BROADCASTS back onto the scored
+    frame — no corpus-sized shuffle anywhere."""
+    feats = quality_filter_features(docs, text_col).persist()
+    spark = docs.sparkSession
+    schema = ("doc_id bigint, pred_score double, keep boolean, "
+              "bucket int, bucket_n_docs bigint, bucket_cal_gap double")
+    w, n = fit_quality_weights(feats)
+    if n == 0:
+        feats.unpersist()
+        return spark.createDataFrame([], schema)
+    b = _bucketize(feats, w)
+    cal = _calibration_agg(b, deterministic_folds(feats)).select(
+        "bucket", F.col("n_docs").alias("bucket_n_docs"),
+        F.col("cal_gap").alias("bucket_cal_gap"))
+    return (b.join(F.broadcast(cal), "bucket")
+            .select("doc_id", F.col("pred").alias("pred_score"),
+                    (F.col("pred") >= F.lit(QF_THRESHOLD)).alias("keep"),
+                    "bucket", "bucket_n_docs", "bucket_cal_gap"))
 
 
 def save_quality_model(spark, weights: list[float], name: str) -> None:

@@ -1224,6 +1224,22 @@ def mm_decode_png(spark, sf_dir):
     return multimodal.png_decode_features(media)
 
 
+def mm_decode_gif(spark, sf_dir):
+    """REAL dictionary-codec image decode: from-scratch GIF89a LZW.
+
+    The payload is containerized as a 256-gray GIF89a (32-px rows,
+    grayscale global color table, variable-width 9->12-bit LZW with
+    clear-code resets at slot 4095, <=255-byte sub-blocks, 0x3B
+    trailer) and decoded back the real way — descriptor walk,
+    sub-block reassembly, LZW decompression including the width
+    progression and the KwKwK case, palette mapping
+    (operators.multimodal.gif_decode_features). Lossless, so the
+    oracle over the text's byte values proves the whole
+    LZW-compress -> decompress path end to end."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return multimodal.gif_decode_features(media)
+
+
 def mm_decode_jpeg(spark, sf_dir):
     """REAL LOSSY image decode: pure stdlib+numpy baseline JPEG.
 
@@ -2358,6 +2374,29 @@ ORACLES = {
                CASE WHEN h > 0
                     THEN list_aggregate(bytes, 'sum')::DOUBLE
                          / (h * {multimodal.PNG_WIDTH})
+                    ELSE 0.0 END AS mean_px
+        FROM d""",
+    # GIF is lossless like PNG: decoded pixels == payload + zero pad
+    # (same oracle machinery, GIF_WIDTH row shape, 256-entry palette)
+    "mm_decode_gif": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 list_transform(range(0, octet_length(encode(text))),
+                                i -> ('0x' || substr(hex(encode(text)),
+                                                     2*i + 1, 2))::BIGINT)
+                   AS bytes
+          FROM documents),
+        d AS (SELECT doc_id, n, bytes,
+                     CAST(ceil(n / {float(multimodal.GIF_WIDTH)}) AS BIGINT)
+                       AS h
+              FROM b)
+        SELECT doc_id, {multimodal.GIF_WIDTH} AS width, CAST(h AS INT) AS height,
+               256 AS n_colors, h * {multimodal.GIF_WIDTH} AS n_px,
+               CAST(COALESCE(list_max(bytes), 0) AS INT) AS max_px,
+               CASE WHEN h > 0
+                    THEN list_aggregate(bytes, 'sum')::DOUBLE
+                         / (h * {multimodal.GIF_WIDTH})
                     ELSE 0.0 END AS mean_px
         FROM d""",
     "mm_resize": f"""
@@ -3946,6 +3985,58 @@ def _ml_calibration_oracle() -> str:
 
 ORACLES["ml_quality_calibration"] = _ml_calibration_oracle()
 
+
+def ml_quality_pipeline(spark, sf_dir):
+    """The COMPOSED train->apply->calibrate pipeline with exactly ONE
+    training aggregation (operators.ml.train_apply_calibrate):
+    ml_quality_apply and ml_quality_calibration each pay their own
+    training pass when run standalone; the composed form fits once
+    (fit_quality_weights — pinned to a single call by
+    tests/test_ml.py), scores every document shuffle-free with
+    the d=4 model as literals, and broadcast-joins the <=10-row
+    reliability aggregate back onto the scored frame, annotating each
+    keep/drop decision with its score-bucket's calibration gap."""
+    return ml.train_apply_calibrate(_docs(spark, sf_dir))
+
+
+def _ml_pipeline_oracle() -> str:
+    """Per-document serve + calibration-annotation oracle: the apply
+    oracle's weight CTEs, the calibration oracle's bucket floor and
+    in-doc_id-order fold means, joined back per document."""
+    gram = ",\n           ".join(
+        f"{_qf_fold(f'f.x{i + 1} * f.x{j + 1}')} AS a{i}{j}"
+        for i in range(ml.QF_D) for j in range(i, ml.QF_D))
+    mom = ",\n           ".join(
+        f"{_qf_fold(f'f.x{i + 1} * f.s')} AS b{i}" for i in range(ml.QF_D))
+    wsel = ", ".join(f"{e} AS w{j}"
+                     for j, e in enumerate(ml.cramer_weight_exprs()))
+    feat = _QF_FEAT.format(qr_oracle=ORACLES["text_quality_rules"])
+    nb, th = ml.QF_CAL_BUCKETS, ml.QF_THRESHOLD
+    mp = "list_aggregate(list(pred ORDER BY doc_id), 'sum') / count(*)"
+    mt = "list_aggregate(list(s ORDER BY doc_id), 'sum') / count(*)"
+    return f"""
+    WITH {feat},
+    g AS (SELECT
+           {gram},
+           {mom}
+          FROM feat f),
+    w AS (SELECT {wsel} FROM g),
+    scored AS (SELECT f.doc_id, {_QF_DOT} AS pred, f.s AS s
+               FROM feat f, w),
+    b AS (SELECT doc_id, pred, s,
+                 CAST(least(greatest(floor(pred * CAST({nb} AS DOUBLE)),
+                                     0), {nb - 1}) AS INT) AS bucket
+          FROM scored),
+    cal AS (SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_n_docs,
+                   abs({mp} - {mt}) AS bucket_cal_gap
+            FROM b GROUP BY bucket)
+    SELECT b.doc_id, b.pred AS pred_score, b.pred >= {th} AS keep,
+           b.bucket, cal.bucket_n_docs, cal.bucket_cal_gap
+    FROM b JOIN cal USING (bucket)"""
+
+
+ORACLES["ml_quality_pipeline"] = _ml_pipeline_oracle()
+
 QUERIES = [
     Query("ml_quality_probe", ml_quality_probe,
           ORACLES["ml_quality_probe"],
@@ -4150,6 +4241,10 @@ QUERIES = [
     Query("ml_quality_calibration", ml_quality_calibration,
           ORACLES["ml_quality_calibration"],
           "reliability diagram for the trained quality filter"),
+    Query("ml_quality_pipeline", ml_quality_pipeline,
+          ORACLES["ml_quality_pipeline"],
+          "composed train->apply->calibrate: ONE training pass, "
+          "per-doc decisions annotated with bucket reliability"),
     Query("text_stratified_sample", text_stratified_sample,
           ORACLES["text_stratified_sample"],
           "exact-quota stratified sample per source (salted-hash rank)"),
@@ -4180,6 +4275,9 @@ QUERIES = [
     Query("mm_decode_png", mm_decode_png, ORACLES["mm_decode_png"],
           "REAL COMPRESSED decode: zlib PNG (CRC + DEFLATE + 5-filter "
           "reconstruction) round-trip"),
+    Query("mm_decode_gif", mm_decode_gif, ORACLES["mm_decode_gif"],
+          "REAL dictionary-codec decode: GIF89a from-scratch "
+          "variable-width LZW round-trip"),
     Query("mm_decode_video", mm_decode_video, ORACLES["mm_decode_video"],
           "REAL video decode: stdlib struct RIFF/AVI round-trip, 1->N frames"),
     Query("mm_decode_jpeg", mm_decode_jpeg, ORACLES["mm_decode_jpeg"],

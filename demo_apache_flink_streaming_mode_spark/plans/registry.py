@@ -83,18 +83,19 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # join + distribution), q21 (exists/not-exists correlated pair).
     # Slots come from r8-first-row siblings whose families stay fresh
     # through r12 (see the demotion notes below).
-    "q9_product_profit",
-    # (q13_order_distribution's opportunistic tail slot yielded r9 to
-    # the NEW distributed-training family — same call as q21/mcv4: the
-    # first-round-attestation convention outranks the optional TPC-H
-    # tail rotation; q9 keeps the net-new TPC-H row this round)
-    "ml_quality_probe",
-    # (q21_waiting_supplier's opportunistic tail slot yielded r9 to the
-    # NEW bidirectional B-frame codec — the first-round-attestation
-    # convention outranks the optional TPC-H tail rotation (the tpch
-    # family stays fresh via q1/q9/q13/q_top3/q_customers); q21 cycles
-    # back next time tail pressure eases)
-    "mm_decode_mcv4",
+    # (q9_product_profit demoted r10 after its r9 first row — the tpch
+    # family keeps q1/q_top3/q_customers in-window; the tail rotation
+    # finally lands the twice-yielded q13: outer join + distribution)
+    "q13_order_distribution",
+    # (ml_quality_probe demoted r10 after its r9 first row — slot goes
+    # to the never-attested GD regression trainer so the iterative
+    # allreduce twin earns its driver row, per the r9 verdict's
+    # attestation-rotation item)
+    "ml_quality_gd",
+    # (mm_decode_mcv4 demoted r10 after its r9 first row — multimodal
+    # keeps mcv2/mcv3/pac/mdct in-window; the TPC-H tail rotation
+    # lands the twice-yielded q21: exists/not-exists correlated pair)
+    "q21_waiting_supplier",
     # bucketed-layout join (new family, r5): claims text_quality's slot
     # (quality scoring stays family-covered by text_token_stats +
     # text_lm_familiarity; corpus_clean/corpus_report also exercise the
@@ -118,7 +119,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # never-attested dedup_simhash_pairs: the dedup_simhash family's
     # last driver row is r6 and ages out at r10, and the pigeonhole
     # band-pair report has never had its own row)
-    "dedup_simhash_pairs",
+    # (dedup_simhash_pairs demoted r10 after its r9 first row — the
+    # simhash family is fresh through r13; slot goes to the
+    # never-attested PPJoin prefix-filtered exact-Jaccard join, one of
+    # the seven r9 additions the r9 verdict's rotation item names)
+    "dedup_jaccard_exact",
     # (dedup_incremental_near demoted r8 after its r7 first row; slot
     # goes to the never-attested SemDeDup clustered embedding dedup —
     # registered r7 with a full unrolled-k-means oracle but never given
@@ -129,7 +134,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # dedup_embedding family keeps dedup_incremental_semantic in-window;
     # slot goes to its boundary-miss recall report, the only
     # recall-measurement oracle in the family never driver-attested)
-    "dedup_semantic_recall",
+    # (dedup_semantic_recall demoted r10 after its r9 first row — slot
+    # goes to the never-attested incremental frozen-prefix-index
+    # Jaccard probe, the fifth incremental-dedup member, per the r9
+    # verdict's rotation item)
+    "dedup_incremental_jaccard",
     # (dedup_clusters demoted r6: connected-components proven by two
     # driver rounds and still exercised in-window through corpus_clean,
     # which embeds the cluster pipeline; slot goes to the never-attested
@@ -142,13 +151,19 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # refine pipeline stays driver-covered through sim_recall_rerank,
     # which embeds it; slot goes to that never-attested composed
     # recall report so every recall-measurement oracle has a row)
-    "sim_recall_rerank",
+    # (sim_recall_rerank demoted r10 after its r9 first row — slot
+    # goes to the never-attested IVF-PQ + exact-refine composition,
+    # the literal FAISS deploy shape, per the r9 rotation item)
+    "sim_topk_ivfpq_rerank",
     # (dedup_cdc_chunks demoted r9 after green rows through r8 — the
     # cdc_chunking family is fresh through r12; slot goes to the NEW
     # sigmoidal-classifier trainer so the ml_filter family's
     # classification twin earns its driver row in its first round, per
     # the attestation convention)
-    "ml_quality_logit",
+    # (ml_quality_logit demoted r10 after its r9 first row — slot goes
+    # to the never-attested train-then-filter serve query, per the r9
+    # rotation item)
+    "ml_quality_apply",
     # -- operational diagnostics (promoted r5) -------------------------
     # (events_zorder_stats demoted r8 after its r7 first row — the
     # events_ops family is fresh through r11; slot goes to the reworked
@@ -175,7 +190,10 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # prototypes pruning family so the diversification operator earns
     # its driver row in its first round, per the attestation
     # convention)
-    "corpus_prototypes",
+    # (corpus_prototypes demoted r10 after its r9 first row — the
+    # prototypes family keeps a window rep via the never-attested
+    # cluster-balanced sampler, per the r9 rotation item)
+    "text_cluster_sample",
     # (sim_knn_label_vote demoted r8 after r6+r7 green rows — its vote
     # legs are embedded VERBATIM as CTEs in the in-window
     # sim_knn_agreement oracle, so the vote semantics keep driver
@@ -204,7 +222,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # in-window; slot goes to the NEW source-drift monitoring family so
     # the distribution-shift report earns its driver row in its first
     # round, per the attestation convention)
-    "text_source_drift",
+    # (text_source_drift demoted r10 after its r9 first row — the
+    # single-member drift family is fresh through r13, rotate it back
+    # by r13; slot goes to the never-attested temperature-scaled
+    # mixture plan, per the r9 rotation item)
+    "text_mixture_plan",
     # (text_term_counts demoted r4: explode+groupBy term counting is
     # proven by text_token_stats + text_bm25's corpus stats; the slot
     # goes to the new LM-familiarity scorer)
@@ -213,7 +235,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # to the NEW incremental perceptual-hash probe so the sixth
     # incremental-dedup member earns its driver row in its first
     # round, per the attestation convention)
-    "dedup_incremental_phash",
+    # (dedup_incremental_phash demoted r10 after its r9 first row —
+    # dedup_media is fresh through r13; slot goes to the span_dedup
+    # family, whose last driver row is r7 and which ages out at r11:
+    # the incremental span probe has never had its own row)
+    "dedup_incremental_spans",
     # (text_langid + text_quality demoted r5: both are shuffle-free
     # scalar-expression projections whose family is proven by
     # text_token_stats / text_lm_familiarity and exercised end-to-end
@@ -231,7 +257,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # the NEW perceptual-hash image dedup so the dedup_media family —
     # the multimodal member of the dedup suite — earns its driver row
     # in its first round, per the new-family window rule)
-    "dedup_phash_media",
+    # (dedup_phash_media demoted r10 after its r9 first row —
+    # dedup_media is fresh through r13; slot goes to the events_ops
+    # family, whose last driver row is r7 and which ages out at r11:
+    # the anomaly report has never had its own row)
+    "events_anomalies",
     # (text_decontam demoted r5 for its Bloom-prefiltered variant —
     # both share ONE oracle, so the green row now proves the 128 KiB
     # bitmap probe path AND, by identity, the exact path)
@@ -240,7 +270,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # importance-resampling family so the data-selection operator earns
     # its driver row in its first round, per the attestation
     # convention)
-    "text_dsir_select",
+    # (text_dsir_select demoted r10 after its r9 first row — the
+    # single-member data_selection family is fresh through r13; slot
+    # goes to the text_fingerprint family, whose last driver row is r7
+    # and which ages out at r11: the fingerprint report itself last
+    # yielded a row in r3)
+    "text_fingerprint",
     # (text_bm25 demoted r6: driver-green r3-r5, postings machinery
     # also exercised by text_lm_familiarity's corpus stats; slot goes
     # to the never-attested per-source percent-rank normalizer)
@@ -248,7 +283,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # ANSI-safe Gopher gate is proven and text_signals stays fresh
     # through r11; slot goes to the never-attested MDCT/TDAC lossy
     # transform-audio codec so the r7 codec pair is fully attested)
-    "mm_decode_mdct",
+    # (mm_decode_mdct demoted r10 after its r9 first row — multimodal
+    # keeps mcv2/mcv3/pac in-window; slot goes to the NEW GIF89a
+    # from-scratch LZW codec so the r10 dictionary-coder rung earns
+    # its driver row in its first round, per the attestation
+    # convention)
+    "mm_decode_gif",
     # (text_split_assign demoted r6 after r1-r5 green rows — hash-split
     # machinery also proven by text_mixture_sample + the in-window
     # text_pack_shards; slot goes to the new BPE tokenizer training so
@@ -284,7 +324,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # the ml_filter family's reliability-diagram leg earns its driver
     # row in its first round, alongside ml_quality_probe's in-window
     # first row)
-    "ml_quality_calibration",
+    # (ml_quality_calibration demoted r10 after its r9 first row —
+    # slot goes to the NEW composed train->apply->calibrate pipeline
+    # (one training aggregation, broadcast-back bucket annotation; the
+    # r9 verdict's weight-reuse item) so it earns its driver row in
+    # its first round, per the attestation convention)
+    "ml_quality_pipeline",
     # (sketch_cms_terms demoted r6 after r3-r5 green rows; slot goes to
     # the new heavy-hitters report, which embeds the identical sketch
     # CTE verbatim — its green row re-proves the sketch AND the top-k)
@@ -294,7 +339,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # fuzzy decontamination so the decontam family's near-duplicate
     # variant earns its driver row in its first round, per the
     # attestation convention)
-    "text_decontam_fuzzy",
+    # (text_decontam_fuzzy demoted r10 after its r9 first row — the
+    # decontam family is fresh through r13; slot goes to the
+    # text_signals family, whose last driver row is r7 and which ages
+    # out at r11: the length-bucket histogram has never had its own
+    # row)
+    "text_length_buckets",
     # -- quantiles -----------------------------------------------------
     # (events_value_quantiles demoted r9 after green rows through r8 —
     # the quantiles family is fresh through r12; slot goes to the NEW
@@ -462,7 +512,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "pii": ("text_pii_redact",),
     "curation": ("corpus_clean", "corpus_report", "corpus_topics"),
     "ml_filter": ("ml_quality_probe", "ml_quality_gd", "ml_quality_logit",
-                  "ml_quality_apply", "ml_quality_calibration"),
+                  "ml_quality_apply", "ml_quality_calibration",
+                  "ml_quality_pipeline"),
     "sketches_hll": ("sketch_hll_users", "sketch_hll_merge",
                      "sketch_hll_windowed"),
     "sketches_cms": ("sketch_cms_terms", "sketch_cms_heavy_hitters"),
@@ -473,7 +524,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "orders_fingerprint"),
     "changelog": ("cl_latest_state", "cl_state_summary"),
     "multimodal": ("mm_manifest", "mm_decode_features", "mm_decode_wav",
-                   "mm_decode_image", "mm_decode_png", "mm_decode_jpeg",
+                   "mm_decode_image", "mm_decode_png", "mm_decode_gif",
+                   "mm_decode_jpeg",
                    "mm_decode_video", "mm_decode_mjpeg", "mm_decode_flac",
                    "mm_decode_flic", "mm_decode_mdct", "mm_decode_mcv",
                    "mm_decode_mcv2", "mm_decode_mcv3", "mm_decode_mcv4",

@@ -250,3 +250,88 @@ def upsert_state_stream(cl: DataFrame, key: str, order_cols: list[str],
         *[F.col(f"_last.{c}").alias(c) for c in payload_cols],
         "n_changes",
         (F.col(f"_last.{op_col}") == "D").alias("is_deleted"))
+
+
+# --- end-to-end streaming corpus curation (r9 verdict item 6) --------------
+
+
+CURATE_NEAR_THRESHOLD = 0.5
+
+
+def curate_batch(batch_docs: DataFrame, exact_index: DataFrame,
+                 band_index: DataFrame, weights: list[float],
+                 near_threshold: float = CURATE_NEAR_THRESHOLD,
+                 text_col: str = "text") -> DataFrame:
+    """ONE micro-batch of new documents through the full ingest
+    gauntlet a 100 TB curation pipeline runs — the composition of the
+    three frozen-store probes this repo proves individually:
+
+    1. EXACT dedup probe: md5 digest anti-semantics against the
+       standing :func:`operators.dedup.exact_hash_index` (16-byte
+       equi-join, index side bounded by content cardinality);
+    2. NEAR-dup probe: stateless MinHash signature, bands equi-joined
+       against the standing :func:`operators.dedup.minhash_band_index`
+       (never a corpus self-join), flagged when the signature estimate
+       reaches ``near_threshold``;
+    3. QUALITY gate: the frozen d=4 model
+       (``operators.ml.fit_quality_weights`` output) as literals — a
+       shuffle-free scoring projection.
+
+    Decisions are PER-DOCUMENT against the FROZEN stores — no
+    cross-document state inside the increment — so the union of
+    micro-batch outputs equals one batch run over the same rows
+    (asserted in tests/test_streaming.py); within-increment duplicates
+    are the index REFRESH step's job (append new digests/bands after
+    the gate), exactly like the incremental_* operators' contract.
+
+    Output, one row per input doc: (doc_id, exact_dup, near_dup,
+    pred_score, quality_keep, decision) with decision the first
+    matching of drop_exact / drop_near / drop_quality / keep.
+    """
+    from demo_apache_flink_streaming_mode_spark.operators import ml
+    from demo_apache_flink_streaming_mode_spark.operators.dedup import (
+        lsh_candidates_against, minhash_signature)
+    base = batch_docs.select("doc_id", text_col)
+    exact = (base.select("doc_id", F.md5(text_col).alias("h"))
+             .join(exact_index.withColumn("_hit", F.lit(True)), "h", "left")
+             .select("doc_id",
+                     F.coalesce(F.col("_hit"), F.lit(False))
+                     .alias("exact_dup")))
+    near = (lsh_candidates_against(minhash_signature(base, text_col),
+                                   None, index=band_index)
+            .filter(F.col("est_jaccard") >= F.lit(near_threshold))
+            .select("doc_id").distinct()
+            .withColumn("near_dup", F.lit(True)))
+    scored = ml.apply_quality_filter(base, weights, text_col).select(
+        "doc_id", "pred_score", F.col("keep").alias("quality_keep"))
+    joined = (exact.join(near, "doc_id", "left")
+              .join(scored, "doc_id")
+              .select("doc_id", "exact_dup",
+                      F.coalesce(F.col("near_dup"), F.lit(False))
+                      .alias("near_dup"), "pred_score", "quality_keep"))
+    decision = (F.when(F.col("exact_dup"), "drop_exact")
+                .when(F.col("near_dup"), "drop_near")
+                .when(~F.col("quality_keep"), "drop_quality")
+                .otherwise("keep"))
+    return joined.withColumn("decision", decision)
+
+
+def curation_query(stream_docs: DataFrame, exact_index: DataFrame,
+                   band_index: DataFrame, weights: list[float],
+                   checkpoint: str, emit,
+                   near_threshold: float = CURATE_NEAR_THRESHOLD,
+                   text_col: str = "text"):
+    """Wire :func:`curate_batch` into a running stream: each
+    micro-batch probes the frozen stores via ``foreachBatch`` (the
+    stream-static dataflow every incremental_* test uses) and the
+    curated decisions go to ``emit(decisions_df, epoch_id)`` — a sink
+    writer in production, a collector in tests. Returns the started
+    ``StreamingQuery``; the caller owns ``awaitTermination``.
+    """
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        emit(curate_batch(batch_df, exact_index, band_index, weights,
+                          near_threshold, text_col), epoch_id)
+
+    return (stream_docs.writeStream.foreachBatch(_process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint).start())

@@ -177,6 +177,53 @@ def test_calibration_buckets_partition_and_align(spark, docs):
     assert n_keep == applied.filter("keep").count()
 
 
+def test_pipeline_single_training_pass(spark, docs, monkeypatch):
+    """The composed train->apply->calibrate pipeline runs EXACTLY ONE
+    training aggregation (the r9 verdict item): fit_quality_weights is
+    invoked once for the whole pipeline, and threading ``weights=``
+    into the standalone surfaces skips training entirely."""
+    calls = []
+    real = ml.fit_quality_weights
+    monkeypatch.setattr(
+        ml, "fit_quality_weights",
+        lambda feats: (calls.append(1), real(feats))[1])
+    out = ml.train_apply_calibrate(docs).persist()
+    assert out.count() == docs.count()
+    assert calls == [1], "composed pipeline must train exactly once"
+    calls.clear()
+    w = list(ml.QF_PLANTED)
+    kept = ml.train_and_filter(docs, weights=w)
+    cal = ml.calibration_report(docs, weights=w)
+    assert kept.count() == docs.count()
+    assert cal.count() <= ml.QF_CAL_BUCKETS
+    assert calls == [], "weights= must skip the training aggregation"
+    out.unpersist()
+
+
+def test_pipeline_matches_standalone_surfaces(spark, docs):
+    """Row-for-row: the pipeline's serve columns equal
+    train_and_filter's output and its bucket annotation equals
+    calibration_report's (n_docs, cal_gap) for that bucket — the
+    composition changes the plan (one training pass, broadcast-back
+    annotate), never the semantics."""
+    pipe = ml.train_apply_calibrate(docs).persist()
+    serve = {r["doc_id"]: (r["pred_score"], r["keep"])
+             for r in ml.train_and_filter(docs).collect()}
+    for r in pipe.collect():
+        assert serve[r["doc_id"]] == (r["pred_score"], r["keep"])
+    cal = {r["bucket"]: (r["n_docs"], r["cal_gap"])
+           for r in ml.calibration_report(docs).collect()}
+    for r in pipe.select("bucket", "bucket_n_docs",
+                         "bucket_cal_gap").distinct().collect():
+        assert cal[r["bucket"]] == (r["bucket_n_docs"],
+                                    r["bucket_cal_gap"])
+    # the bucket annotation must come back as a broadcast, never a
+    # corpus-sized shuffle join
+    plan = pipe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    pipe.unpersist()
+
+
 def test_calibration_empty_corpus(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert ml.calibration_report(docs).count() == 0

@@ -117,6 +117,26 @@ def test_png_decode_matches_payload(spark, media):
         assert abs(r["mean_px"] - (sum(px) / len(px) if px else 0.0)) < 1e-12
 
 
+def test_gif_decode_matches_payload(spark, media):
+    """Spark-side GIF89a round-trip: the from-scratch LZW decode of
+    every containerized payload reproduces the payload bytes plus the
+    zero padding — the same lossless contract as PNG, proven through a
+    genuinely different coder (dictionary, not DEFLATE)."""
+    got = {r["doc_id"]: r for r in
+           multimodal.gif_decode_features(media).collect()}
+    src = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    assert got.keys() == src.keys() and got
+    w = multimodal.GIF_WIDTH
+    for doc_id, b in src.items():
+        r = got[doc_id]
+        h = (len(b) + w - 1) // w
+        px = b.ljust(h * w, b"\x00")
+        assert (r["width"], r["height"], r["n_colors"],
+                r["n_px"]) == (w, h, 256, h * w)
+        assert r["max_px"] == (max(px) if px else 0)
+        assert abs(r["mean_px"] - (sum(px) / len(px) if px else 0.0)) < 1e-12
+
+
 def test_png_crc_corruption_detected():
     """Flipping one IDAT byte must fail the decoder's chunk CRC check
     — _decode_png (the exact code the kernel runs) validates

@@ -1486,3 +1486,52 @@ def test_quality_filter_model_serve_stream_parity(spark, sf_dir, tmp_path):
     q.awaitTermination(300)
     assert len(n_batches) > 1, "expected multiple micro-batches"
     assert sorted(got) == want
+
+
+def test_curation_stream_end_to_end_parity(spark, sf_dir, tmp_path):
+    """The COMPOSED ingest pipeline (r9 verdict item 6): micro-batches
+    of new documents flow through exact-dedup probe -> MinHash near-dup
+    probe -> frozen quality gate in one foreachBatch dataflow
+    (streaming.pipelines.curation_query). All three stores are FROZEN
+    (digest index, band index, d=4 model), every decision is
+    per-document, so the union over micro-batches must equal one batch
+    curate_batch run over the same rows — the full keep/drop stream a
+    100 TB curation ingest actually runs."""
+    from demo_apache_flink_streaming_mode_spark.operators import dedup, ml
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    exact_index = dedup.exact_hash_index(corpus).persist()
+    band_index = dedup.minhash_band_index(
+        dedup.minhash_signature(corpus)).persist()
+    feats = ml.quality_filter_features(corpus).persist()
+    w, n = ml.fit_quality_weights(feats)
+    feats.unpersist()
+    assert n > 0
+
+    batch_out = pipelines.curate_batch(new, exact_index, band_index, w)
+    want = sorted(tuple(r) for r in batch_out.collect())
+    assert len(want) == new.count()
+    decisions = {r[-1] for r in want}
+    assert "keep" in decisions and len(decisions) >= 2, (
+        f"fixture too weak to exercise the gauntlet: {decisions}")
+
+    d = str(tmp_path / "new_docs")
+    new.repartition(3).write.mode("overwrite").parquet(d)
+    stream = sources.file_stream(spark, d + "/part-*", new.schema,
+                                 fmt="parquet", max_files_per_trigger=1)
+    got: list[tuple] = []
+    n_batches = []
+
+    def emit(decisions_df, epoch_id):
+        got.extend(tuple(r) for r in decisions_df.collect())
+        n_batches.append(epoch_id)
+
+    q = pipelines.curation_query(stream, exact_index, band_index, w,
+                                 str(tmp_path / "ckpt_curate"), emit)
+    q.awaitTermination(300)
+    assert len(n_batches) > 1, "expected multiple micro-batches"
+    assert sorted(got) == want
+    exact_index.unpersist()
+    band_index.unpersist()
