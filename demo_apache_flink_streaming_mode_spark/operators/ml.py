@@ -31,10 +31,12 @@ Everything is oracle-reproducible to the bit:
   or plain ``F.sum`` partial aggregation for bounded memory at 100 TB
   (the production path, last-ulp nondeterminism only);
 * the Cramer determinant expansions are GENERATED ONCE as expression
-  strings (``cramer_weight_exprs``) that Python ``eval`` and the
-  DuckDB oracle embed VERBATIM — +,-,* parse with identical precedence
-  and left association in both languages, so the solve itself is
-  bit-identical across engines.
+  strings (``cramer_weight_exprs``) that the driver-side arithmetic
+  interpreter (``eval_arith`` — an ast walk over names/+,-,*,/ only,
+  bit-identical to Python ``eval`` by test) and the DuckDB oracle
+  embed VERBATIM — +,-,* parse with identical precedence and left
+  association in both languages, so the solve itself is bit-identical
+  across engines.
 
 The model (d=4 doubles) is the only thing that reaches the driver, and
 it returns to the executors as literals — the bounded-model contract of
@@ -128,6 +130,45 @@ def cramer_weight_exprs() -> list[str]:
     return out
 
 
+def eval_arith(expr: str, names: dict[str, float]) -> float:
+    """Evaluate one generated Cramer expression string over the
+    sufficient statistics — an ``ast``-walking arithmetic interpreter
+    restricted to names, numeric literals, +, -, * and / (including
+    unary minus). Python's own parser supplies exactly the precedence
+    and left-associativity the DuckDB engine uses on the same string,
+    so every float op happens in the same IEEE order as the oracle's —
+    this is ``eval`` semantics for the arithmetic subset, without an
+    ``eval`` (the strings are self-generated, but an interpreter over
+    four node types is auditable where a sandboxed eval is merely
+    argued safe)."""
+    import ast
+
+    def walk(node: ast.AST) -> float:
+        if isinstance(node, ast.Expression):
+            return walk(node.body)
+        if isinstance(node, ast.Name):
+            return names[node.id]
+        if isinstance(node, ast.Constant) and isinstance(node.value,
+                                                         (int, float)):
+            return float(node.value)
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            return -walk(node.operand)
+        if isinstance(node, ast.BinOp):
+            left, right = walk(node.left), walk(node.right)
+            if isinstance(node.op, ast.Add):
+                return left + right
+            if isinstance(node.op, ast.Sub):
+                return left - right
+            if isinstance(node.op, ast.Mult):
+                return left * right
+            if isinstance(node.op, ast.Div):
+                return left / right
+        raise ValueError(f"unsupported node in arithmetic expression: "
+                         f"{ast.dump(node)}")
+
+    return walk(ast.parse(expr, mode="eval"))
+
+
 def _fold_sum(df: DataFrame, terms: dict[str, Column],
               det: bool) -> dict[str, float]:
     """Sum each term column over the frame: in-doc_id-order left folds
@@ -166,8 +207,7 @@ def fit_quality_weights(feats: DataFrame) -> tuple[list[float], int]:
     for i in range(QF_D):
         terms[f"b{i}"] = F.col(f"x{i + 1}") * F.col("s")
     stats = _fold_sum(feats, terms, deterministic_folds(feats))
-    w = [eval(expr, {"__builtins__": {}}, stats)    # noqa: S307 — the
-         for expr in cramer_weight_exprs()]         # expr is generated
+    w = [eval_arith(expr, stats) for expr in cramer_weight_exprs()]
     return [float(v) for v in w], int(n)
 
 

@@ -140,6 +140,16 @@ def test_cramer_exprs_are_portable_and_safe():
         stats[f"b{i}"] = v
     w = [eval(e, {"__builtins__": {}}, dict(stats)) for e in exprs]
     assert w == [2.0, -3.0, 0.5, 7.0]
+    # the production ast interpreter is BIT-IDENTICAL to Python eval on
+    # every generated expression (same parse tree, same IEEE op order)
+    # — eval stays here as the independent cross-check of eval_arith
+    import random
+    rnd = random.Random(13)
+    noisy = {n: rnd.uniform(-2, 2)
+             for n in (*ml.GRAM_NAMES, *ml.MOMENT_NAMES)}
+    for e in (*exprs, ml.cramer_det_expr()):
+        assert ml.eval_arith(e, noisy) == eval(
+            e, {"__builtins__": {}}, dict(noisy))
 
 
 def test_zero_token_docs_train_as_rejected_rows(spark):
