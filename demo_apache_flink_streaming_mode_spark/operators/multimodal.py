@@ -14,9 +14,12 @@ parsing (``bmp_decode_features``: file header, BITMAPINFOHEADER,
 palette, bottom-up padded rows), video via ``struct`` RIFF/AVI chunk
 walking (``avi_decode_frames``: hdrl/avih header, movi '00db' frame
 chunks, even-byte padding). Images additionally have THREE REAL
-COMPRESSED paths: lossless PNG via stdlib ``zlib``
-(``png_decode_features``: chunk walk + CRC32 verification, DEFLATE
-decompression, full five-filter scanline reconstruction), lossless
+COMPRESSED paths: lossless PNG (``png_decode_features``: chunk walk +
+CRC32 verification, DEFLATE decompression through the FROM-SCRATCH
+RFC 1950/1951 ``_inflate`` — stored/fixed/dynamic blocks, canonical
+Huffman, LZ77 back-references, hand-computed Adler-32 — decoding
+bitstreams stdlib zlib PRODUCED, i.e. interop with an independent
+implementation, plus full five-filter scanline reconstruction), lossless
 GIF89a with FROM-SCRATCH variable-width LZW on both sides
 (``gif_decode_features``: 9->12-bit code progression, clear-code
 table resets, the KwKwK corner, sub-block framing — a genuine
@@ -352,10 +355,189 @@ def png_decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema=PNG_SCHEMA)
 
 
+# --- DEFLATE: from-scratch RFC 1950/1951 inflate ---------------------------
+#
+# The r10 interoperability rung: unlike the self-roundtripping codecs,
+# this decoder consumes bitstreams produced by an INDEPENDENT
+# implementation — stdlib zlib's compressor — covering all three
+# DEFLATE block types (stored, fixed-Huffman, dynamic-Huffman with the
+# code-length meta-code), canonical Huffman construction, the LZ77
+# length/distance alphabets with extra bits, overlapping back-reference
+# copies, and the RFC 1950 zlib wrapper with a hand-computed Adler-32.
+# tests/test_codec_property.py round-trips random payloads through
+# zlib.compress at every level (level 0 exercises stored blocks) and
+# cross-checks against zlib.decompress byte-for-byte.
+
+_LEN_BASE = (3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31,
+             35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+_LEN_EXTRA = (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+              3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+_DIST_BASE = (1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129,
+              193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097,
+              6145, 8193, 12289, 16385, 24577)
+_DIST_EXTRA = (0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7,
+               8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+_CLC_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2,
+              14, 1, 15)
+
+
+def _huff_table(lengths: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman table per RFC 1951 §3.2.2: (code_len, code)
+    -> symbol, codes assigned in symbol order within each length."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    for ln in range(1, max(lengths, default=0) + 1):
+        for sym, sl in enumerate(lengths):
+            if sl == ln:
+                table[(ln, code)] = sym
+                code += 1
+        code <<= 1
+    return table
+
+
+class _LsbBitReader:
+    """LSB-first bit reader over the DEFLATE stream; Huffman codes are
+    read bit-by-bit MSB-of-code-first per §3.1.1."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data, self.pos, self.buf, self.n = data, pos, 0, 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated DEFLATE stream")
+            self.buf |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        v = self.buf & ((1 << k) - 1)
+        self.buf >>= k
+        self.n -= k
+        return v
+
+    def symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = ln = 0
+        while ln <= 15:
+            code = (code << 1) | self.bits(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in DEFLATE stream")
+
+    def align(self) -> None:
+        self.buf = self.n = 0
+
+
+_FIXED_LIT = _huff_table([8] * 144 + [9] * 112 + [7] * 24 + [8] * 8)
+_FIXED_DIST = _huff_table([5] * 30)
+
+
+def _adler32(data: bytes) -> int:
+    a, b = 1, 0
+    for i in range(0, len(data), 5552):       # largest n with no overflow
+        for byte in data[i:i + 5552]:
+            a += byte
+            b += a
+        a %= 65521
+        b %= 65521
+    return (b << 16) | a
+
+
+def _inflate(blob: bytes) -> bytes:
+    """From-scratch zlib-wrapped DEFLATE decode (RFC 1950 + 1951)."""
+    if len(blob) < 6:
+        raise ValueError("zlib stream too short")
+    cmf, flg = blob[0], blob[1]
+    if cmf & 0x0F != 8 or (cmf >> 4) > 7:
+        raise ValueError("not a DEFLATE zlib stream")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise ValueError("zlib header check failed")
+    if flg & 0x20:
+        raise ValueError("preset dictionaries unsupported")
+    r = _LsbBitReader(blob, 2)
+    out = bytearray()
+    while True:
+        final, btype = r.bits(1), r.bits(2)
+        if btype == 0:                         # stored
+            r.align()
+            if r.pos + 4 > len(blob):
+                raise ValueError("truncated stored block header")
+            ln = blob[r.pos] | (blob[r.pos + 1] << 8)
+            nlen = blob[r.pos + 2] | (blob[r.pos + 3] << 8)
+            if ln ^ nlen != 0xFFFF:
+                raise ValueError("stored block LEN/NLEN mismatch")
+            r.pos += 4
+            if r.pos + ln > len(blob):
+                raise ValueError("truncated stored block")
+            out += blob[r.pos:r.pos + ln]
+            r.pos += ln
+        elif btype in (1, 2):
+            if btype == 1:                     # fixed tables
+                lit_t, dist_t = _FIXED_LIT, _FIXED_DIST
+            else:                              # dynamic tables
+                hlit, hdist, hclen = (r.bits(5) + 257, r.bits(5) + 1,
+                                      r.bits(4) + 4)
+                cl_lens = [0] * 19
+                for i in range(hclen):
+                    cl_lens[_CLC_ORDER[i]] = r.bits(3)
+                cl_t = _huff_table(cl_lens)
+                lens: list[int] = []
+                while len(lens) < hlit + hdist:
+                    s = r.symbol(cl_t)
+                    if s < 16:
+                        lens.append(s)
+                    elif s == 16:
+                        if not lens:
+                            raise ValueError("repeat with no prior length")
+                        lens += [lens[-1]] * (3 + r.bits(2))
+                    elif s == 17:
+                        lens += [0] * (3 + r.bits(3))
+                    else:
+                        lens += [0] * (11 + r.bits(7))
+                if len(lens) != hlit + hdist:
+                    raise ValueError("code-length run overflows header")
+                lit_t = _huff_table(lens[:hlit])
+                dist_t = _huff_table(lens[hlit:])
+            while True:
+                sym = r.symbol(lit_t)
+                if sym < 256:
+                    out.append(sym)
+                elif sym == 256:
+                    break
+                elif sym <= 285:
+                    li = sym - 257
+                    length = _LEN_BASE[li] + r.bits(_LEN_EXTRA[li])
+                    d = r.symbol(dist_t)
+                    if d > 29:
+                        raise ValueError(f"invalid distance code {d}")
+                    dist = _DIST_BASE[d] + r.bits(_DIST_EXTRA[d])
+                    if dist > len(out):
+                        raise ValueError("back-reference before start")
+                    for _ in range(length):    # may overlap: byte-by-byte
+                        out.append(out[-dist])
+                else:
+                    raise ValueError(f"invalid literal/length code {sym}")
+        else:
+            raise ValueError("reserved DEFLATE block type")
+        if final:
+            break
+    r.align()
+    if r.pos + 4 > len(blob):
+        raise ValueError("missing Adler-32 trailer")
+    want = int.from_bytes(blob[r.pos:r.pos + 4], "big")
+    if _adler32(bytes(out)) != want:
+        raise ValueError("Adler-32 mismatch")
+    return bytes(out)
+
+
 def _decode_png(blob: bytes) -> tuple[int, int, int, int, bytes]:
     """The real PNG decode used by the kernel, factored out so tests
     can drive it on corrupted streams directly. Returns
-    (width, height, bit_depth, color_type, pixels)."""
+    (width, height, bit_depth, color_type, pixels). Since r10 the IDAT
+    stream is decompressed by the FROM-SCRATCH ``_inflate`` — the
+    encoder still compresses with stdlib zlib, so every decode is an
+    interoperability proof against an independent DEFLATE
+    implementation, not a self-roundtrip."""
     import zlib
     if blob[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG stream")
@@ -376,7 +558,7 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, int, bytes]:
         elif typ == b"IEND":
             break
         pos += 12 + ln
-    raw = zlib.decompress(idat)
+    raw = _inflate(idat)
     if len(raw) != h * (w + 1):
         raise ValueError("IDAT length != h*(w+1) scanlines")
     import numpy as np
