@@ -443,6 +443,94 @@ def _adler32(data: bytes) -> int:
     return (b << 16) | a
 
 
+_FIXED_LIT_ENC = {sym: (ln, code) for (ln, code), sym in _FIXED_LIT.items()}
+_FIXED_DIST_ENC = {sym: (ln, code) for (ln, code), sym in
+                   _FIXED_DIST.items()}
+
+
+def _len_code(length: int) -> tuple[int, int, int]:
+    """(symbol, extra_bits, extra_value) for a match length 3..258."""
+    for i in range(len(_LEN_BASE) - 1, -1, -1):
+        if length >= _LEN_BASE[i]:
+            return 257 + i, _LEN_EXTRA[i], length - _LEN_BASE[i]
+    raise ValueError(f"match length {length} out of range")
+
+
+def _dist_code(dist: int) -> tuple[int, int, int]:
+    """(symbol, extra_bits, extra_value) for a distance 1..32768."""
+    for i in range(len(_DIST_BASE) - 1, -1, -1):
+        if dist >= _DIST_BASE[i]:
+            return i, _DIST_EXTRA[i], dist - _DIST_BASE[i]
+    raise ValueError(f"distance {dist} out of range")
+
+
+def _deflate(data: bytes) -> bytes:
+    """From-scratch zlib-wrapped DEFLATE compress (RFC 1950 + 1951):
+    greedy hash-chain LZ77 (3-byte heads, 32 KiB window, 258-byte max
+    match) emitted as ONE final fixed-Huffman block. The inverse-
+    direction interop proof to ``_inflate``: stdlib ``zlib.decompress``
+    must accept every stream this emits (pinned by tests at arbitrary
+    payloads), so the pair demonstrates standard-bitstream conformance
+    both ways."""
+    out = bytearray([0x78, 0x01])              # CMF/FLG, 32K window, check ok
+    buf = nbits = 0
+
+    def put_bits(v: int, k: int) -> None:      # extra bits: LSB-first
+        nonlocal buf, nbits
+        buf |= v << nbits
+        nbits += k
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def put_code(ln: int, code: int) -> None:  # Huffman: MSB-first
+        for b in range(ln - 1, -1, -1):
+            put_bits((code >> b) & 1, 1)
+
+    put_bits(1, 1)                             # BFINAL
+    put_bits(1, 2)                             # BTYPE fixed
+    heads: dict[bytes, list[int]] = {}
+    i, n = 0, len(data)
+    while i < n:
+        best_len = best_dist = 0
+        if i + 3 <= n:
+            key = data[i:i + 3]
+            for j in reversed(heads.get(key, [])):
+                if i - j > 32768:
+                    break
+                length = 3
+                limit = min(258, n - i)
+                while (length < limit
+                       and data[j + length] == data[i + length]):
+                    length += 1
+                if length > best_len:
+                    best_len, best_dist = length, i - j
+                    if length == limit:
+                        break
+        if best_len >= 3:
+            sym, eb, ev = _len_code(best_len)
+            put_code(*_FIXED_LIT_ENC[sym])
+            put_bits(ev, eb)
+            dsym, deb, dev = _dist_code(best_dist)
+            put_code(*_FIXED_DIST_ENC[dsym])
+            put_bits(dev, deb)
+            end = i + best_len
+            while i < end:
+                if i + 3 <= n:
+                    heads.setdefault(data[i:i + 3], []).append(i)
+                i += 1
+        else:
+            put_code(*_FIXED_LIT_ENC[data[i]])
+            if i + 3 <= n:
+                heads.setdefault(data[i:i + 3], []).append(i)
+            i += 1
+    put_code(*_FIXED_LIT_ENC[256])             # end of block
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out) + _adler32(data).to_bytes(4, "big")
+
+
 def _inflate(blob: bytes) -> bytes:
     """From-scratch zlib-wrapped DEFLATE decode (RFC 1950 + 1951)."""
     if len(blob) < 6:
