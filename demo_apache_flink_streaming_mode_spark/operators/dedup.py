@@ -601,6 +601,29 @@ def bloom_prefiltered_contamination(
                     .alias("is_contaminated")))
 
 
+def exact_rational_jaccard_key() -> Column:
+    """EXACT rational argmax key over (n_inter, n_union) columns (r9
+    advice): two distinct Jaccards i1/u1 > i2/u2 differ by at least
+    1/(u1*u2), so the scaled-integer key (i * 2^40) DIV u separates
+    them exactly whenever u <= 2^20 — shingle-union sizes are bounded
+    by document length, far below that — and i * 2^40 <= 2^60 stays in
+    BIGINT. A float quotient could collapse two distinct rationals
+    onto one double and leak the decision to the tie-break; the
+    integer key cannot.
+
+    The u <= 2^20 assumption is ENFORCED, not just asserted in prose
+    (r10 advice): a >1M-shingle union raises with a specific error
+    instead of silently reverting to the float-collision behavior the
+    key exists to fix."""
+    return F.when(
+        F.col("n_union") > F.lit(1 << 20),
+        F.raise_error(F.concat(
+            F.lit("exact-rational argmax requires n_union <= 2^20 "
+                  "for BIGINT exactness; got n_union="),
+            F.col("n_union").cast("string"))).cast("bigint"),
+    ).otherwise(F.expr("(n_inter * 1099511627776) DIV n_union"))
+
+
 def fuzzy_contamination(docs: DataFrame, bench_filter: Column,
                         threshold_num: int, threshold_den: int,
                         shingle_n: int = 3, num_hashes: int = 8,
@@ -658,16 +681,8 @@ def fuzzy_contamination(docs: DataFrame, bench_filter: Column,
                       .alias("n_union")))
     hits = scored.filter(F.col("n_inter") * F.lit(threshold_den)
                          >= F.col("n_union") * F.lit(threshold_num))
-    # EXACT rational argmax (r9 advice): two distinct Jaccards
-    # i1/u1 > i2/u2 differ by at least 1/(u1*u2), so the scaled-integer
-    # key (i * 2^40) DIV u separates them exactly whenever u <= 2^20 —
-    # shingle-union sizes are bounded by document length, far below
-    # that — and i * 2^40 <= 2^60 stays in BIGINT. A float quotient
-    # could collapse two distinct rationals onto one double and leak
-    # the decision to the doc_b tie-break; the integer key cannot.
-    exact_jac_key = F.expr("(n_inter * 1099511627776) DIV n_union")
     w = W.partitionBy("doc_a").orderBy(
-        F.desc(exact_jac_key), F.asc("doc_b"))
+        F.desc(exact_rational_jaccard_key()), F.asc("doc_b"))
     return (hits.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.col("doc_a").alias("doc_id"),

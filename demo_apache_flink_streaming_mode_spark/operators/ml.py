@@ -506,8 +506,13 @@ def train_apply_calibrate(docs: DataFrame,
     schema = ("doc_id bigint, pred_score double, keep boolean, "
               "bucket int, bucket_n_docs bigint, bucket_cal_gap double")
     w, n = fit_quality_weights(feats)
+    # the cache exists to make the TRAINING pass single-scan; release
+    # it once fit is done (non-blocking, like every sibling trainer
+    # here) and let the lazy serve/calibration plan recompute the
+    # projection — otherwise repeated pipeline runs accumulate cached
+    # partitions until LRU eviction (r10 advice)
+    feats.unpersist(blocking=False)
     if n == 0:
-        feats.unpersist()
         return spark.createDataFrame([], schema)
     b = _bucketize(feats, w)
     cal = _calibration_agg(b, deterministic_folds(feats)).select(

@@ -383,12 +383,25 @@ _CLC_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2,
 
 def _huff_table(lengths: list[int]) -> dict[tuple[int, int], int]:
     """Canonical Huffman table per RFC 1951 §3.2.2: (code_len, code)
-    -> symbol, codes assigned in symbol order within each length."""
+    -> symbol, codes assigned in symbol order within each length.
+
+    Rejects OVER-subscribed length sets (Kraft sum > 1) at table
+    construction: without the check, two symbols can silently land on
+    the same (len, code) key and the corruption surfaces only at the
+    Adler-32 mismatch far downstream (r10 advice). Incomplete sets
+    (Kraft sum < 1) are accepted — RFC 1951 itself uses one (the fixed
+    distance table assigns 30 of 32 five-bit codes), and degenerate
+    one-code dynamic distance tables are legal."""
     table: dict[tuple[int, int], int] = {}
     code = 0
     for ln in range(1, max(lengths, default=0) + 1):
         for sym, sl in enumerate(lengths):
             if sl == ln:
+                if code >= (1 << ln):
+                    raise ValueError(
+                        f"over-subscribed Huffman code lengths: "
+                        f"length {ln} overflows its {1 << ln}-code "
+                        f"space (corrupt DEFLATE header)")
                 table[(ln, code)] = sym
                 code += 1
         code <<= 1
@@ -815,6 +828,14 @@ def _encode_gif(payload: bytes) -> bytes:
     contract as the BMP/PNG/JPEG fixtures."""
     w = GIF_WIDTH
     h = (len(payload) + w - 1) // w
+    if h > 0xFFFF:
+        # the logical-screen/image descriptors carry height as uint16
+        # (struct "<H") — enforce the format bound explicitly instead
+        # of letting struct.pack crash the whole mapInPandas kernel on
+        # one oversized document (r10 advice)
+        raise ValueError(
+            f"payload of {len(payload)} bytes needs {h} rows of "
+            f"{w}px, over the GIF uint16 height limit (65535)")
     px = payload.ljust(h * w, b"\x00")
     # packed LSD byte 0xF7: GCT present, 8-bit color resolution,
     # unsorted, 2^(7+1) = 256 GCT entries

@@ -440,6 +440,38 @@ def corpus_clean(spark, sf_dir):
     return d.select("doc_id", decision.alias("decision"))
 
 
+def corpus_curation_decisions(spark, sf_dir):
+    """The r10 streaming-ingest composition (streaming.pipelines.
+    curate_batch) in its BATCH form, under the oracle gate: today's
+    increment (doc_id % INC_MOD == 0) runs the full ingest gauntlet —
+    exact-digest probe, MinHash band probe, frozen quality gate —
+    against stores frozen from the standing corpus (the rest), all
+    built in-query so the oracle can re-derive them.
+
+    This is the SAME function the streaming end-to-end parity test
+    drives through foreachBatch (tests/test_streaming.py::
+    test_curation_stream_end_to_end_parity), so a green row here
+    attests the micro-batch decision dataflow itself, not a twin.
+
+    Scale shape: two equi-joins against bounded frozen stores (16-byte
+    digests; (band, band_hash) ints) plus a shuffle-free scoring
+    projection with the frozen d=4 model as literals — per-increment
+    cost is linear in the increment, never in the corpus."""
+    from demo_apache_flink_streaming_mode_spark.streaming import pipelines
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % INC_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INC_MOD == 0)
+    exact_idx = dedup.exact_hash_index(corpus)
+    band_idx = dedup.minhash_band_index(
+        dedup.minhash_signature(corpus, shingle_n=SHINGLE_N,
+                                num_hashes=NUM_HASHES),
+        bands=BANDS, rows_per_band=ROWS_PER_BAND)
+    feats = ml.quality_filter_features(corpus).persist()
+    weights, _ = ml.fit_quality_weights(feats)
+    feats.unpersist(blocking=False)
+    return pipelines.curate_batch(batch, exact_idx, band_idx, weights)
+
+
 def sim_recall_ann(spark, sf_dir):
     """Recall@k per ANN method — LSH, trained IVF nprobe=1, trained IVF
     nprobe=2, PQ — against the brute-force baseline, per query: the
@@ -4037,6 +4069,63 @@ def _ml_pipeline_oracle() -> str:
 
 ORACLES["ml_quality_pipeline"] = _ml_pipeline_oracle()
 
+
+def _curation_decisions_oracle() -> str:
+    """streaming.pipelines.curate_batch re-derived in SQL: the
+    exact-probe CTE (dedup_incremental's corpus digest set), the band
+    probe (dedup_incremental_near's banded join + signature-agreement
+    estimate at CURATE_NEAR_THRESHOLD), and the apply oracle's weight
+    CTEs folded over the CORPUS side only — then the same first-match
+    CASE. Training folds run in doc_id order over corpus docs exactly
+    as fit_quality_weights' deterministic path does."""
+    from demo_apache_flink_streaming_mode_spark.streaming.pipelines import (
+        CURATE_NEAR_THRESHOLD)
+    gram = ",\n           ".join(
+        f"{_qf_fold(f'f.x{i + 1} * f.x{j + 1}')} AS a{i}{j}"
+        for i in range(ml.QF_D) for j in range(i, ml.QF_D))
+    mom = ",\n           ".join(
+        f"{_qf_fold(f'f.x{i + 1} * f.s')} AS b{i}" for i in range(ml.QF_D))
+    wsel = ", ".join(f"{e} AS w{j}"
+                     for j, e in enumerate(ml.cramer_weight_exprs()))
+    feat = _QF_FEAT.format(qr_oracle=ORACLES["text_quality_rules"])
+    return f"""
+    WITH {_MINHASH_CTES},
+    {feat},
+    nearp AS (
+      SELECT DISTINCT a.doc_id AS doc_id
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_hash = b.band_hash
+       AND a.doc_id % {INC_MOD} = 0 AND b.doc_id % {INC_MOD} <> 0
+      WHERE len(list_filter(range(1, {NUM_HASHES}+1),
+                            i -> a.sig[i] = b.sig[i]))
+              / {float(NUM_HASHES)} >= {CURATE_NEAR_THRESHOLD}),
+    dh AS (SELECT doc_id, md5(text) AS h FROM documents),
+    corpus_h AS (SELECT DISTINCT h FROM dh WHERE doc_id % {INC_MOD} <> 0),
+    g AS (SELECT
+           {gram},
+           {mom}
+          FROM (SELECT * FROM feat WHERE doc_id % {INC_MOD} <> 0) f),
+    w AS (SELECT {wsel} FROM g),
+    scored AS (
+      SELECT f.doc_id, {_QF_DOT} AS pred_score,
+             {_QF_DOT} >= {ml.QF_THRESHOLD} AS quality_keep
+      FROM (SELECT * FROM feat WHERE doc_id % {INC_MOD} = 0) f, w)
+    SELECT s.doc_id,
+           ch.h IS NOT NULL AS exact_dup,
+           np.doc_id IS NOT NULL AS near_dup,
+           s.pred_score, s.quality_keep,
+           CASE WHEN ch.h IS NOT NULL THEN 'drop_exact'
+                WHEN np.doc_id IS NOT NULL THEN 'drop_near'
+                WHEN NOT s.quality_keep THEN 'drop_quality'
+                ELSE 'keep' END AS decision
+    FROM scored s
+    JOIN dh ON dh.doc_id = s.doc_id
+    LEFT JOIN corpus_h ch ON ch.h = dh.h
+    LEFT JOIN nearp np ON np.doc_id = s.doc_id"""
+
+
+ORACLES["corpus_curation_decisions"] = _curation_decisions_oracle()
+
 QUERIES = [
     Query("ml_quality_probe", ml_quality_probe,
           ORACLES["ml_quality_probe"],
@@ -4318,6 +4407,11 @@ QUERIES = [
     Query("corpus_clean", corpus_clean, ORACLES["corpus_clean"],
           "end-to-end curation decision per doc (benchmark/exact/near/"
           "contaminated/keep)"),
+    Query("corpus_curation_decisions", corpus_curation_decisions,
+          ORACLES["corpus_curation_decisions"],
+          "streaming-ingest gauntlet (curate_batch) in batch form: "
+          "exact-digest + MinHash-band probes vs frozen stores + "
+          "frozen quality gate, one decision per increment doc"),
     Query("corpus_topics", corpus_topics, ORACLES["corpus_topics"],
           "cluster-topic report: k-means cells x top idf-weighted "
           "labeling terms (cluster-balanced curation primitive)"),

@@ -290,14 +290,20 @@ def curate_batch(batch_docs: DataFrame, exact_index: DataFrame,
     """
     from demo_apache_flink_streaming_mode_spark.operators import ml
     from demo_apache_flink_streaming_mode_spark.operators.dedup import (
-        lsh_candidates_against, minhash_signature)
+        lsh_candidates_against, minhash_signature_stateless)
     base = batch_docs.select("doc_id", text_col)
     exact = (base.select("doc_id", F.md5(text_col).alias("h"))
              .join(exact_index.withColumn("_hit", F.lit(True)), "h", "left")
              .select("doc_id",
                      F.coalesce(F.col("_hit"), F.lit(False))
                      .alias("exact_dup")))
-    near = (lsh_candidates_against(minhash_signature(base, text_col),
+    # the STATELESS signature (bit-identical to the groupBy form,
+    # parity-tested) so the probe stays legal even if this composition
+    # is ever lifted out of foreachBatch into an append-mode stream,
+    # matching the docstring's "stateless MinHash signature" (r10
+    # advice)
+    near = (lsh_candidates_against(minhash_signature_stateless(base,
+                                                               text_col),
                                    None, index=band_index)
             .filter(F.col("est_jaccard") >= F.lit(near_threshold))
             .select("doc_id").distinct()

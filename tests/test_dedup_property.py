@@ -152,3 +152,23 @@ def test_fuzzy_contamination_matches_reference(spark, rows, num, den):
         if best is not None:
             want[c] = best
     assert got == want
+
+
+def test_exact_rational_key_bound_enforced(spark):
+    """The exact-rational argmax key's u <= 2^20 exactness bound is a
+    loud per-row error, not a silent fall-back to float-collision
+    behavior (r10 advice); in-bound rows, including u == 2^20 exactly,
+    produce the documented scaled-integer key."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+    ok = spark.createDataFrame(
+        [(3, 7), (1, 1 << 20)], "n_inter long, n_union long")
+    got = [r["k"] for r in ok.select(
+        D.exact_rational_jaccard_key().alias("k")).collect()]
+    assert got == [(3 * (1 << 40)) // 7, (1 * (1 << 40)) // (1 << 20)]
+    bad = spark.createDataFrame(
+        [(2, (1 << 20) + 1)], "n_inter long, n_union long")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="n_union <= 2\\^20"):
+        bad.select(D.exact_rational_jaccard_key().alias("k")).collect()

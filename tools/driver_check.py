@@ -12,6 +12,10 @@ from pyspark.sql import SparkSession
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
+# local[16]/32g, NOT bench.py's local[32]: correctness is
+# scale-independent, and the smaller footprint lets this gate run
+# alongside other work (sweeps, the driver's own runs) without
+# starving the host — bench owns the full-width configuration.
 spark = (SparkSession.builder.master("local[16]")
          .config("spark.sql.shuffle.partitions", "16")
          .config("spark.driver.memory", "32g")
