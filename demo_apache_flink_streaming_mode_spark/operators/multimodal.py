@@ -1213,9 +1213,13 @@ class _BitWriter:
 
 def _jpeg_dims(n: int) -> tuple[int, int]:
     """(width, height) of the containerized image: rows of JPEG_W,
-    height rounded up to a whole number of 8-px block rows."""
+    height rounded up to a whole number of 8-px block rows, minimum
+    ONE block row — ISO 10918-1 B.2.2 allows Y=0 in SOF0 only when a
+    DNL marker later supplies the line count, which this encoder never
+    emits, so an empty payload becomes one all-zero block instead of a
+    non-conformant zero-height frame (r11 JFIF-conformance pass)."""
     rows = (n + JPEG_W - 1) // JPEG_W
-    return JPEG_W, ((rows + 7) // 8) * 8
+    return JPEG_W, max(8, ((rows + 7) // 8) * 8)
 
 
 def _encode_jpeg(payload: bytes) -> bytes:
@@ -1229,6 +1233,13 @@ def _encode_jpeg(payload: bytes) -> bytes:
     """
     import numpy as np
     w, h = _jpeg_dims(len(payload))
+    if h > 0xFFFF:
+        # SOF0 carries the line count as uint16 (struct ">H"): enforce
+        # the format bound with a clear error instead of a struct.error
+        # crashing the kernel (same contract as _encode_gif)
+        raise ValueError(
+            f"payload of {len(payload)} bytes needs {h} lines of "
+            f"{w}px, over the JPEG SOF0 uint16 limit (65535)")
     nb = (w // 8) * (h // 8)
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)

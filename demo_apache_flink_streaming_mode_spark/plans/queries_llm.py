@@ -787,6 +787,25 @@ def sim_topk_int8(spark, sf_dir):
     return similarity.topk_int8(queries, embs, TOPK)
 
 
+BIN_RERANK_MULT = 4     # binary Hamming shortlist depth = TOPK * this
+
+
+def sim_topk_binary(spark, sf_dir):
+    """Two-stage ANN over BINARY (1-bit sign) quantized embeddings —
+    the 32x-compression rung of the quantization ladder: per-query
+    Hamming shortlist over the packed sign words (two XOR+popcount
+    integer ops per candidate, the cheapest possible compressed scan),
+    exact cosine re-rank on the shortlist only
+    (operators.similarity.topk_binary_rerank). The oracle re-derives
+    the sign words, the integer Hamming ranking, and the exact re-rank
+    in SQL — every stage-1 comparison is integer math, so the
+    shortlist is bit-identical across engines by construction."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.topk_binary_rerank(queries, embs, TOPK, dim=DIM,
+                                         mult=BIN_RERANK_MULT)
+
+
 def text_bpe_stats(spark, sf_dir):
     return text.bpe_token_stats(_docs(spark, sf_dir))
 
@@ -3047,8 +3066,8 @@ ORACLES["mm_decode_jpeg"] = f"""
     WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n
                FROM documents),
     d AS (SELECT doc_id,
-                 ((CAST(ceil(n / {float(multimodal.JPEG_W)}) AS BIGINT)
-                   + 7) // 8) * 8 AS h
+                 greatest(((CAST(ceil(n / {float(multimodal.JPEG_W)})
+                            AS BIGINT) + 7) // 8) * 8, 8) AS h
           FROM b)
     SELECT doc_id,
            {multimodal.JPEG_W} AS width,
@@ -3524,6 +3543,42 @@ ORACLES["sim_topk_int8"] = f"""
                                 i -> a.q[i] * b.q[i]), 'sum') AS cos_sim
       FROM qq a JOIN qq b
         ON a.vec_id % {QUERY_MOD} = 0 AND a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM scored)
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cos_sim
+    FROM ranked WHERE rn <= {TOPK}"""
+
+# binary-quantization ANN: sign words packed from the RAW vector (a
+# positive normalization scale never flips a sign), integer Hamming
+# shortlist (bit-identical across engines), exact-cosine re-rank over
+# the shared normalized-vector CTE
+_BIN_WORD = ("list_aggregate(list_transform(range({lo}, {hi}), "
+             "i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - {lo})) "
+             "ELSE 0::BIGINT END), 'sum')")
+ORACLES["sim_topk_binary"] = f"""
+    WITH {_EMB_D},
+    w AS (SELECT vec_id,
+                 {_BIN_WORD.format(lo=1, hi=33)} AS w0,
+                 {_BIN_WORD.format(lo=33, hi=65)} AS w1
+          FROM e0),
+    sl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY bit_count(xor(a.w0, b.w0))
+                            + bit_count(xor(a.w1, b.w1)) ASC,
+                            b.vec_id ASC) AS rn
+        FROM w a JOIN w b
+          ON a.vec_id % {QUERY_MOD} = 0 AND a.vec_id <> b.vec_id)
+      WHERE rn <= {TOPK * BIN_RERANK_MULT}),
+    scored AS (
+      SELECT sl.query_id, sl.neighbor_id,
+             {_cos('qe.uv', 'ce.uv')} AS cos_sim
+      FROM sl JOIN e qe ON qe.vec_id = sl.query_id
+              JOIN e ce ON ce.vec_id = sl.neighbor_id),
     ranked AS (
       SELECT query_id, neighbor_id, cos_sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -4234,6 +4289,9 @@ QUERIES = [
           ORACLES["sim_recall_rerank"],
           "recall report: exact top-k hits of raw PQ vs "
           "rerank-from-one-shortlist (integer counts)"),
+    Query("sim_topk_binary", sim_topk_binary, ORACLES["sim_topk_binary"],
+          "binary (1-bit sign) quantization ANN: integer Hamming "
+          "shortlist over packed sign words + exact cosine re-rank"),
     Query("sim_topk_int8", sim_topk_int8, ORACLES["sim_topk_int8"],
           "top-k over int8-quantized unit vectors (exact integer dots)"),
     Query("dedup_simhash_pairs", dedup_simhash_pairs,

@@ -137,8 +137,12 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     "events_retention_cohorts",
     # -- dedup family reps ----------------------------------------------
     "dedup_incremental_jaccard",
-    # -- similarity / ANN family reps -----------------------------------
-    "sim_ann_lsh",
+    # -- similarity / ANN family reps (sim_ann_lsh demoted r11 after
+    # green rows through r10 — ann_topk keeps sim_topk_ivfpq; the slot
+    # goes to the NEW binary-quantization Hamming+rerank rung so it
+    # earns its driver row in its first round, per the attestation
+    # convention) -------------------------------------------------------
+    "sim_topk_binary",
     "sim_topk_ivfpq",
     # -- ml_filter family rep: the composed pipeline (r10 first row) ---
     "ml_quality_pipeline",
@@ -233,6 +237,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "decontam": ("text_decontam", "text_decontam_bloom",
                  "text_decontam_fuzzy"),
     "ann_topk": ("sim_topk_bruteforce", "sim_ann_lsh", "sim_topk_ivf",
+                 "sim_topk_binary",
                  "sim_topk_ivf_trained", "sim_topk_ivf_probe2",
                  "sim_topk_pq", "sim_topk_pq_rerank", "sim_topk_ivfpq",
                  "sim_topk_ivfpq_rerank",

@@ -26,6 +26,12 @@ SF = "/root/testdata/sf0.001"
 # global-stats (N, avgdl, df) attach — both bounded broadcast sides,
 # O(N) passes, intended.
 BNLJ_ALLOWED = {"dedup_embedding_cosine", "sim_topk_bruteforce",
+                # binary quantization: the Hamming stage IS the
+                # intended compressed linear scan (dim/8 bytes +
+                # two XOR/popcount ops per candidate — how binary
+                # indexes serve at scale); the exact re-rank is a
+                # broadcast HASH join on the k*mult shortlist
+                "sim_topk_binary",
                 "sim_topk_int8", "sim_topk_ivf",
                 "sim_topk_ivf_trained", "sim_topk_ivf_probe2", "text_bm25",
                 "text_tfidf",

@@ -139,3 +139,34 @@ def test_residual_pq_beats_flat_pq_quantization_error(spark, sf_dir):
     resid_err = total_sq_err(resid, "rv")
 
     assert 0 < resid_err < flat_err, (resid_err, flat_err)
+
+
+@hypo.budget(12)
+@given(rows=corpus, k=st.sampled_from([1, 3]), mult=st.sampled_from([1, 2]))
+def test_topk_binary_rerank_matches_reference(spark, rows, k, mult):
+    """topk_binary_rerank vs a sequential reference: the packed sign
+    words, the integer Hamming shortlist with its (distance, id)
+    tiebreak, and the exact-cosine re-rank (same in-order IEEE folds
+    as the brute-force reference) — exact equality including scores.
+    Integer-grid vectors produce frequent ties in BOTH stages (equal
+    Hamming distances everywhere, exact cosine ties), the regime where
+    an unstable sort would diverge."""
+    qrows = rows[:2]
+    units = {i: _unit(v) for i, v in rows}
+    words = {i: sum(1 << j for j, x in enumerate(v) if x >= 0)
+             for i, v in rows}
+    want = set()
+    for qid, _ in qrows:
+        sl = sorted((bin(words[qid] ^ words[nid]).count("1"), nid)
+                    for nid, _ in rows if nid != qid)[:k * mult]
+        scored = sorted((-_dot(units[qid], units[nid]), nid)
+                        for _, nid in sl)
+        for rank, (neg, nid) in enumerate(scored[:k], 1):
+            want.add((qid, rank, nid, -neg))
+    schema = "vec_id long, embedding array<double>"
+    got = {(r.query_id, r.rank, r.neighbor_id, r.cos_sim)
+           for r in S.topk_binary_rerank(
+               spark.createDataFrame(qrows, schema),
+               spark.createDataFrame(rows, schema), k,
+               dim=DIM, mult=mult).collect()}
+    assert got == want
