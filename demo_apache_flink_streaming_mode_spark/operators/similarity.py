@@ -706,6 +706,11 @@ _INDEX_LAYOUT: dict[str, tuple[tuple[str, str | None], ...]] = {
     "ivfpq": (("centroids", None), ("codebooks", None),
               ("codes", "cell"), ("unit", "__first__")),
     "semantic": (("centroids", None), ("assigned", "cell")),
+    # binary quantization: both parts corpus-sized — words is the
+    # compressed scan side (scanned whole per query batch, bucketing
+    # is for layout uniformity), unit buckets on vec_id so the exact
+    # re-rank's shortlist join reads exchange-free
+    "binary": (("words", "__first__"), ("unit", "__first__")),
     # the dedup standing stores (the incremental quartet's persisted
     # side): each probes through one equi-join on its bucket key —
     # dedup.exact_hash_index / dedup.minhash_band_index /
@@ -1118,9 +1123,32 @@ def binary_sign_words(vec_col: str, dim: int) -> list[Column]:
     return words
 
 
+def binary_index(corpus: DataFrame, dim: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding"
+                 ) -> tuple[DataFrame, DataFrame]:
+    """The FROZEN binary-quantization index — what a daily pipeline
+    persists and serves: (words, unit) where ``words`` is the packed
+    sign-word table (dim/8 bytes of code per vector, the compressed
+    scan side) and ``unit`` the corpus unit vectors for the exact
+    re-rank stage. Persist/reload through ``save_index``/``load_index``
+    (kind ``binary``, both parts bucketed on vec_id so the re-rank's
+    shortlist join reads exchange-free); plug into
+    ``topk_binary_rerank`` via ``index=``."""
+    ws = binary_sign_words("_raw", dim)
+    words = (_spread(corpus)
+             .select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).alias("_raw"))
+             .select("vec_id", *[w.alias(f"w{j}")
+                                 for j, w in enumerate(ws)]))
+    unit = unit_vectors(_spread(corpus), id_col, vec_col, "vec_id", "uv")
+    return words, unit
+
+
 def topk_binary_rerank(queries: DataFrame, corpus: DataFrame, k: int,
                        dim: int, mult: int = 4, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       index: tuple[DataFrame, DataFrame] | None = None
+                       ) -> DataFrame:
     """Two-stage ANN over BINARY-quantized vectors — the 1-bit rung of
     the quantization ladder (int8 4x, PQ ~32x, binary 32x at 1 bit/dim
     with pure integer distance): stage 1 shortlists ``k * mult``
@@ -1138,6 +1166,11 @@ def topk_binary_rerank(queries: DataFrame, corpus: DataFrame, k: int,
     refine joins the broadcast |queries| * k * mult shortlist against
     the corpus unit vectors, exact dots on shortlist rows only. Both
     stages' ties break by neighbor id, as everywhere.
+
+    ``index`` plugs in a prebuilt (possibly reloaded-from-storage)
+    :func:`binary_index` — the serve shape: a frozen compressed corpus
+    probed by many query batches, with the re-rank's exact dots read
+    from the index's materialized unit vectors.
     """
     n_words = (dim + 31) // 32
 
@@ -1149,7 +1182,11 @@ def topk_binary_rerank(queries: DataFrame, corpus: DataFrame, k: int,
                                   for j, w in enumerate(ws)]))
 
     q = words(queries, "query_id", "q_")
-    c = words(_spread(corpus), "neighbor_id", "c_")
+    c = (index[0].select(F.col("vec_id").alias("neighbor_id"),
+                         *[F.col(f"w{j}").alias(f"c_w{j}")
+                           for j in range(n_words)])
+         if index is not None else
+         words(_spread(corpus), "neighbor_id", "c_"))
     hd = F.bit_count(F.col("q_w0").bitwiseXOR(F.col("c_w0")))
     for j in range(1, n_words):
         hd = hd + F.bit_count(F.col(f"q_w{j}").bitwiseXOR(F.col(f"c_w{j}")))
@@ -1163,7 +1200,11 @@ def topk_binary_rerank(queries: DataFrame, corpus: DataFrame, k: int,
              .select("query_id", "neighbor_id"))
     qu = (unit_vectors(queries, id_col, vec_col, "query_id", "qv")
           .filter(F.col("qv").getItem(0).isNotNull()))
-    cu = unit_vectors(_spread(corpus), id_col, vec_col, "neighbor_id", "cv")
+    cu = (index[1].select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("uv").alias("cv"))
+          if index is not None else
+          unit_vectors(_spread(corpus), id_col, vec_col,
+                       "neighbor_id", "cv"))
     sj = short.join(qu, "query_id")
     scored = (cu.join(F.broadcast(sj), "neighbor_id")
               .select("query_id", "neighbor_id",

@@ -303,3 +303,32 @@ def test_quality_model_save_load_parity(spark, sf_dir):
     got = _rows(ml.apply_quality_filter(load_table(ns, sf_dir, "documents"),
                                         w2))
     assert got == want and len(got) > 0
+
+
+def test_binary_index_save_load_parity(spark, sf_dir):
+    from demo_apache_flink_streaming_mode_spark.plans.queries_llm import (
+        BIN_RERANK_MULT)
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    idx = similarity.binary_index(embs, DIM)
+
+    def probe(s, q, index):
+        corpus = load_table(s, sf_dir, "embeddings")
+        return similarity.topk_binary_rerank(
+            q, corpus, TOPK, dim=DIM, mult=BIN_RERANK_MULT, index=index)
+
+    want = _rows(probe(spark, queries, idx))
+    similarity.save_index("binary", idx, "t_binidx")
+
+    ns = _fresh_session(spark)
+    loaded = similarity.load_index(ns, "binary", "t_binidx")
+    q2 = load_table(ns, sf_dir, "embeddings").filter(
+        F.col("vec_id") % QUERY_MOD == 0)
+    got = _rows(probe(ns, q2, loaded))
+    assert got == want and len(got) > 0
+    # and the served result equals the no-index in-session plan
+    direct = _rows(similarity.topk_binary_rerank(
+        queries, embs, TOPK, dim=DIM, mult=BIN_RERANK_MULT))
+    assert direct == want
+    assert _is_bucketed(ns, "t_binidx__words")
+    assert _is_bucketed(ns, "t_binidx__unit")
