@@ -479,13 +479,24 @@ def _dist_code(dist: int) -> tuple[int, int, int]:
 
 def _deflate(data: bytes) -> bytes:
     """From-scratch zlib-wrapped DEFLATE compress (RFC 1950 + 1951):
-    greedy hash-chain LZ77 (3-byte heads, 32 KiB window, 258-byte max
-    match) emitted as ONE final fixed-Huffman block. The inverse-
-    direction interop proof to ``_inflate``: stdlib ``zlib.decompress``
-    must accept every stream this emits (pinned by tests at arbitrary
-    payloads), so the pair demonstrates standard-bitstream conformance
-    both ways."""
-    out = bytearray([0x78, 0x01])              # CMF/FLG, 32K window, check ok
+    the raw RFC 1951 stream from :func:`_deflate_raw` inside the zlib
+    CMF/FLG + Adler-32 wrapper. The inverse-direction interop proof to
+    ``_inflate``: stdlib ``zlib.decompress`` must accept every stream
+    this emits (pinned by tests at arbitrary payloads), so the pair
+    demonstrates standard-bitstream conformance both ways."""
+    return (bytes([0x78, 0x01])                # CMF/FLG, 32K window, check ok
+            + _deflate_raw(data)
+            + _adler32(data).to_bytes(4, "big"))
+
+
+def _deflate_raw(data: bytes) -> bytes:
+    """The bare RFC 1951 DEFLATE body (no container wrapper): greedy
+    hash-chain LZ77 (3-byte heads, 32 KiB window, 258-byte max match)
+    emitted as ONE final fixed-Huffman block. Shared by the zlib
+    wrapper (:func:`_deflate`) and the gzip member emitter
+    (``operators.compression._gzip``), which differ only in header and
+    checksum trailer (RFC 1950 Adler-32 vs RFC 1952 CRC-32 + ISIZE)."""
+    out = bytearray()
     buf = nbits = 0
 
     def put_bits(v: int, k: int) -> None:      # extra bits: LSB-first
@@ -541,7 +552,7 @@ def _deflate(data: bytes) -> bytes:
     put_code(*_FIXED_LIT_ENC[256])             # end of block
     if nbits:
         out.append(buf & 0xFF)
-    return bytes(out) + _adler32(data).to_bytes(4, "big")
+    return bytes(out)
 
 
 def _inflate(blob: bytes) -> bytes:
@@ -555,7 +566,23 @@ def _inflate(blob: bytes) -> bytes:
         raise ValueError("zlib header check failed")
     if flg & 0x20:
         raise ValueError("preset dictionaries unsupported")
-    r = _LsbBitReader(blob, 2)
+    out, end = _inflate_raw(blob, 2)
+    if end + 4 > len(blob):
+        raise ValueError("missing Adler-32 trailer")
+    want = int.from_bytes(blob[end:end + 4], "big")
+    if _adler32(out) != want:
+        raise ValueError("Adler-32 mismatch")
+    return out
+
+
+def _inflate_raw(blob: bytes, pos: int) -> tuple[bytes, int]:
+    """The bare RFC 1951 DEFLATE decode starting at byte ``pos``;
+    returns (payload, byte position after the final block, aligned).
+    Shared by the zlib wrapper (:func:`_inflate`) and the gzip member
+    parser (``operators.compression._gunzip``), whose trailers differ
+    (Adler-32 vs CRC-32 + ISIZE) but whose compressed body is the
+    identical bitstream format."""
+    r = _LsbBitReader(blob, pos)
     out = bytearray()
     while True:
         final, btype = r.bits(1), r.bits(2)
@@ -623,12 +650,7 @@ def _inflate(blob: bytes) -> bytes:
         if final:
             break
     r.align()
-    if r.pos + 4 > len(blob):
-        raise ValueError("missing Adler-32 trailer")
-    want = int.from_bytes(blob[r.pos:r.pos + 4], "big")
-    if _adler32(bytes(out)) != want:
-        raise ValueError("Adler-32 mismatch")
-    return bytes(out)
+    return bytes(out), r.pos
 
 
 def _decode_png(blob: bytes) -> tuple[int, int, int, int, bytes]:

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from demo_apache_flink_streaming_mode_spark.operators import (
-    curation, dedup, ml, multimodal, scale, similarity, text)
+    compression, curation, dedup, ml, multimodal, scale, similarity, text)
 from demo_apache_flink_streaming_mode_spark.plans.base import Query
 from demo_apache_flink_streaming_mode_spark.sources.batch import load_table
 
@@ -1291,6 +1291,38 @@ def mm_decode_gif(spark, sf_dir):
     return multimodal.gif_decode_features(media)
 
 
+def mm_decode_gzip(spark, sf_dir):
+    """REAL container interop decode: RFC 1952 gzip, stdlib-compressed,
+    from-scratch-decoded.
+
+    The payload is compressed by stdlib ``gzip.compress`` (an
+    independent DEFLATE implementation plus the RFC 1952 member
+    framing) and decoded by the from-scratch ``_gunzip`` — full header
+    grammar, raw-DEFLATE inflate, from-scratch reflected CRC-32,
+    ISIZE check (operators.compression.gzip_decode_features). Decoded
+    bytes == payload, so the oracle over the text's byte values proves
+    the stdlib-compress -> from-scratch-decode path end to end."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return compression.gzip_decode_features(media)
+
+
+def mm_decode_bz2(spark, sf_dir):
+    """REAL block-sorting-codec interop decode: bzip2 (BWT + MTF +
+    RLE2 + multi-table Huffman), stdlib-compressed, from-scratch-
+    decoded.
+
+    The payload is compressed by stdlib ``bz2.compress`` (libbzip2)
+    and decoded by the from-scratch ``_bunzip2`` — MSB-first bit
+    parse, symbol-map bitmaps, unary-MTF selectors, delta-coded code
+    lengths, 50-symbol group switching, bijective-base-2 zero runs,
+    counting-sort inverse BWT, RLE1 undo, per-block CRC-32/BZIP2 and
+    the rotate-xor stream CRC (operators.compression.
+    bz2_decode_features). Decoded bytes == payload; ``level`` and
+    ``n_blocks`` additionally pin the parsed stream structure."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return compression.bz2_decode_features(media)
+
+
 def mm_decode_jpeg(spark, sf_dir):
     """REAL LOSSY image decode: pure stdlib+numpy baseline JPEG.
 
@@ -2450,6 +2482,47 @@ ORACLES = {
                          / (h * {multimodal.GIF_WIDTH})
                     ELSE 0.0 END AS mean_px
         FROM d""",
+    # gzip/bzip2 are pure byte codecs (no row containerization):
+    # decoded bytes == the payload exactly, so the stats need no
+    # padding arithmetic; the structural columns (n_members, level,
+    # n_blocks) are format constants the decoder must have parsed
+    "mm_decode_gzip": """
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 list_transform(range(0, octet_length(encode(text))),
+                                i -> ('0x' || substr(hex(encode(text)),
+                                                     2*i + 1, 2))::BIGINT)
+                   AS bytes
+          FROM documents)
+        SELECT doc_id, n AS n_bytes, 1 AS n_members,
+               CAST(COALESCE(list_aggregate(bytes, 'sum'), 0) AS BIGINT)
+                 AS sum_bytes,
+               CAST(COALESCE(list_max(bytes), 0) AS INT) AS max_byte,
+               CASE WHEN n > 0
+                    THEN list_aggregate(bytes, 'sum')::DOUBLE / n
+                    ELSE 0.0 END AS mean_byte
+        FROM b""",
+    # libbzip2 emits zero blocks for an empty payload, one 900k block
+    # otherwise (level 9; testdata docs are far under the block size)
+    "mm_decode_bz2": """
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 list_transform(range(0, octet_length(encode(text))),
+                                i -> ('0x' || substr(hex(encode(text)),
+                                                     2*i + 1, 2))::BIGINT)
+                   AS bytes
+          FROM documents)
+        SELECT doc_id, n AS n_bytes, 9 AS level,
+               CASE WHEN n > 0 THEN 1 ELSE 0 END AS n_blocks,
+               CAST(COALESCE(list_aggregate(bytes, 'sum'), 0) AS BIGINT)
+                 AS sum_bytes,
+               CAST(COALESCE(list_max(bytes), 0) AS INT) AS max_byte,
+               CASE WHEN n > 0
+                    THEN list_aggregate(bytes, 'sum')::DOUBLE / n
+                    ELSE 0.0 END AS mean_byte
+        FROM b""",
     "mm_resize": f"""
         WITH h AS (
           SELECT doc_id, hex(encode(text)) AS hx,
@@ -4425,6 +4498,12 @@ QUERIES = [
     Query("mm_decode_gif", mm_decode_gif, ORACLES["mm_decode_gif"],
           "REAL dictionary-codec decode: GIF89a from-scratch "
           "variable-width LZW round-trip"),
+    Query("mm_decode_gzip", mm_decode_gzip, ORACLES["mm_decode_gzip"],
+          "REAL container interop: RFC 1952 gzip stdlib-compressed, "
+          "from-scratch header/CRC-32/inflate decode"),
+    Query("mm_decode_bz2", mm_decode_bz2, ORACLES["mm_decode_bz2"],
+          "REAL block-sorting interop: bzip2 (BWT+MTF+RLE2+Huffman "
+          "groups) stdlib-compressed, from-scratch decode"),
     Query("mm_decode_video", mm_decode_video, ORACLES["mm_decode_video"],
           "REAL video decode: stdlib struct RIFF/AVI round-trip, 1->N frames"),
     Query("mm_decode_jpeg", mm_decode_jpeg, ORACLES["mm_decode_jpeg"],

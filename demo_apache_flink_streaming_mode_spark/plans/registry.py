@@ -148,9 +148,13 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     "ml_quality_pipeline",
     # -- text_sampling family rep ---------------------------------------
     "text_pack_sequences",
-    # -- multimodal family reps ------------------------------------------
-    "mm_decode_mcv2",
-    "mm_decode_pac",
+    # -- multimodal family reps: the NEW r11 interop rungs (gzip member
+    # framing + from-scratch bzip2) claim the slots so they earn their
+    # driver rows in their first round, per the attestation convention;
+    # mcv2/pac demoted after their r10 green rows keep the family fresh
+    # through r14 ---------------------------------------------------------
+    "mm_decode_gzip",
+    "mm_decode_bz2",
     # -- corpus curation: the composed batch pipeline + the NEW
     # streaming-ingest decision surface (r10 verdict item 4), first
     # row in its first round per the attestation convention ------------
@@ -282,7 +286,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "mm_decode_video", "mm_decode_mjpeg", "mm_decode_flac",
                    "mm_decode_flic", "mm_decode_mdct", "mm_decode_mcv",
                    "mm_decode_mcv2", "mm_decode_mcv3", "mm_decode_mcv4",
-                   "mm_decode_pac", "mm_resize", "mm_frames"),
+                   "mm_decode_pac", "mm_decode_gzip", "mm_decode_bz2",
+                   "mm_resize", "mm_frames"),
     "graph": ("graph_pagerank", "graph_triangles"),
 }
 

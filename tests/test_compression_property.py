@@ -1,0 +1,235 @@
+"""Property tests: the from-scratch gzip (RFC 1952) and bzip2 codecs,
+held to the r10 DEFLATE standard — bitstream conformance proven BOTH
+WAYS against the independent stdlib implementations (gzip/zlib and
+bz2/libbzip2), plus structural round-trips for the internal stages
+(CRC-32 vs zlib.crc32 bit-for-bit, forward/inverse BWT, RLE1) and
+fail-fast rejection of corrupted streams. No Spark session: these
+drive the codec functions directly so hypothesis can shrink.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import struct
+import zlib
+
+import pytest
+import hypo
+from hypothesis import given, strategies as st
+
+from demo_apache_flink_streaming_mode_spark.operators import (
+    compression as cz)
+
+# codec-hostile payload shapes: empty, runs (RLE1 boundaries at 4 and
+# 259), alternating extremes, full byte alphabet, high-entropy-ish
+payloads = st.one_of(
+    st.binary(min_size=0, max_size=2000),
+    st.sampled_from([
+        b"", b"a", b"x" * 3, b"x" * 4, b"x" * 5, b"x" * 251 + b"y",
+        b"x" * 255, b"x" * 259, b"x" * 260, b"x" * 1000,
+        bytes([0, 255] * 300), bytes(range(256)) * 3,
+        b"ab" * 500, b"banana" * 100,
+    ]),
+)
+
+
+# --- CRC-32 ---------------------------------------------------------------
+
+@hypo.budget(60)
+@given(st.binary(min_size=0, max_size=4000))
+def test_crc32_matches_zlib_bit_for_bit(data):
+    """The from-scratch reflected CRC-32 (RFC 1952) is the same
+    function stdlib zlib exposes — pinned on arbitrary payloads."""
+    assert cz._crc32(data) == zlib.crc32(data)
+
+
+# --- gzip -----------------------------------------------------------------
+
+@hypo.budget(60)
+@given(st.binary(min_size=0, max_size=20000), st.integers(0, 9))
+def test_gunzip_interop_stdlib_streams_any_level(data, level):
+    """The from-scratch gzip member parser decodes streams produced by
+    an INDEPENDENT implementation (stdlib gzip) at every compression
+    level, agreeing with gzip.decompress byte-for-byte."""
+    z = gzip.compress(data, level, mtime=0)
+    assert cz._gunzip(z) == (data, 1)
+    assert gzip.decompress(z) == data
+
+
+@hypo.budget(60)
+@given(st.binary(min_size=0, max_size=20000))
+def test_gzip_interop_stdlib_decodes_our_streams(data):
+    """Inverse direction: stdlib gzip.decompress accepts every member
+    the from-scratch emitter produces (raw-DEFLATE body + from-scratch
+    CRC-32/ISIZE trailer), and _gunzip agrees."""
+    z = cz._gzip(data)
+    assert gzip.decompress(z) == data
+    assert cz._gunzip(z) == (data, 1)
+
+
+@hypo.budget(40)
+@given(st.lists(st.binary(min_size=0, max_size=300), min_size=1,
+                max_size=4))
+def test_gzip_multi_member_concatenation(parts):
+    """RFC 1952 streams concatenate; the parser walks every member and
+    reports the count."""
+    blob = b"".join(cz._gzip(p) for p in parts)
+    assert cz._gunzip(blob) == (b"".join(parts), len(parts))
+
+
+def test_gunzip_full_header_grammar_and_rejection():
+    payload = b"header grammar target" * 8
+    # FNAME via the stdlib file writer
+    buf = io.BytesIO()
+    with gzip.GzipFile(filename="n.txt", mode="wb", fileobj=buf,
+                       mtime=0) as f:
+        f.write(payload)
+    assert cz._gunzip(buf.getvalue()) == (payload, 1)
+    # hand-built member with FEXTRA + FNAME + FCOMMENT + FHCRC
+    body = cz._deflate_raw(payload)
+    hdr = bytearray(b"\x1f\x8b\x08" + bytes([cz._FEXTRA | cz._FNAME
+                                             | cz._FCOMMENT | cz._FHCRC])
+                    + struct.pack("<I", 0) + b"\x00\xff")
+    hdr += struct.pack("<H", 4) + b"ABCD"          # FEXTRA
+    hdr += b"name\x00" + b"comment\x00"            # FNAME, FCOMMENT
+    hdr += struct.pack("<H", cz._crc32(bytes(hdr)) & 0xFFFF)
+    blob = (bytes(hdr) + body
+            + struct.pack("<II", cz._crc32(payload), len(payload)))
+    assert cz._gunzip(blob) == (payload, 1)
+    good = cz._gzip(payload)
+    for mutate in (
+        lambda b: b[:4],                            # truncated header
+        lambda b: b"\x1e" + b[1:],                  # bad magic
+        lambda b: b[:2] + b"\x07" + b[3:],          # CM != 8
+        lambda b: b[:3] + b"\x20" + b[4:],          # reserved FLG bit
+        lambda b: b[:-9] + bytes([b[-9] ^ 1]) + b[-8:],  # DEFLATE body
+        lambda b: b[:-8] + bytes([b[-8] ^ 1]) + b[-7:],  # CRC-32
+        lambda b: b[:-1] + bytes([b[-1] ^ 1]),      # ISIZE
+        lambda b: b[:-3],                           # truncated trailer
+    ):
+        with pytest.raises(ValueError):
+            cz._gunzip(mutate(good))
+    # bad FHCRC
+    bad = bytearray(blob)
+    bad[len(hdr) - 1] ^= 0xFF
+    with pytest.raises(ValueError):
+        cz._gunzip(bytes(bad))
+
+
+# --- bzip2 internal stages ------------------------------------------------
+
+@hypo.budget(40)
+@given(payloads)
+def test_rle1_roundtrip(data):
+    assert cz._rle1_decode(cz._rle1_encode(data)) == data
+
+
+@hypo.budget(40)
+@given(st.binary(min_size=1, max_size=600))
+def test_bwt_forward_inverse_roundtrip(data):
+    """The prefix-doubling rotation sort and the counting-sort inverse
+    are exact inverses for any byte string, including all-equal inputs
+    where every rotation ties."""
+    last, ptr = cz._bwt_forward(data)
+    assert cz._bwt_inverse(last, ptr) == data
+
+
+@hypo.budget(30)
+@given(st.lists(st.integers(0, 1 << 30), min_size=2, max_size=40))
+def test_huffman_lengths_complete_and_capped(freqs):
+    """The frequency-halving loop always lands inside libbzip2's
+    17-bit encoder cap, and the code is complete (Kraft sum == 1) so
+    every symbol — observed or not — decodes."""
+    from fractions import Fraction
+    lens = cz._huffman_lengths(freqs, cz._BZ_MAX_ENC_LEN)
+    assert all(1 <= ln <= cz._BZ_MAX_ENC_LEN for ln in lens)
+    assert sum(Fraction(1, 2 ** ln) for ln in lens) == 1
+
+
+def test_huffman_halving_loop_fires_on_fibonacci_freqs():
+    # Fibonacci-ish frequencies force maximal tree depth > 17 on the
+    # first pass; the halving loop must still converge to <= 17
+    a, b = 1, 1
+    freqs = []
+    for _ in range(40):
+        freqs.append(a)
+        a, b = b, a + b
+    lens = cz._huffman_lengths(freqs, cz._BZ_MAX_ENC_LEN)
+    assert max(lens) <= cz._BZ_MAX_ENC_LEN
+
+
+# --- bzip2 both-ways interop ----------------------------------------------
+
+@hypo.budget(50)
+@given(st.binary(min_size=0, max_size=20000), st.integers(1, 9))
+def test_bunzip2_interop_stdlib_streams_any_level(data, level):
+    """The from-scratch bzip2 decoder consumes bitstreams produced by
+    an INDEPENDENT implementation (stdlib bz2 / libbzip2) at every
+    block-size level, agreeing with bz2.decompress byte-for-byte and
+    reporting the parsed structure."""
+    z = bz2.compress(data, level)
+    got, lvl, n_blocks = cz._bunzip2(z)
+    assert got == data == bz2.decompress(z)
+    assert lvl == level
+    assert n_blocks == (0 if not data else 1)
+
+
+@hypo.budget(40)
+@given(payloads)
+def test_bzip2_interop_stdlib_decodes_our_streams(data):
+    """Inverse direction: stdlib bz2.decompress accepts every stream
+    the from-scratch compressor emits (RLE1 + BWT + MTF/RLE2 + real
+    Huffman + both CRC layers), and _bunzip2 agrees."""
+    z = cz._bzip2(data)
+    assert bz2.decompress(z) == data
+    got, lvl, n_blocks = cz._bunzip2(z)
+    assert got == data and lvl == 9
+    assert n_blocks == (0 if not data else 1)
+
+
+def test_bzip2_multi_block_both_directions():
+    import random
+    rnd = random.Random(11)
+    data = bytes(rnd.choices(b"abcdefgh ", k=200_000))
+    ours = cz._bzip2(data, level=1)        # 80k chunks -> 3 blocks
+    assert bz2.decompress(ours) == data
+    assert cz._bunzip2(ours) == (data, 1, 3)
+    theirs = bz2.compress(bytes(rnd.choices(bytes(range(256)),
+                                            k=250_000)), 1)
+    got, lvl, n_blocks = cz._bunzip2(theirs)
+    assert got == bz2.decompress(theirs) and lvl == 1 and n_blocks >= 3
+
+
+def test_bzip2_empty_stream_identical_to_libbzip2():
+    # zero-block streams: header + EOS magic + combined CRC 0 — the
+    # two implementations agree byte-for-byte
+    assert cz._bzip2(b"") == bz2.compress(b"", 9)
+
+
+def test_bzip2_compresses_repetitive_content():
+    rep = b"training corpus boilerplate " * 200
+    assert len(cz._bzip2(rep)) < len(rep) / 5
+
+
+def test_bunzip2_rejects_corruption():
+    good = bz2.compress(b"corruption target" * 64, 9)
+    with pytest.raises(ValueError):
+        cz._bunzip2(b"BZx" + good[3:])             # bad magic
+    with pytest.raises(ValueError):
+        cz._bunzip2(good[:3] + b"0" + good[4:])    # level byte 0
+    with pytest.raises(ValueError):
+        cz._bunzip2(good[:12])                     # truncated
+    bad = bytearray(good)
+    bad[11] ^= 0xFF                                # block CRC bits
+    with pytest.raises(ValueError):
+        cz._bunzip2(bytes(bad))
+    bad = bytearray(good)
+    bad[-2] ^= 0xFF                                # stream CRC bits
+    with pytest.raises(ValueError):
+        cz._bunzip2(bytes(bad))
+    bad = bytearray(good)
+    bad[4] ^= 0x40                                 # block magic bits
+    with pytest.raises(ValueError):
+        cz._bunzip2(bytes(bad))
