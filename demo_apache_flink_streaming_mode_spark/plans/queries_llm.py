@@ -1323,6 +1323,23 @@ def mm_decode_bz2(spark, sf_dir):
     return compression.bz2_decode_features(media)
 
 
+def mm_archive_zip(spark, sf_dir):
+    """REAL archive-container interop decode: PKZIP, stdlib-packed,
+    from-scratch-parsed — the corpus-shard ingest shape.
+
+    The payload is split into 1 KiB members and packed by stdlib
+    ``zipfile`` (local headers + raw-DEFLATE bodies + central
+    directory + EOCD); the from-scratch ``_unzip`` back-scans for the
+    EOCD record, walks the central directory, cross-checks local
+    headers, inflates every member with the from-scratch raw-DEFLATE
+    decoder, verifies each member's CRC-32 and sizes, and reassembles
+    the payload bit-for-bit (operators.compression.
+    zip_decode_features). The oracle over the text's byte values
+    proves the path; n_members pins the parsed directory."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return compression.zip_decode_features(media)
+
+
 def mm_decode_jpeg(spark, sf_dir):
     """REAL LOSSY image decode: pure stdlib+numpy baseline JPEG.
 
@@ -2516,6 +2533,28 @@ ORACLES = {
           FROM documents)
         SELECT doc_id, n AS n_bytes, 9 AS level,
                CASE WHEN n > 0 THEN 1 ELSE 0 END AS n_blocks,
+               CAST(COALESCE(list_aggregate(bytes, 'sum'), 0) AS BIGINT)
+                 AS sum_bytes,
+               CAST(COALESCE(list_max(bytes), 0) AS INT) AS max_byte,
+               CASE WHEN n > 0
+                    THEN list_aggregate(bytes, 'sum')::DOUBLE / n
+                    ELSE 0.0 END AS mean_byte
+        FROM b""",
+    # the zip corpus-shard story: 1 KiB members, so the member count
+    # is the chunk count; decoded reassembly == payload exactly
+    "mm_archive_zip": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 list_transform(range(0, octet_length(encode(text))),
+                                i -> ('0x' || substr(hex(encode(text)),
+                                                     2*i + 1, 2))::BIGINT)
+                   AS bytes
+          FROM documents)
+        SELECT doc_id,
+               CAST(ceil(n / {float(compression.ZIP_PART_BYTES)}) AS INT)
+                 AS n_members,
+               n AS n_bytes,
                CAST(COALESCE(list_aggregate(bytes, 'sum'), 0) AS BIGINT)
                  AS sum_bytes,
                CAST(COALESCE(list_max(bytes), 0) AS INT) AS max_byte,
@@ -4504,6 +4543,9 @@ QUERIES = [
     Query("mm_decode_bz2", mm_decode_bz2, ORACLES["mm_decode_bz2"],
           "REAL block-sorting interop: bzip2 (BWT+MTF+RLE2+Huffman "
           "groups) stdlib-compressed, from-scratch decode"),
+    Query("mm_archive_zip", mm_archive_zip, ORACLES["mm_archive_zip"],
+          "REAL archive interop: PKZIP corpus shards stdlib-packed, "
+          "from-scratch central-directory walk + member inflate"),
     Query("mm_decode_video", mm_decode_video, ORACLES["mm_decode_video"],
           "REAL video decode: stdlib struct RIFF/AVI round-trip, 1->N frames"),
     Query("mm_decode_jpeg", mm_decode_jpeg, ORACLES["mm_decode_jpeg"],

@@ -155,10 +155,13 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # through r14 ---------------------------------------------------------
     "mm_decode_gzip",
     "mm_decode_bz2",
-    # -- corpus curation: the composed batch pipeline + the NEW
-    # streaming-ingest decision surface (r10 verdict item 4), first
-    # row in its first round per the attestation convention ------------
-    "corpus_clean",
+    "mm_archive_zip",
+    # -- corpus curation: the NEW streaming-ingest decision surface
+    # (r10 verdict item 4), first row in its first round per the
+    # attestation convention; corpus_clean demoted r11 after green rows
+    # through r10 — its slot funds the third r11 interop rung
+    # (mm_archive_zip), and the family rep is the STRICTLY more
+    # composed corpus_curation_decisions ---------------------------------
     "corpus_curation_decisions",
 )
 assert len(_VERIFY_WINDOW) == 50, (
@@ -287,7 +290,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "mm_decode_flic", "mm_decode_mdct", "mm_decode_mcv",
                    "mm_decode_mcv2", "mm_decode_mcv3", "mm_decode_mcv4",
                    "mm_decode_pac", "mm_decode_gzip", "mm_decode_bz2",
-                   "mm_resize", "mm_frames"),
+                   "mm_archive_zip", "mm_resize", "mm_frames"),
     "graph": ("graph_pagerank", "graph_triangles"),
 }
 

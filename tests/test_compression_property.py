@@ -213,6 +213,69 @@ def test_bzip2_compresses_repetitive_content():
     assert len(cz._bzip2(rep)) < len(rep) / 5
 
 
+# --- zip ------------------------------------------------------------------
+
+member_names = st.from_regex(r"[a-z][a-z0-9_./]{0,20}", fullmatch=True)
+
+
+@hypo.budget(40)
+@given(st.lists(st.tuples(member_names,
+                          st.binary(min_size=0, max_size=2000)),
+                min_size=0, max_size=6, unique_by=lambda m: m[0]))
+def test_zip_interop_stdlib_reads_our_archives(members):
+    """stdlib zipfile accepts every archive the from-scratch writer
+    emits (raw-DEFLATE members + central directory + EOCD), member
+    names, order, and bytes intact — and _unzip agrees."""
+    import zipfile
+    blob = cz._zip(members)
+    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+        assert z.testzip() is None
+        got = [(i.filename, z.read(i)) for i in z.infolist()]
+    assert got == members
+    assert cz._unzip(blob) == members
+
+
+@hypo.budget(40)
+@given(st.lists(st.tuples(member_names,
+                          st.binary(min_size=0, max_size=2000)),
+                min_size=0, max_size=6, unique_by=lambda m: m[0]),
+       st.sampled_from([0, 8]), st.binary(min_size=0, max_size=40))
+def test_unzip_interop_stdlib_archives(members, method, comment):
+    """The from-scratch parser decodes archives an INDEPENDENT
+    implementation (stdlib zipfile) produces — deflated and stored
+    members, with and without a trailing archive comment (exercising
+    the EOCD back-scan)."""
+    import zipfile
+    m = (zipfile.ZIP_DEFLATED if method == 8 else zipfile.ZIP_STORED)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", m) as z:
+        for name, data in members:
+            z.writestr(name, data)
+        z.comment = comment
+    assert cz._unzip(buf.getvalue()) == members
+
+
+def test_unzip_rejects_corruption():
+    import zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("m.txt", b"corruption target" * 64)
+    good = buf.getvalue()
+    with pytest.raises(ValueError):
+        cz._unzip(good[:-10])                      # EOCD gone
+    with pytest.raises(ValueError):
+        cz._unzip(good[:30])                       # no directory at all
+    bad = bytearray(good)
+    bad[0] ^= 0xFF                                 # local header sig
+    with pytest.raises(ValueError):
+        cz._unzip(bytes(bad))
+    # flip one byte of the member's DEFLATE body
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        cz._unzip(bytes(bad))
+
+
 def test_bunzip2_rejects_corruption():
     good = bz2.compress(b"corruption target" * 64, 9)
     with pytest.raises(ValueError):
