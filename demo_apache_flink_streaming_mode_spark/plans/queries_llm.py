@@ -1340,6 +1340,22 @@ def mm_archive_zip(spark, sf_dir):
     return compression.zip_decode_features(media)
 
 
+def mm_archive_tgz(spark, sf_dir):
+    """COMPOSED archive-stack interop decode: tar.gz, stdlib-packed,
+    decoded end-to-end by two from-scratch decoders.
+
+    The payload is split into 1 KiB members and packed by stdlib
+    ``tarfile`` in ``w:gz`` mode; the from-scratch ``_gunzip`` strips
+    the RFC 1952 member (header grammar, raw-DEFLATE inflate, CRC-32 +
+    ISIZE), then the from-scratch ``_untar`` walks the 512-byte
+    headers (octal fields, spaces-substituted checksum, pax record
+    grammar) and the members reassemble bit-for-bit (operators.
+    compression.tgz_decode_features). Each decoder is interop-proven
+    alone; this query proves the composition."""
+    media = multimodal.to_media(_docs(spark, sf_dir))
+    return compression.tgz_decode_features(media)
+
+
 def mm_decode_jpeg(spark, sf_dir):
     """REAL LOSSY image decode: pure stdlib+numpy baseline JPEG.
 
@@ -2543,6 +2559,28 @@ ORACLES = {
     # the zip corpus-shard story: 1 KiB members, so the member count
     # is the chunk count; decoded reassembly == payload exactly
     "mm_archive_zip": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 list_transform(range(0, octet_length(encode(text))),
+                                i -> ('0x' || substr(hex(encode(text)),
+                                                     2*i + 1, 2))::BIGINT)
+                   AS bytes
+          FROM documents)
+        SELECT doc_id,
+               CAST(ceil(n / {float(compression.ZIP_PART_BYTES)}) AS INT)
+                 AS n_members,
+               n AS n_bytes,
+               CAST(COALESCE(list_aggregate(bytes, 'sum'), 0) AS BIGINT)
+                 AS sum_bytes,
+               CAST(COALESCE(list_max(bytes), 0) AS INT) AS max_byte,
+               CASE WHEN n > 0
+                    THEN list_aggregate(bytes, 'sum')::DOUBLE / n
+                    ELSE 0.0 END AS mean_byte
+        FROM b""",
+    # tar.gz shares the zip shard story (1 KiB members) — identical
+    # derivation, different container stack under test
+    "mm_archive_tgz": f"""
         WITH b AS (
           SELECT doc_id,
                  octet_length(encode(text)) AS n,
@@ -4546,6 +4584,9 @@ QUERIES = [
     Query("mm_archive_zip", mm_archive_zip, ORACLES["mm_archive_zip"],
           "REAL archive interop: PKZIP corpus shards stdlib-packed, "
           "from-scratch central-directory walk + member inflate"),
+    Query("mm_archive_tgz", mm_archive_tgz, ORACLES["mm_archive_tgz"],
+          "COMPOSED archive-stack interop: tar.gz stdlib-packed, "
+          "from-scratch gzip + ustar/pax decoders composed"),
     Query("mm_decode_video", mm_decode_video, ORACLES["mm_decode_video"],
           "REAL video decode: stdlib struct RIFF/AVI round-trip, 1->N frames"),
     Query("mm_decode_jpeg", mm_decode_jpeg, ORACLES["mm_decode_jpeg"],

@@ -142,8 +142,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # goes to the NEW binary-quantization Hamming+rerank rung so it
     # earns its driver row in its first round, per the attestation
     # convention) -------------------------------------------------------
+    # sim_topk_ivfpq demoted r11 after green rows through r10 — the
+    # ann_topk rep is the NEW sim_topk_binary (earning its first row
+    # this round); the freed slot funds the fourth r11 interop rung
+    # (mm_archive_tgz, the composed tar.gz stack)
     "sim_topk_binary",
-    "sim_topk_ivfpq",
     # -- ml_filter family rep: the composed pipeline (r10 first row) ---
     "ml_quality_pipeline",
     # -- text_sampling family rep ---------------------------------------
@@ -156,6 +159,7 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     "mm_decode_gzip",
     "mm_decode_bz2",
     "mm_archive_zip",
+    "mm_archive_tgz",
     # -- corpus curation: the NEW streaming-ingest decision surface
     # (r10 verdict item 4), first row in its first round per the
     # attestation convention; corpus_clean demoted r11 after green rows
@@ -290,7 +294,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "mm_decode_flic", "mm_decode_mdct", "mm_decode_mcv",
                    "mm_decode_mcv2", "mm_decode_mcv3", "mm_decode_mcv4",
                    "mm_decode_pac", "mm_decode_gzip", "mm_decode_bz2",
-                   "mm_archive_zip", "mm_resize", "mm_frames"),
+                   "mm_archive_zip", "mm_archive_tgz", "mm_resize",
+                   "mm_frames"),
     "graph": ("graph_pagerank", "graph_triangles"),
 }
 
