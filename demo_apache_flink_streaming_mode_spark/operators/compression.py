@@ -366,22 +366,47 @@ def _canonical_codes(lengths: list[int]) -> list[int]:
 
 
 def _bunzip2(blob: bytes) -> tuple[bytes, int, int]:
-    """From-scratch bzip2 stream decode — consumes bitstreams produced
-    by stdlib ``bz2`` (libbzip2): header, per-block 48-bit magic +
-    CRC + origPtr, the two-level symbol-usage bitmap, unary-MTF
-    selectors, delta-coded per-group code lengths, Huffman decode with
-    group switching every 50 symbols, RUNA/RUNB bijective-base-2 zero
-    runs, move-to-front undo, counting-sort inverse BWT, RLE1 undo,
-    per-block CRC-32/BZIP2 verification, and the end-of-stream magic +
-    rotate-xor combined CRC. Returns (payload, level, n_blocks)."""
-    if len(blob) < 4 or blob[:3] != b"BZh":
+    """From-scratch bzip2 decode with stdlib-parity stream semantics:
+    one or more CONCATENATED streams (each byte-aligned, as ``bz2``
+    accepts and common shard tooling produces), trailing garbage
+    rejected. Returns (payload, first stream's level, total blocks)."""
+    if not blob:
+        raise ValueError("empty bzip2 stream")
+    out = bytearray()
+    first_level = total_blocks = 0
+    pos = 0
+    while pos < len(blob):
+        if blob[pos:pos + 3] != b"BZh":
+            if pos == 0:
+                raise ValueError("bad bzip2 magic")
+            break    # stdlib parity: leftover data that is not a
+            #          valid stream start is ignored after >=1 stream
+        data, level, n_blocks, pos = _bunzip2_stream(blob, pos)
+        out += data
+        total_blocks += n_blocks
+        if not first_level:
+            first_level = level
+    return bytes(out), first_level, total_blocks
+
+
+def _bunzip2_stream(blob: bytes, pos: int) -> tuple[bytes, int, int, int]:
+    """Decode ONE bzip2 stream starting at byte ``pos`` — consumes
+    bitstreams produced by stdlib ``bz2`` (libbzip2): header,
+    per-block 48-bit magic + CRC + origPtr, the two-level symbol-usage
+    bitmap, unary-MTF selectors, delta-coded per-group code lengths,
+    Huffman decode with group switching every 50 symbols, RUNA/RUNB
+    bijective-base-2 zero runs, move-to-front undo, counting-sort
+    inverse BWT, RLE1 undo, per-block CRC-32/BZIP2 verification, and
+    the end-of-stream magic + rotate-xor combined CRC. Returns
+    (payload, level, n_blocks, byte position after the stream)."""
+    if pos + 4 > len(blob) or blob[pos:pos + 3] != b"BZh":
         raise ValueError("bad bzip2 magic")
-    level = blob[3] - 0x30
+    level = blob[pos + 3] - 0x30
     if not 1 <= level <= 9:
-        raise ValueError(f"bad bzip2 level byte {blob[3]:#x}")
+        raise ValueError(f"bad bzip2 level byte {blob[pos + 3]:#x}")
     max_block = 100_000 * level
     r = _MsbBitReader(blob)
-    r.pos = 4
+    r.pos = pos + 4
     out = bytearray()
     combined = 0
     n_blocks = 0
@@ -481,7 +506,8 @@ def _bunzip2(blob: bytes) -> tuple[bytes, int, int]:
         combined = (((combined << 1) | (combined >> 31)) & 0xFFFFFFFF
                     ) ^ block_crc
         out += chunk
-    return bytes(out), level, n_blocks
+    # the EOS break leaves r byte-aligned past the final padding bits
+    return bytes(out), level, n_blocks, r.pos
 
 
 def _bzip2(data: bytes, level: int = 9) -> bytes:

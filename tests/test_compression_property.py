@@ -202,6 +202,38 @@ def test_bzip2_multi_block_both_directions():
     assert got == bz2.decompress(theirs) and lvl == 1 and n_blocks >= 3
 
 
+@hypo.budget(30)
+@given(st.lists(st.binary(min_size=0, max_size=400), min_size=1,
+                max_size=3),
+       st.lists(st.integers(1, 9), min_size=3, max_size=3))
+def test_bunzip2_concatenated_streams_parity_with_stdlib(parts, levels):
+    """stdlib bz2.decompress accepts concatenated streams; so does the
+    from-scratch decoder — same payload, blocks summed, first stream's
+    level reported."""
+    blob = b"".join(bz2.compress(p, lv)
+                    for p, lv in zip(parts, levels))
+    want = b"".join(parts)
+    assert bz2.decompress(blob) == want
+    got, lvl, n_blocks = cz._bunzip2(blob)
+    assert got == want
+    assert lvl == levels[0]
+    assert n_blocks == sum(1 for p in parts if p)
+
+
+def test_bunzip2_trailing_data_semantics_match_stdlib():
+    # non-stream leftovers after >=1 good stream: IGNORED (CPython's
+    # documented bz2.decompress behavior)
+    blob = bz2.compress(b"payload", 9) + b"garbage"
+    assert bz2.decompress(blob) == b"payload"
+    assert cz._bunzip2(blob)[0] == b"payload"
+    # but a leftover that LOOKS like a stream and is truncated: error
+    bad = bz2.compress(b"payload", 9) + bz2.compress(b"more", 9)[:8]
+    with pytest.raises(Exception):
+        bz2.decompress(bad)
+    with pytest.raises(ValueError):
+        cz._bunzip2(bad)
+
+
 def test_bzip2_empty_stream_identical_to_libbzip2():
     # zero-block streams: header + EOS magic + combined CRC 0 — the
     # two implementations agree byte-for-byte
