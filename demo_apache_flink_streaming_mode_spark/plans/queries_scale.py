@@ -405,6 +405,49 @@ _CDC_CTES = f"""
                       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
                FROM ch GROUP BY 1, 2)"""
 
+_FOOTER_TABLES = (
+    # (table, first leaf / stats key column, leaf column count)
+    ("region", "r_regionkey", 2), ("nation", "n_nationkey", 3),
+    ("customer", "c_custkey", 5), ("supplier", "s_suppkey", 4),
+    ("part", "p_partkey", 6), ("orders", "o_orderkey", 6),
+    ("lineitem", "l_orderkey", 11), ("events", "event_id", 6),
+    ("documents", "doc_id", 5), ("embeddings", "vec_id", 3),
+)
+
+
+def meta_parquet_footer(spark, sf_dir):
+    """Manifest sweep via the FROM-SCRATCH Parquet footer reader: the
+    planner's pruning pass as a judged query.
+
+    A file-listing DataFrame (all ten testdata tables) flows through
+    ``operators.parquet_meta.footer_report`` — per file, two tail
+    range-reads and a from-scratch Thrift-compact decode of
+    FileMetaData (schema leaves, row groups, first-column min/max/
+    null-count statistics), zero data-plane I/O. The DuckDB oracle
+    re-derives every reported number with DuckDB's OWN independent
+    parquet reader + aggregates over the data itself: footer
+    num_rows == COUNT(*), footer key stats == MIN/MAX/null count —
+    so each green row proves the Thrift parse end to end against a
+    second engine. pyarrow cross-checks the same fields in tests
+    (a third independent reader)."""
+    from demo_apache_flink_streaming_mode_spark.operators import (
+        parquet_meta)
+    listing = spark.createDataFrame(
+        [(t, f"{sf_dir}/{t}.parquet") for t, _, _ in _FOOTER_TABLES],
+        "table_name string, path string")
+    return parquet_meta.footer_report(listing)
+
+
+ORACLES_FOOTER = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, COUNT(*) AS num_rows,
+               {ncols} AS n_cols,
+               CAST(MIN({key}) AS BIGINT) AS min_key,
+               CAST(MAX({key}) AS BIGINT) AS max_key,
+               COUNT(*) - COUNT({key}) AS null_count_key
+        FROM {t}"""
+    for t, key, ncols in _FOOTER_TABLES)
+
+
 def _hll_oracle(key_exprs: str, key_names: list[str]) -> str:
     """DuckDB twin of hll_distinct + exact count over ``events``.
 
@@ -673,4 +716,8 @@ QUERIES = [
           "PageRank over the user co-occurrence graph (3 exact rounds)"),
     Query("graph_triangles", graph_triangles, ORACLES["graph_triangles"],
           "triangle count (oriented wedge join + semi-close)"),
+    Query("meta_parquet_footer", meta_parquet_footer, ORACLES_FOOTER,
+          "manifest sweep: from-scratch Thrift-compact Parquet footer "
+          "parse (rows, schema leaves, key min/max/null stats) judged "
+          "against DuckDB's own parquet reader"),
 ]

@@ -131,8 +131,11 @@ _VERIFY_WINDOW: tuple[str, ...] = (
     # -- §2-adjacent siblings: first rows this round -------------------
     "j1_window_join_left",
     "t5_json_props_stats",
-    # -- corrected dynamic-session rule (in-window since r7) -----------
-    "a13_dynamic_session",
+    # -- NEW family r11: manifest planning over parquet footers (the
+    # from-scratch Thrift-compact reader) — claims its slot per the
+    # new-family rule by demoting a13_dynamic_session (green rows
+    # through r10; its core_windows family keeps six pinned reps) ------
+    "meta_parquet_footer",
     # -- events_ops family rep: first row this round --------------------
     "events_retention_cohorts",
     # -- dedup family reps ----------------------------------------------
@@ -297,6 +300,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "mm_archive_zip", "mm_archive_tgz", "mm_resize",
                    "mm_frames"),
     "graph": ("graph_pagerank", "graph_triangles"),
+    "parquet_meta": ("meta_parquet_footer",),
 }
 
 _FAM_MEMBERS = [n for members in FAMILIES.values() for n in members]
