@@ -328,19 +328,24 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         nbr_min = (edges.join(labels.select(F.col("id").alias("b"),
                                             F.col("label").alias("nl")), "b")
                    .groupBy("a").agg(F.min("nl").alias("nbr_min")))
+        # carry the round's INPUT label ("old") through to the
+        # checkpoint so convergence is a filter over the cached frame —
+        # previously a separate join of new-vs-old labels ran as its
+        # own job every round (r11, one exchange + one job per round
+        # saved; the loop output drops the extra column)
         stepped = (labels.join(nbr_min.withColumnRenamed("a", "id"), "id", "left")
                    .select("id", F.least("label", F.coalesce("nbr_min", "label"))
-                           .alias("label")))
+                           .alias("label"), F.col("label").alias("old")))
         # pointer jumping: follow the label's own label (halves chains)
         jumped = (stepped.alias("x")
                   .join(stepped.select(F.col("id").alias("label"),
                                        F.col("label").alias("_l2")).alias("y"),
                         "label")
-                  .select("id", F.col("_l2").alias("label")))
+                  .select("id", F.col("_l2").alias("label"), F.col("x.old")))
         new_labels = jumped.transform(cut_lineage)
-        converged = (new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-                     .filter(F.col("label") != F.col("old")).isEmpty())
-        labels = new_labels
+        converged = (new_labels.filter(F.col("label") != F.col("old"))
+                     .isEmpty())
+        labels = new_labels.select("id", "label")
         if converged:
             return labels.select(F.col("id").alias("doc_id"),
                                  F.col("label").alias("cluster_id"))

@@ -361,24 +361,31 @@ def topk_ivf_probes(queries: DataFrame, corpus: DataFrame, k: int,
                     dim: int | None = None,
                     train_iters: int = 0,
                     index: tuple[DataFrame, DataFrame, DataFrame] | None
-                    = None) -> dict[int, DataFrame]:
+                    = None, u: DataFrame | None = None
+                    ) -> dict[int, DataFrame]:
     """Shared-codebook IVF: train the coarse quantizer and place the
     corpus ONCE, then emit one top-k result per requested ``nprobe`` —
     the shape a recall sweep needs (training dominates; extra probe
     widths only widen the candidate join). ``index`` plugs in a
-    prebuilt :func:`ivf_index` so repeated probes skip both.
+    prebuilt :func:`ivf_index` so repeated probes skip both. ``u``
+    plugs in an already-materialized (lineage-cut) normalized corpus so
+    a caller training SEVERAL index families over the same corpus
+    (e.g. the recall sweep) normalizes it once.
     """
     if index is not None:
         centroids, assigned, u = index
     else:
-        u = unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
+        if u is None:
+            u = unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
+            if train_iters:
+                # materialize the normalized corpus once before the
+                # iterative training loop: the plan otherwise re-executes
+                # the scan + normalization lineage per iteration plus the
+                # final assignment (~2+train_iters rescans). The standard
+                # iterative-algorithm tradeoff; measured ~10-20% at sf0.1
+                # and grows with scan cost.
+                u = u.transform(cut_lineage)
         if train_iters:
-            # materialize the normalized corpus once before the iterative
-            # training loop: the plan otherwise re-executes the scan +
-            # normalization lineage per iteration plus the final assignment
-            # (~2+train_iters rescans). The standard iterative-algorithm
-            # tradeoff; measured ~10-20% at sf0.1 and grows with scan cost.
-            u = u.transform(cut_lineage)
             centroids = kmeans_centroids(u, n_cells, train_iters, id_col,
                                          "uv", dim=dim)
         else:
@@ -551,9 +558,20 @@ def pq_train_codebooks(u: DataFrame, m_sub: int, sub_dim: int,
     linear, map-side combinable. Train offline, reuse the codebook.
     """
     sub = pq_subvectors(u, m_sub, sub_dim, id_col, vec_col)
+    # Seeds: every vector contributes one subvector to EVERY subspace,
+    # so "the n_codes lowest-id subvectors per subspace" == the
+    # subvectors of the n_codes lowest-id vectors. Selecting those
+    # vectors first (orderBy + limit -> TakeOrderedAndProject) keeps
+    # the seed pass a top-n over the corpus; the previous per-m
+    # row_number window shuffled ALL N*m_sub subvector rows into m_sub
+    # partitions just to keep 16 rows each (r11, guide §2.3) — a
+    # corpus-wide exchange into a constant number of partitions, the
+    # worst possible scale shape. The window below touches only
+    # n_codes*m_sub seed rows; codes are identical by construction.
+    seed_sub = pq_subvectors(u.orderBy(id_col).limit(n_codes), m_sub,
+                             sub_dim, id_col, vec_col)
     w_seed = W.partitionBy("m").orderBy(id_col)
-    cb = (sub.withColumn("code", F.row_number().over(w_seed))
-          .filter(F.col("code") <= n_codes)
+    cb = (seed_sub.withColumn("code", F.row_number().over(w_seed))
           .select("m", "code", F.col("sv").alias("cv")))
     for _ in range(iters):
         asg = pq_assign(sub, cb, id_col)
@@ -592,8 +610,8 @@ def pq_index(corpus: DataFrame, m_sub: int, sub_dim: int, n_codes: int,
 def topk_pq(queries: DataFrame, corpus: DataFrame, k: int, m_sub: int,
             sub_dim: int, n_codes: int, iters: int = 1,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            index: tuple[DataFrame, DataFrame, DataFrame] | None = None
-            ) -> DataFrame:
+            index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+            u: DataFrame | None = None) -> DataFrame:
     """PQ-compressed ANN top-k via asymmetric distance computation.
 
     The memory-bound ANN scale path: the corpus is stored as m_sub
@@ -624,10 +642,14 @@ def topk_pq(queries: DataFrame, corpus: DataFrame, k: int, m_sub: int,
         # inline one-shot form: only the iteratively-referenced unit
         # vectors are lineage-cut; codes stay a lazy plan (the single
         # downstream join needs them once — cf. pq_index, which cuts
-        # them because an index is probed repeatedly)
-        u = (unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
-             .filter(F.col("uv").getItem(0).isNotNull())
-             .transform(cut_lineage))
+        # them because an index is probed repeatedly). ``u`` plugs in a
+        # caller-shared materialized normalized corpus (the zero-norm
+        # filter is re-applied on top — cheap over cached blocks).
+        u = (u.filter(F.col("uv").getItem(0).isNotNull())
+             if u is not None else
+             (unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
+              .filter(F.col("uv").getItem(0).isNotNull())
+              .transform(cut_lineage)))
         cb = pq_train_codebooks(u, m_sub, sub_dim, n_codes, iters,
                                 id_col, "uv")
         sub = pq_subvectors(u, m_sub, sub_dim, id_col, "uv")
@@ -973,7 +995,7 @@ def topk_pq_rerank(queries: DataFrame, corpus: DataFrame, k: int,
 def ivfpq_index(corpus: DataFrame, n_cells: int, m_sub: int, sub_dim: int,
                 n_codes: int, coarse_iters: int = 1, pq_iters: int = 1,
                 dim: int | None = None, id_col: str = "vec_id",
-                vec_col: str = "embedding"
+                vec_col: str = "embedding", cut_codes: bool = True
                 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Frozen IVF-PQ index — the full FAISS ``IndexIVFPQ`` shape: a
     coarse k-means quantizer partitions the corpus into ``n_cells``
@@ -1027,8 +1049,14 @@ def ivfpq_index(corpus: DataFrame, n_cells: int, m_sub: int, sub_dim: int,
              .select(id_col, "m", "code")
              .join(resid.select(id_col, "cell"), id_col)
              .select(F.col(id_col).alias("neighbor_id"), "cell", "m",
-                     "code")
-             .transform(cut_lineage))
+                     "code"))
+    # the compressed corpus is cut for the serve shape (an index probed
+    # repeatedly); a one-shot inline build (``topk_ivfpq`` with
+    # index=None) consumes it exactly once, so ``cut_codes=False``
+    # skips that materialization job — the lazy plan re-derives codes
+    # from the (already cut) resid a single time, identical output
+    if cut_codes:
+        codes = codes.transform(cut_lineage)
     return centroids, cb, codes, u
 
 
@@ -1068,7 +1096,8 @@ def topk_ivfpq(queries: DataFrame, corpus: DataFrame, k: int, n_cells: int,
     """
     if index is None:
         index = ivfpq_index(corpus, n_cells, m_sub, sub_dim, n_codes,
-                            coarse_iters, pq_iters, dim, id_col, vec_col)
+                            coarse_iters, pq_iters, dim, id_col, vec_col,
+                            cut_codes=False)
     centroids, cb, codes, _u = index
     qu = (unit_vectors(queries, id_col, vec_col, "query_id", "uv")
           .filter(F.col("uv").getItem(0).isNotNull()))

@@ -495,9 +495,18 @@ def sim_recall_ann(spark, sf_dir):
     queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0)
     exact = (similarity.topk_bruteforce(queries, embs, TOPK, dim=DIM)
              .select("query_id", "neighbor_id"))
+    # the two TRAINED legs (IVF, PQ) share one materialized normalized
+    # corpus (r11): each previously normalized + lineage-cut its own
+    # copy — one identical job apiece. The lazy legs (lsh, brute-force)
+    # stay composed, per the r4 measurement in the note below.
+    from demo_apache_flink_streaming_mode_spark.operators.scale import (
+        cut_lineage)
+    u = (similarity.unit_vectors(similarity._spread(embs), "vec_id",
+                                 "embedding", "vec_id", "uv")
+         .transform(cut_lineage))
     ivf = similarity.topk_ivf_probes(queries, embs, TOPK, n_cells=N_CELLS,
                                      nprobes=[1, IVF_NPROBE], dim=DIM,
-                                     train_iters=KMEANS_ITERS)
+                                     train_iters=KMEANS_ITERS, u=u)
     methods = {
         "lsh": similarity.topk_lsh(queries, embs, TOPK,
                                    num_planes=NUM_PLANES, dim=DIM),
@@ -505,7 +514,7 @@ def sim_recall_ann(spark, sf_dir):
         f"ivf{IVF_NPROBE}": ivf[IVF_NPROBE],
         "pq": similarity.topk_pq(queries, embs, TOPK, m_sub=PQ_M,
                                  sub_dim=PQ_SUB_DIM, n_codes=PQ_CODES,
-                                 iters=PQ_ITERS),
+                                 iters=PQ_ITERS, u=u),
     }
     n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
     out = None
