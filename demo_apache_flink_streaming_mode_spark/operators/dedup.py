@@ -321,9 +321,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
              .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
              .distinct()
              .transform(cut_lineage))
+    # the seed labels are NOT cut (r12): round 1 references them twice,
+    # but each reference is a cheap distinct over the already-cached
+    # edge blocks, and round 1's own checkpoint replaces them — a
+    # dedicated materialization job bought nothing
     labels = (edges.select(F.col("a").alias("id")).distinct()
-              .withColumn("label", F.col("id"))
-              .transform(cut_lineage))
+              .withColumn("label", F.col("id")))
     for _ in range(max_iters):
         nbr_min = (edges.join(labels.select(F.col("id").alias("b"),
                                             F.col("label").alias("nl")), "b")
@@ -434,7 +437,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
-                        text_col: str = "text", shingle_n: int = 3) -> DataFrame:
+                        text_col: str = "text", shingle_n: int = 3,
+                        carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Exact Jaccard over distinct word n-grams for candidate (doc_a, doc_b).
 
     Intersection via explode + count; |A ∪ B| = |A| + |B| − |A ∩ B|.
@@ -446,6 +450,13 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
     post-Generate size estimates would otherwise mislead Catalyst into
     broadcasting an exploded side through the driver. AQE still
     broadcast-converts at runtime if a side turns out tiny.
+
+    ``carry_cols`` names extra ``candidates`` columns to carry through
+    to the output (they ride the joins and join the per-pair groupBy
+    key — constant per (doc_a, doc_b), so the aggregate is unchanged).
+    Lets a caller verifying the UNION of several candidate sets keep
+    per-set membership flags without re-deriving the candidate frame
+    (one verify pipeline instead of one per set — r12, guide §2.3).
     """
     grams = doc_shingles(docs, text_col, shingle_n)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
@@ -454,7 +465,8 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
     inter = (candidates.hint("shuffle_hash")
              .join(ga, "doc_a")
              .join(gb.hint("shuffle_hash"), ["doc_b", "g"])
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
+             .groupBy("doc_a", "doc_b", *carry_cols)
+             .agg(F.count("*").alias("n_inter")))
     return (inter
             .join(sizes.hint("shuffle_hash")
                   .select(F.col("doc_id").alias("doc_a"),
@@ -462,7 +474,7 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
             .join(sizes.hint("shuffle_hash")
                   .select(F.col("doc_id").alias("doc_b"),
                           F.col("n_grams").alias("nb")), "doc_b")
-            .select("doc_a", "doc_b",
+            .select("doc_a", "doc_b", *carry_cols,
                     (F.col("n_inter") /
                      (F.col("na") + F.col("nb") - F.col("n_inter")))
                     .alias("jaccard")))
@@ -723,6 +735,32 @@ def jaccard_exact_pairs(docs: DataFrame, threshold_num: int,
     shuffles; the candidate join moves prefix rows only; verification
     scales with surviving-pair shingles. Every join is equi.
     """
+    cands = jaccard_candidates(docs, threshold_num, threshold_den,
+                               text_col, shingle_n)
+    thr = threshold_num / threshold_den
+    return (ngram_jaccard_pairs(docs, cands, text_col, shingle_n)
+            .filter(F.col("jaccard") >= thr))
+
+
+def jaccard_candidates(docs: DataFrame, threshold_num: int,
+                       threshold_den: int, text_col: str = "text",
+                       shingle_n: int = 3) -> DataFrame:
+    """The prefix-filter CANDIDATE stage of :func:`jaccard_exact_pairs`
+    — the complete (by the prefix theorem) (doc_a, doc_b) superset of
+    every pair with Jaccard >= num/den. Exposed so a caller combining
+    several candidate sources (e.g. the recall report verifying both
+    the prefix and the LSH candidates) can run ONE verify pipeline
+    over their union instead of one per source (r12, guide §2.3).
+
+    Examined-and-rejected here (r12, measured at sf0.1): the PPJoin
+    length filter (den*min(ng) >= num*max(ng)) and positional filter
+    (1 + min(na-rka, nb-rkb) >= ceil-rational alpha) are lossless and
+    cut the candidate count 648k -> 325k, but made the whole query
+    ~30% SLOWER — the wider prefix rows (rk, ng riding the self-join)
+    and extra predicates cost more than the halved verify saves at
+    this threshold (t=0.3 prefixes are 70% of each doc's grams, and
+    the corpus has near-uniform doc lengths, so neither filter bites).
+    """
     from pyspark.sql import Window as W
 
     grams = doc_shingles(docs, text_col, shingle_n)
@@ -737,19 +775,16 @@ def jaccard_exact_pairs(docs: DataFrame, threshold_num: int,
               .withColumn("rk", F.row_number().over(w))
               .filter(F.col("rk") <= pref_len)
               .select("doc_id", "g"))
-    cands = (prefix.select(F.col("doc_id").alias("doc_a"), "g")
-             .hint("shuffle_hash")
-             .join(prefix.select(F.col("doc_id").alias("doc_b"), "g"), "g")
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b").distinct())
-    thr = threshold_num / threshold_den
-    return (ngram_jaccard_pairs(docs, cands, text_col, shingle_n)
-            .filter(F.col("jaccard") >= thr))
+    return (prefix.select(F.col("doc_id").alias("doc_a"), "g")
+            .hint("shuffle_hash")
+            .join(prefix.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
 
 
 def jaccard_prefix_index(corpus_docs: DataFrame, threshold_num: int,
                          threshold_den: int, text_col: str = "text",
-                         shingle_n: int = 3
+                         shingle_n: int = 3, cut: bool = True
                          ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The STANDING exact-Jaccard store — the prefix-filter analog of
     :func:`exact_hash_index` / :func:`minhash_band_index`: what a daily
@@ -768,15 +803,26 @@ def jaccard_prefix_index(corpus_docs: DataFrame, threshold_num: int,
 
     Persist/reload through ``similarity.save_index``/``load_index``
     (kind ``dedup_jaccard``; prefix and grams bucketed on ``g``, the
-    probe/verify join key)."""
+    probe/verify join key).
+
+    ``cut=False`` (r12, the same one-shot economics as ``ivfpq_index``'s
+    ``cut_codes``): an INLINE increment query builds and probes the
+    store exactly once, so only ``dfreq`` — referenced by BOTH the
+    corpus and the increment prefix rankings — is worth its own
+    materialization job; ``prefix`` and ``grams`` each feed a single
+    downstream join, and leaving them lazy lets the final job share
+    the corpus-shingle scan via exchange reuse instead of paying three
+    eager jobs that each re-derive it. Store builders that persist or
+    repeatedly probe the index keep the default (every part cut)."""
     grams0 = doc_shingles(corpus_docs, text_col, shingle_n)
     sizes = grams0.groupBy("doc_id").agg(F.count("*").alias("ng"))
     dfreq = grams0.groupBy("g").agg(F.count("*").alias("gdf"))
-    grams = (grams0.join(sizes.hint("shuffle_hash"), "doc_id")
-             .transform(cut_lineage))
-    prefix = (_rarest_prefix(grams0, sizes, dfreq, threshold_num,
-                             threshold_den)
-              .transform(cut_lineage))
+    grams = grams0.join(sizes.hint("shuffle_hash"), "doc_id")
+    prefix = _rarest_prefix(grams0, sizes, dfreq, threshold_num,
+                            threshold_den)
+    if cut:
+        grams = grams.transform(cut_lineage)
+        prefix = prefix.transform(cut_lineage)
     return prefix, grams, dfreq.transform(cut_lineage)
 
 
@@ -821,8 +867,11 @@ def jaccard_incremental_pairs(new_docs: DataFrame,
     :func:`jaccard_prefix_index`; ``corpus_docs`` may then be None.
     Output: (new_id, dup_of, jaccard)."""
     if index is None:
+        # inline one-shot build-and-probe: only dfreq is cut (see
+        # jaccard_prefix_index's cut note)
         index = jaccard_prefix_index(corpus_docs, threshold_num,
-                                     threshold_den, text_col, shingle_n)
+                                     threshold_den, text_col, shingle_n,
+                                     cut=False)
     cpref, cgrams, cdf = index
     ngrams = doc_shingles(new_docs, text_col, shingle_n)
     nsizes = ngrams.groupBy("doc_id").agg(F.count("*").alias("ng"))

@@ -71,11 +71,14 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     n1 = verts.agg(F.count("*").alias("n"))
     outdeg = e.groupBy("u").agg(F.count("*").alias("odeg"))
     # rank state rides with N so the per-iteration expressions stay
-    # driver-free; the 1-row N attaches once via broadcast
+    # driver-free; the 1-row N attaches once via broadcast. The seed
+    # ranks are NOT cut (r12): round 1 references them twice, but each
+    # reference is a distinct + broadcast over the already-cached edge
+    # blocks, and round 1's checkpoint replaces them — same economics
+    # as connected_components' seed labels.
     pr = (verts.crossJoin(F.broadcast(n1))
           .select("vertex", "n",
-                  (F.lit(1.0) / F.col("n").cast("double")).alias("pr"))
-          .transform(cut_lineage))
+                  (F.lit(1.0) / F.col("n").cast("double")).alias("pr")))
     for _ in range(iters):
         contribs = (e.join(outdeg, "u")
                     .join(pr.select(F.col("vertex").alias("u"),

@@ -63,6 +63,18 @@ def unit_vectors(vecs: DataFrame, id_col: str = "vec_id",
     return n.select(out_id, F.transform("v", lambda x: x / F.col("nrm")).alias(out_vec))
 
 
+def normalized_corpus(vecs: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Materialized (lineage-cut) L2-normalized corpus — the shared
+    frame a caller training SEVERAL index families over one corpus
+    (e.g. the recall sweep) builds once and passes to the trainers via
+    their ``u=`` parameter. Unfiltered: each consumer re-applies its
+    own zero-norm guard over the cached blocks (cheap), so the frame
+    is usable by both filtering and non-filtering paths."""
+    return (unit_vectors(_spread(vecs), id_col, vec_col, id_col, "uv")
+            .transform(cut_lineage))
+
+
 def hyperplane(plane_idx: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component list.
 
@@ -198,6 +210,15 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame,
     window form, whose per-group top-n the fold cannot express.
     """
     if n_probe == 1:
+        # `dim` is intentionally unused on this path: the fold's lambda
+        # body is interpreted regardless, so the generic HOF `dot` and
+        # an unrolled form cost the same per element — and hoisting the
+        # scores into a dim-unrolled codegen array was measured FAR
+        # slower (r12: 0.21s -> 3.3s per placement pass at sf0.1, with
+        # 40-130s JIT/janino-thrash outliers, on a 16x64-term array; a
+        # lambda-bodied unrolled sum hits the same wall via
+        # CollapseProject). The interpreted fold is the measured-best
+        # shape for this operator.
         carr = centroids.agg(
             F.array_sort(F.collect_list(F.struct("cell", "cv")))
             .alias("_cents"))
@@ -238,6 +259,49 @@ def seed_centroids(u: DataFrame, n_cells: int,
     return (u.orderBy(id_col).limit(n_cells)
             .select(F.row_number().over(w_c).alias("cell"),
                     F.col(vec_col).alias("cv")))
+
+
+def _mean_vectors(asg: DataFrame, group_cols: list[str], id_col: str,
+                  vec_col: str, out: str) -> DataFrame:
+    """Per-group component-wise mean of a VECTOR column — the Lloyd's
+    update step, in the two session-selectable shapes of
+    ``spark.graft.deterministicFolds``:
+
+    - deterministic (default): ONE exchange of (id, vector) rows per
+      group; each group collects its members sorted by id and every
+      dimension is an in-id-order left fold over that one list.
+      Bit-identical to the previous posexplode + per-(group, pos)
+      fold + per-group rebuild (same addends in the same IEEE order —
+      member j-th components ascending by unique id, starting from
+      0.0 — and the same divisor, the member count), but one exchange,
+      one Generate, and one N*dim-row HashAggregate cheaper per
+      training iteration (r12, guide §2.3/§2.4: the old shape
+      shuffled N*dim (keys, id, val) rows and then re-aggregated the
+      dim*cells results; this ships N (id, vector) rows once).
+      Measured: kmeans 2-iter training construct 1.98s -> 0.99s,
+      pq_train 0.83s -> 0.66s at sf0.1, parity bit-exact.
+    - fast: the map-side-combinable ``F.avg`` explode shape, unchanged
+      (:func:`_fold_mean`), bounded executor memory at any cell skew.
+    """
+    if deterministic_folds(asg):
+        vals = F.array_sort(F.collect_list(F.struct(
+            F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))))
+        per_dim = F.transform(
+            F.sequence(F.lit(1), F.size(F.element_at(F.col("_vals"), 1)["_v"])),
+            lambda j: F.aggregate(
+                F.col("_vals"), F.lit(0.0),
+                lambda acc, s: acc + F.element_at(s["_v"], j))
+            / F.size(F.col("_vals")))
+        return (asg.groupBy(*group_cols).agg(vals.alias("_vals"))
+                .select(*group_cols, per_dim.alias(out)))
+    expl = asg.select(F.col(id_col).alias("_vid"), *group_cols,
+                      F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    dims = _fold_mean(expl, group_cols + ["pos"], "_m")
+    return (dims.groupBy(*group_cols)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "_m")))
+                 .alias("_ms"))
+            .select(*group_cols,
+                    F.transform("_ms", lambda s: s["_m"]).alias(out)))
 
 
 def _fold_mean(expl: DataFrame, group_cols: list[str],
@@ -296,13 +360,7 @@ def kmeans_centroids(u: DataFrame, n_cells: int, iters: int,
     cent = seed_centroids(u, n_cells, id_col, vec_col)
     for _ in range(iters):
         assigned = ivf_assign(u, cent, id_col, vec_col, dim=dim)
-        expl = assigned.select(
-            F.col(id_col).alias("_vid"), "cell",
-            F.posexplode(vec_col).alias("pos", "val"))
-        dims = _fold_mean(expl, ["cell", "pos"], "m")
-        cent = (dims.groupBy("cell")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
-                .select("cell", F.transform("ms", lambda s: s["m"]).alias("cv")))
+        cent = _mean_vectors(assigned, ["cell"], id_col, vec_col, "cv")
     # materialize the (<= n_cells)-row codebook: training is a terminal
     # iterative job, and downstream plans reference the centroids more
     # than once — without this the whole training lineage re-executes
@@ -575,12 +633,7 @@ def pq_train_codebooks(u: DataFrame, m_sub: int, sub_dim: int,
           .select("m", "code", F.col("sv").alias("cv")))
     for _ in range(iters):
         asg = pq_assign(sub, cb, id_col)
-        expl = asg.select(F.col(id_col).alias("_vid"), "m", "code",
-                          F.posexplode("sv").alias("pos", "val"))
-        dims = _fold_mean(expl, ["m", "code", "pos"], "mu")
-        cb = (dims.groupBy("m", "code")
-              .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("ms"))
-              .select("m", "code", F.transform("ms", lambda s: s["mu"]).alias("cv")))
+        cb = _mean_vectors(asg, ["m", "code"], id_col, "sv", "cv")
     # <= m_sub*n_codes rows, referenced by every downstream branch
     return cb.transform(cut_lineage)
 
@@ -596,9 +649,18 @@ def pq_index(corpus: DataFrame, m_sub: int, sub_dim: int, n_codes: int,
     encoding. This is the deploy shape: train/encode offline, serve
     many query batches against the frozen index (``topk_pq`` /
     ``topk_pq_rerank`` accept it via ``index=``)."""
+    # Zero-norm filter ABOVE the checkpoint, not below (r12, everywhere
+    # a cut follows unit_vectors): CollapseProject folds a predicate on
+    # the computed `uv` back into the normalize projection, so the
+    # interpreted norm fold re-evaluates once for the filter and once
+    # for the output — the u materialization job measured 2.05s vs
+    # 0.26s at sf0.1 (8x) for the identical rows. Above the cut the
+    # predicate reads cached blocks. (The tempting alternative — a
+    # dim-unrolled codegen norm — made the collapsed plan explode to
+    # 56s: the 64-term sum inlines into the per-element divide lambda.)
     u = (unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
-         .filter(F.col("uv").getItem(0).isNotNull())
-         .transform(cut_lineage))
+         .transform(cut_lineage)
+         .filter(F.col("uv").getItem(0).isNotNull()))
     cb = pq_train_codebooks(u, m_sub, sub_dim, n_codes, iters, id_col, "uv")
     sub = pq_subvectors(u, m_sub, sub_dim, id_col, "uv")
     codes = (pq_assign(sub, cb, id_col)
@@ -648,8 +710,8 @@ def topk_pq(queries: DataFrame, corpus: DataFrame, k: int, m_sub: int,
         u = (u.filter(F.col("uv").getItem(0).isNotNull())
              if u is not None else
              (unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
-              .filter(F.col("uv").getItem(0).isNotNull())
-              .transform(cut_lineage)))
+              .transform(cut_lineage)
+              .filter(F.col("uv").getItem(0).isNotNull())))
         cb = pq_train_codebooks(u, m_sub, sub_dim, n_codes, iters,
                                 id_col, "uv")
         sub = pq_subvectors(u, m_sub, sub_dim, id_col, "uv")
@@ -688,8 +750,8 @@ def semantic_cells(vecs: DataFrame, n_cells: int, train_iters: int = 1,
     cluster on). Training is ``train_iters`` linear passes with
     broadcast centroids; assignment is one more broadcast pass."""
     u = (unit_vectors(_spread(vecs), id_col, vec_col, id_col, "uv")
-         .filter(F.col("uv").getItem(0).isNotNull())
-         .transform(cut_lineage))
+         .transform(cut_lineage)
+         .filter(F.col("uv").getItem(0).isNotNull()))
     cents = kmeans_centroids(u, n_cells, train_iters, id_col, "uv", dim)
     return ivf_assign(u, cents, id_col, "uv", dim)
 
@@ -720,8 +782,8 @@ def prototypicality(vecs: DataFrame, n_cells: int, train_iters: int = 1,
     the CHEAP leg of D4 next to the quadratic-within-cell dedup leg).
     """
     u = (unit_vectors(_spread(vecs), id_col, vec_col, id_col, "uv")
-         .filter(F.col("uv").getItem(0).isNotNull())
-         .transform(cut_lineage))
+         .transform(cut_lineage)
+         .filter(F.col("uv").getItem(0).isNotNull()))
     cents = kmeans_centroids(u, n_cells, train_iters, id_col, "uv", dim)
     asg = ivf_assign(u, cents, id_col, "uv", dim)
     scored = (asg.join(F.broadcast(cents), "cell")
@@ -746,8 +808,8 @@ def semantic_index(corpus: DataFrame, n_cells: int, train_iters: int = 1,
     streaming micro-batches) against it via
     :func:`cosine_incremental_clustered`'s ``index=``."""
     cu = (unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
-          .filter(F.col("uv").getItem(0).isNotNull())
-          .transform(cut_lineage))
+          .transform(cut_lineage)
+          .filter(F.col("uv").getItem(0).isNotNull()))
     cents = kmeans_centroids(cu, n_cells, train_iters, id_col, "uv", dim)
     casg = ivf_assign(cu, cents, id_col, "uv", dim).transform(cut_lineage)
     return cents, casg
@@ -1028,8 +1090,8 @@ def ivfpq_index(corpus: DataFrame, n_cells: int, m_sub: int, sub_dim: int,
     serve time except for the optional re-rank column.
     """
     u = (unit_vectors(_spread(corpus), id_col, vec_col, id_col, "uv")
-         .filter(F.col("uv").getItem(0).isNotNull())
-         .transform(cut_lineage))
+         .transform(cut_lineage)
+         .filter(F.col("uv").getItem(0).isNotNull()))
     centroids = (kmeans_centroids(u, n_cells, coarse_iters, id_col, "uv",
                                   dim=dim)
                  if coarse_iters

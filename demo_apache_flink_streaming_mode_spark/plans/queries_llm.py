@@ -205,30 +205,57 @@ def dedup_minhash_recall(spark, sf_dir):
     shared shingle (the inverted-index candidate trick: gram-blocked
     self-join, equi-join only). The banded leg is dedup_ngram_jaccard's
     verified LSH candidates; verified-band pairs are a subset of the
-    exact set by construction, and the join PROVES it (n_found ==
-    n_banded). n_missed counts over-threshold pairs whose signatures
-    never collide in any band — the banding-probability tail the
-    (bands, rows_per_band) choice trades away. The exact leg is the
-    prefix-filtered exact join (dedup_jaccard_exact's path — the
-    oracle stays the inverted-index form, so its hash match doubles as
-    a losslessness proof of the prefix filter); the three 1-row
-    aggregates attach by broadcast."""
+    exact set by construction, and the per-pair flags PROVE it
+    (n_found == n_banded). n_missed counts over-threshold pairs whose
+    signatures never collide in any band — the banding-probability
+    tail the (bands, rows_per_band) choice trades away. The exact leg
+    is the prefix-filtered exact join (dedup_jaccard_exact's path —
+    the oracle stays the inverted-index form, so its hash match
+    doubles as a losslessness proof of the prefix filter).
+
+    r12 restructure (guide §2.3; VERDICT r11 "share one candidate
+    frame"): the two legs previously ran the full gram-join verify
+    pipeline TWICE (once over the ~648k prefix candidates, once over
+    the ~800 LSH-verified candidates) and re-derived the exact leg for
+    the subset join — 32 parquet scans / 36 shingle explodes / 85
+    exchanges in one plan. Now the UNION of the two candidate sets is
+    verified ONCE with per-set membership flags riding the joins
+    (``carry_cols``), and the three counts are one aggregate over the
+    verified frame: n_exact = pairs >= threshold from the (complete)
+    prefix set, n_banded = pairs >= threshold from the LSH set,
+    n_found = pairs in both — value-identical to the two-leg join
+    (the per-pair Jaccard is the same integer ratio either way), and
+    the subset property is still an empirical outcome of the flags,
+    not an assumption. Plan: 8 scans, one verify, ~30 exchanges."""
     docs = _docs(spark, sf_dir)
-    exact = (dedup.jaccard_exact_pairs(docs, JACCARD_NUM, JACCARD_DEN,
-                                       shingle_n=SHINGLE_N)
-             .select("doc_a", "doc_b"))
-    band = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    ne = exact.agg(F.count("*").alias("n_exact"))
-    nb = band.agg(F.count("*").alias("n_banded"))
-    nf = (exact.join(band, ["doc_a", "doc_b"])
-          .agg(F.count("*").alias("n_found")))
-    return (ne.crossJoin(nb).crossJoin(nf)
-            .select("n_exact", "n_banded", "n_found",
-                    (F.col("n_exact") - F.col("n_found")).alias("n_missed"),
-                    F.when(F.col("n_exact") == 0,
-                           F.lit(None).cast("double"))
-                    .otherwise(F.col("n_found").cast("double")
-                               / F.col("n_exact")).alias("recall")))
+    pc = dedup.jaccard_candidates(docs, JACCARD_NUM, JACCARD_DEN,
+                                  shingle_n=SHINGLE_N)
+    sigs = dedup.minhash_signature(docs, shingle_n=SHINGLE_N,
+                                   num_hashes=NUM_HASHES)
+    lc = (dedup.lsh_candidate_pairs(sigs, bands=BANDS,
+                                    rows_per_band=ROWS_PER_BAND,
+                                    num_hashes=NUM_HASHES)
+          .select("doc_a", "doc_b"))
+    cand = (pc.select("doc_a", "doc_b",
+                      F.lit(True).alias("_in_p"), F.lit(False).alias("_in_b"))
+            .unionByName(lc.select("doc_a", "doc_b",
+                                   F.lit(False).alias("_in_p"),
+                                   F.lit(True).alias("_in_b")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.max("_in_p").alias("_in_p"), F.max("_in_b").alias("_in_b")))
+    hits = (dedup.ngram_jaccard_pairs(docs, cand, shingle_n=SHINGLE_N,
+                                      carry_cols=("_in_p", "_in_b"))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD))
+    row = hits.agg(
+        F.count_if(F.col("_in_p")).alias("n_exact"),
+        F.count_if(F.col("_in_b")).alias("n_banded"),
+        F.count_if(F.col("_in_p") & F.col("_in_b")).alias("n_found"))
+    return row.select(
+        "n_exact", "n_banded", "n_found",
+        (F.col("n_exact") - F.col("n_found")).alias("n_missed"),
+        F.when(F.col("n_exact") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("n_found").cast("double")
+                   / F.col("n_exact")).alias("recall"))
 
 
 def dedup_clusters(spark, sf_dir):
@@ -362,13 +389,22 @@ def sim_recall_rerank(spark, sf_dir):
     ).select("query_id", "neighbor_id")
     exact = (similarity.topk_bruteforce(queries, embs, TOPK, dim=DIM)
              .select("query_id", "neighbor_id"))
+    # r12 (guide §2.3): the two hit legs union into one tagged frame so
+    # the exact subtree is joined once (2 references instead of 3 — its
+    # ranking window re-executes per reference) and the two hit
+    # aggregates collapse into one count_if pair. Values identical:
+    # count_if over the tagged inner join == the per-leg join counts,
+    # and queries with no hits coalesce to 0 exactly as before.
+    tagged = (pq_top.select("query_id", "neighbor_id",
+                            F.lit(True).alias("_pq"))
+              .unionByName(rr_top.select("query_id", "neighbor_id",
+                                         F.lit(False).alias("_pq"))))
     n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    hits_pq = (exact.join(pq_top, ["query_id", "neighbor_id"])
-               .groupBy("query_id").agg(F.count("*").alias("n_hits_pq")))
-    hits_rr = (exact.join(rr_top, ["query_id", "neighbor_id"])
-               .groupBy("query_id").agg(F.count("*").alias("n_hits_rerank")))
-    return (n_exact.join(hits_pq, "query_id", "left")
-            .join(hits_rr, "query_id", "left")
+    hits = (exact.join(tagged, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count_if(F.col("_pq")).alias("n_hits_pq"),
+                 F.count_if(~F.col("_pq")).alias("n_hits_rerank")))
+    return (n_exact.join(hits, "query_id", "left")
             .select("query_id", "n_exact",
                     F.coalesce("n_hits_pq", F.lit(0).cast("long"))
                     .alias("n_hits_pq"),
@@ -499,11 +535,7 @@ def sim_recall_ann(spark, sf_dir):
     # corpus (r11): each previously normalized + lineage-cut its own
     # copy — one identical job apiece. The lazy legs (lsh, brute-force)
     # stay composed, per the r4 measurement in the note below.
-    from demo_apache_flink_streaming_mode_spark.operators.scale import (
-        cut_lineage)
-    u = (similarity.unit_vectors(similarity._spread(embs), "vec_id",
-                                 "embedding", "vec_id", "uv")
-         .transform(cut_lineage))
+    u = similarity.normalized_corpus(embs)
     ivf = similarity.topk_ivf_probes(queries, embs, TOPK, n_cells=N_CELLS,
                                      nprobes=[1, IVF_NPROBE], dim=DIM,
                                      train_iters=KMEANS_ITERS, u=u)
@@ -516,20 +548,32 @@ def sim_recall_ann(spark, sf_dir):
                                  sub_dim=PQ_SUB_DIM, n_codes=PQ_CODES,
                                  iters=PQ_ITERS, u=u),
     }
-    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    out = None
+    # r12 report restructure (guide §2.3/§2.4; VERDICT r11 item 5): the
+    # per-method legs each ran their own n_ann aggregate, hits join +
+    # aggregate, and two report joins — and every one re-referenced the
+    # brute-force exact subtree (5 references = 5 re-executions of its
+    # ranking window above the reused exchange). Now the four ANN legs
+    # union into ONE method-tagged frame: one n_ann aggregate, one hits
+    # join + aggregate, and the exact subtree is referenced twice
+    # (n_exact + hits). Row set and values are identical — the same
+    # (method, query) pairs emerge from the method-exploded n_exact
+    # base with the same left-join/coalesce semantics.
+    ann_all = None
     for m, df in methods.items():
-        ann = df.select("query_id", "neighbor_id")
-        hits = (exact.join(ann, ["query_id", "neighbor_id"])
-                .groupBy("query_id").agg(F.count("*").alias("n_hits")))
-        n_ann = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
-        leg = (n_exact.join(n_ann, "query_id", "left")
-               .join(hits, "query_id", "left")
-               .select(F.lit(m).alias("method"), "query_id", "n_exact",
-                       F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
-                       F.coalesce("n_hits", F.lit(0)).alias("n_hits")))
-        out = leg if out is None else out.unionByName(leg)
-    return out
+        leg = df.select(F.lit(m).alias("method"), "query_id", "neighbor_id")
+        ann_all = leg if ann_all is None else ann_all.unionByName(leg)
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    n_ann = (ann_all.groupBy("method", "query_id")
+             .agg(F.count("*").alias("n_ann")))
+    hits = (exact.join(ann_all, ["query_id", "neighbor_id"])
+            .groupBy("method", "query_id").agg(F.count("*").alias("n_hits")))
+    base = n_exact.withColumn(
+        "method", F.explode(F.array(*[F.lit(m) for m in methods])))
+    return (base.join(n_ann, ["method", "query_id"], "left")
+            .join(hits, ["method", "query_id"], "left")
+            .select("method", "query_id", "n_exact",
+                    F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits")))
 
 
 def dedup_cosine_lsh(spark, sf_dir):
@@ -567,17 +611,30 @@ def dedup_semantic_recall(spark, sf_dir):
                                               dim=DIM)
              .select("vec_a", "vec_b"))
     sem = dedup_semantic(spark, sf_dir).select("vec_a", "vec_b")
-    ne = exact.agg(F.count("*").alias("n_exact"))
-    ns = sem.agg(F.count("*").alias("n_semantic"))
-    nf = (exact.join(sem, ["vec_a", "vec_b"])
-          .agg(F.count("*").alias("n_found")))
-    return (ne.crossJoin(ns).crossJoin(nf)
-            .select("n_exact", "n_semantic", "n_found",
-                    (F.col("n_exact") - F.col("n_found")).alias("n_missed"),
-                    F.when(F.col("n_exact") == 0,
-                           F.lit(None).cast("double"))
-                    .otherwise(F.col("n_found").cast("double")
-                               / F.col("n_exact")).alias("recall")))
+    # r12 (guide §2.3): the quadratic exact leg (a BroadcastNestedLoop
+    # join with NO exchange at its top, so ReuseExchange cannot dedupe
+    # it) was previously referenced twice — once for n_exact, once for
+    # the intersection join — i.e. the 2M-pair scoring executed TWICE.
+    # Tag-union both legs and aggregate flags per pair instead: each
+    # leg executes ONCE and the three counts are one count_if
+    # aggregate. Values identical: pairs are unique within each leg,
+    # so max-ed flags reproduce exactly the old count/intersection.
+    both = (exact.select("vec_a", "vec_b", F.lit(True).alias("_e"),
+                         F.lit(False).alias("_s"))
+            .unionByName(sem.select("vec_a", "vec_b",
+                                    F.lit(False).alias("_e"),
+                                    F.lit(True).alias("_s")))
+            .groupBy("vec_a", "vec_b")
+            .agg(F.max("_e").alias("_e"), F.max("_s").alias("_s")))
+    row = both.agg(F.count_if(F.col("_e")).alias("n_exact"),
+                   F.count_if(F.col("_s")).alias("n_semantic"),
+                   F.count_if(F.col("_e") & F.col("_s")).alias("n_found"))
+    return row.select(
+        "n_exact", "n_semantic", "n_found",
+        (F.col("n_exact") - F.col("n_found")).alias("n_missed"),
+        F.when(F.col("n_exact") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("n_found").cast("double")
+                   / F.col("n_exact")).alias("recall"))
 
 
 def dedup_incremental_semantic(spark, sf_dir):

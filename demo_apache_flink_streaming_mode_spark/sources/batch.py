@@ -76,7 +76,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     n_rows, n_groups = _parquet_meta(path)
     par = spark.sparkContext.defaultParallelism
     if n_rows >= _SPLIT_MIN_ROWS and n_groups < par:
+        # guard: a listed key missing from this file's schema falls back
+        # to round-robin instead of an AnalysisException at plan time
         key = _SPLIT_KEYS.get(name)
+        if key is not None and key not in df.columns:
+            key = None
         df = df.repartition(par, F.col(key)) if key else df.repartition(par)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, NOT `/`: float division of ~1.7e18 ns exceeds

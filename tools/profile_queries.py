@@ -44,9 +44,16 @@ def main() -> None:
     names = list(args.names)
     if args.top:
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        prior = json.load(open(os.path.join(here, "bench_result.json")))["queries"]
+        prior_path = os.path.join(here, "bench_result.json")
+        try:
+            prior = json.load(open(prior_path))["queries"]
+        except (OSError, ValueError, KeyError) as e:
+            raise SystemExit(
+                f"--top needs a committed {prior_path} with a 'queries' "
+                f"map (run bench.py first): {e}")
         names += [n for n, _ in sorted(prior.items(), key=lambda kv: -kv[1])
                   if n in by_name][: args.top]
+    names = list(dict.fromkeys(names))  # dedupe, preserving order
     qs = [by_name[n] for n in names]
 
     spark = get_spark("profile")
