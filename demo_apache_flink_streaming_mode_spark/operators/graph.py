@@ -59,17 +59,22 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     Returns (vertex, pagerank) for every vertex appearing in the edge
     list.
     """
-    # materialize the edge list once: every iteration joins against it,
-    # and without the cut the caller's edge-derivation lineage (often a
-    # self-join + distinct) re-executes per round — measured 18s -> 4s
-    # warm at sf0.1 on the co-occurrence graph
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize the edge list once, WITH the out-degree already
+    # attached (r12): every iteration joins against it, and without the
+    # cut the caller's edge-derivation lineage (often a self-join +
+    # distinct) re-executes per round — measured 18s -> 4s warm at
+    # sf0.1 on the co-occurrence graph. Folding outdeg into the same
+    # materialization (instead of a separate lazy aggregate) stops
+    # every round's job from re-aggregating degrees over the cached
+    # edges: one groupBy + join runs once, in the job the cut pays
+    # anyway.
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (e0.join(e0.groupBy("u").agg(F.count("*").alias("odeg")), "u")
          .transform(cut_lineage))
     verts = (e.select(F.col("u").alias("vertex"))
              .unionByName(e.select(F.col("v").alias("vertex")))
              .distinct())
     n1 = verts.agg(F.count("*").alias("n"))
-    outdeg = e.groupBy("u").agg(F.count("*").alias("odeg"))
     # rank state rides with N so the per-iteration expressions stay
     # driver-free; the 1-row N attaches once via broadcast. The seed
     # ranks are NOT cut (r12): round 1 references them twice, but each
@@ -80,9 +85,8 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
           .select("vertex", "n",
                   (F.lit(1.0) / F.col("n").cast("double")).alias("pr")))
     for _ in range(iters):
-        contribs = (e.join(outdeg, "u")
-                    .join(pr.select(F.col("vertex").alias("u"),
-                                    F.col("pr").alias("pr_u")), "u")
+        contribs = (e.join(pr.select(F.col("vertex").alias("u"),
+                                     F.col("pr").alias("pr_u")), "u")
                     .select(F.col("v").alias("vertex"), "u",
                             (F.col("pr_u") / F.col("odeg").cast("double"))
                             .alias("c")))

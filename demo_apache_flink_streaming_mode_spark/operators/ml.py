@@ -169,10 +169,13 @@ def eval_arith(expr: str, names: dict[str, float]) -> float:
     return walk(ast.parse(expr, mode="eval"))
 
 
-def _fold_sum(df: DataFrame, terms: dict[str, Column],
-              det: bool) -> dict[str, float]:
+def _fold_sum(df: DataFrame, terms: dict[str, Column], det: bool,
+              count_alias: str | None = None) -> dict[str, float]:
     """Sum each term column over the frame: in-doc_id-order left folds
-    (parity path) or plain partial-aggregated sums (production path)."""
+    (parity path) or plain partial-aggregated sums (production path).
+    ``count_alias`` additionally rides a row count in the SAME
+    aggregation (and the returned dict), saving callers a separate
+    count job."""
     if det:
         aggs = [F.aggregate(
             F.array_sort(F.collect_list(F.struct("doc_id",
@@ -181,8 +184,16 @@ def _fold_sum(df: DataFrame, terms: dict[str, Column],
             for name, col in terms.items()]
     else:
         aggs = [F.sum(col).alias(name) for name, col in terms.items()]
+    if count_alias is not None:
+        aggs.append(F.count(F.lit(1)).alias(count_alias))
     row = df.agg(*aggs).collect()[0]
-    return {name: float(row[name]) for name in terms}
+    # empty frame: F.sum yields NULL (the fold path yields 0.0); map to
+    # 0.0 — callers never read the sums when the ridden count is 0
+    out = {name: float(row[name]) if row[name] is not None else 0.0
+           for name in terms}
+    if count_alias is not None:
+        out[count_alias] = float(row[count_alias])
+    return out
 
 
 def fit_quality_weights(feats: DataFrame) -> tuple[list[float], int]:
@@ -195,10 +206,12 @@ def fit_quality_weights(feats: DataFrame) -> tuple[list[float], int]:
     the composed pipeline) calls THIS once over a prebuilt —
     persist-it-first-if-reused — feature frame, so a composed query
     runs exactly one training aggregation (pinned by
-    tests/test_ml.py)."""
-    n = feats.count()
-    if n == 0:
-        return [], 0
+    tests/test_ml.py).
+
+    r12: n rides the SAME aggregation as the sufficient statistics
+    (one Spark job instead of a count job + a stats job — guide §5;
+    the folds over an empty frame yield 0.0s that are never read, so
+    the n == 0 contract is unchanged)."""
     terms: dict[str, Column] = {}
     for i in range(QF_D):
         for j in range(i, QF_D):
@@ -206,7 +219,11 @@ def fit_quality_weights(feats: DataFrame) -> tuple[list[float], int]:
                                        * F.col(f"x{j + 1}"))
     for i in range(QF_D):
         terms[f"b{i}"] = F.col(f"x{i + 1}") * F.col("s")
-    stats = _fold_sum(feats, terms, deterministic_folds(feats))
+    stats = _fold_sum(feats, terms, deterministic_folds(feats),
+                      count_alias="_n")
+    n = int(stats.pop("_n"))
+    if n == 0:
+        return [], 0
     w = [eval_arith(expr, stats) for expr in cramer_weight_exprs()]
     return [float(v) for v in w], int(n)
 
@@ -394,9 +411,10 @@ def train_and_filter(docs: DataFrame, text_col: str = "text",
     ANN family) to reuse an already-fitted model and skip the training
     aggregation entirely."""
     if weights is None:
-        feats = quality_filter_features(docs, text_col).persist()
-        weights, n = fit_quality_weights(feats)
-        feats.unpersist()
+        # no persist (r12): the fused fit is one aggregation action,
+        # and the serve pass below re-derives features from docs
+        weights, n = fit_quality_weights(
+            quality_filter_features(docs, text_col))
         if n == 0:
             return docs.sparkSession.createDataFrame(
                 [], "doc_id bigint, pred_score double, keep boolean")
@@ -432,9 +450,9 @@ def calibration_report(docs: DataFrame, text_col: str = "text",
               "mean_teacher double, n_keep_pred bigint, "
               "n_keep_teacher bigint, cal_gap double")
     if weights is None:
-        tf = feats.persist()
-        weights, n = fit_quality_weights(tf)
-        tf.unpersist()
+        # no persist (r12): the fused fit is one aggregation action and
+        # was unpersisted before the calibration aggregate anyway
+        weights, n = fit_quality_weights(feats)
         if n == 0:
             return spark.createDataFrame([], schema)
     return _calibration_agg(_bucketize(feats, weights),

@@ -1257,18 +1257,22 @@ def binary_sign_words(vec_col: str, dim: int) -> list[Column]:
     words rather than 64 keep every value positive, so there is no
     two's-complement sign corner for the packing SUM on either engine;
     XOR + bit_count are bitwise and don't care. Exact integer
-    expressions only, inside whole-stage codegen."""
+    expressions only, inside whole-stage codegen.
+
+    Each word builds as ONE ``F.expr`` SQL string (cf. ``lsh_bucket`` /
+    ``dot_unrolled``): the previous per-bit Column construction paid
+    ~dim*6 py4j round trips per call — measured ~1.9 s of pure
+    plan-building per ``topk_binary_rerank`` (two calls) at dim=64
+    (r12). SQL ``+`` parses left-associative, so the packing sum tree
+    — and therefore every word value — is identical either way."""
     words = []
     for lo in range(0, dim, 32):
-        bits = [F.when(F.element_at(F.col(vec_col), i + 1)
-                       .cast("double") >= 0,
-                       F.lit(1 << (i - lo)).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-                for i in range(lo, min(lo + 32, dim))]
-        acc = bits[0]
-        for b in bits[1:]:
-            acc = acc + b
-        words.append(acc)
+        terms = " + ".join(
+            f"(CASE WHEN CAST(element_at(`{vec_col}`, {i + 1}) AS DOUBLE)"
+            f" >= 0 THEN CAST({1 << (i - lo)} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for i in range(lo, min(lo + 32, dim)))
+        words.append(F.expr(terms))
     return words
 
 

@@ -502,9 +502,10 @@ def corpus_curation_decisions(spark, sf_dir):
         dedup.minhash_signature(corpus, shingle_n=SHINGLE_N,
                                 num_hashes=NUM_HASHES),
         bands=BANDS, rows_per_band=ROWS_PER_BAND)
-    feats = ml.quality_filter_features(corpus).persist()
-    weights, _ = ml.fit_quality_weights(feats)
-    feats.unpersist(blocking=False)
+    # no persist (r12): fit_quality_weights is now a single aggregation
+    # action (count rides the stats job), so the feature frame is
+    # evaluated exactly once with or without a cache
+    weights, _ = ml.fit_quality_weights(ml.quality_filter_features(corpus))
     return pipelines.curate_batch(batch, exact_idx, band_idx, weights)
 
 
