@@ -140,10 +140,16 @@ def test_scan_pushdown_and_pruning(spark, name, table_col, filter_col,
     # measured r8: 17 — the four ANN legs share the normalized corpus
     # and the two IVF legs share one trained codebook
     ("sim_recall_ann", 8),
-    # measured r8: 6 — the k-means training passes and the exact-pair
-    # leg's normalized corpus are each planned once and reused across
-    # the three count legs
-    ("dedup_semantic_recall", 3),
+    # measured r8: 6 with floor 3 — the exact-pair leg and the semantic
+    # leg were each referenced by several count legs and deduped at
+    # runtime. r12 restructured the report as a tag-union (each leg is
+    # REFERENCED once by construction — the duplicate subtrees the
+    # reuse used to dedupe no longer exist), leaving the semantic
+    # leg's cell self-join exchange + the k-means/u shared subplans:
+    # measured 2 on Spark 4.1. The floor still pins that the
+    # remaining shared legs (the self-join's two identical sides)
+    # dedupe instead of re-executing.
+    ("dedup_semantic_recall", 2),
 ])
 def test_composed_reports_reuse_exchanges(spark, name, min_reused):
     """The composed recall reports deliberately re-plan their shared
